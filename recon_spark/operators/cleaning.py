@@ -1,0 +1,264 @@
+"""Cleaners for the four canonical input tables (SURVEY.md §2: P1/P2, F1/F2/F8,
+D1-D3, C1-C13, V1-V6).
+
+Reference behavior: /root/reference/src/cleaning/clean_{relius,matrix,
+relius_demo,relius_roth_basis}.py. Each cleaner renames raw export headers to
+canonical names, prunes to core columns, normalizes scalars (pure Column
+exprs), attaches validation flags/issue arrays, drops rows with null match
+keys, and deduplicates.
+
+Determinism at scale: pandas' ``keep='first'`` dedup depends on file order,
+which has no distributed meaning. Raw fixture tables carry an explicit
+``src_order`` column; dedup is a ``row_number()`` window over the match keys
+ordered by it. The window shuffle is on the same keys as the downstream
+join, so at 100 TB the exchange is reused (co-partitioning), not doubled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalizers as N
+from ..functions import validators as V
+from ..sources.spec import VALIDATION_TODAY
+
+RELIUS_COLUMN_MAP = {  # src/config.py:240-253
+    "PLANID_1": "plan_id",
+    "SSNUM_1": "ssn",
+    "FIRSTNAM": "first_name",
+    "LASTNAM": "last_name",
+    "STATEADDR": "state",
+    "GROSSDISTRAMT": "gross_amt",
+    "EXPORTEDDATE": "exported_date",
+    "DISTR1CD": "dist_code_1",
+    "TAXYR": "tax_year",
+    "DISTRNAM": "dist_name",
+}
+
+MATRIX_COLUMN_MAP = {  # src/config.py:277-296
+    "Matrix Account": "matrix_account",
+    "Client Account": "plan_id",
+    "Participant SSN": "ssn",
+    "Participant Name": "participant_name",
+    "Participant State": "state",
+    "Gross Amount": "gross_amt",
+    "Transaction Date": "txn_date",
+    "Transaction Type": "txn_method",
+    "Tax Code": "tax_code_1",
+    "Tax Code 2": "tax_code_2",
+    "Tax Form": "tax_form",
+    "Federal Taxing Method": "federal_taxing_method",
+    "Distribution Type": "dist_type",
+    "Transaction Id": "transaction_id",
+    "Fed Taxable Amount": "fed_taxable_amt",
+    "Roth Initial Contribution Year": "roth_initial_contribution_year",
+}
+
+DEMO_COLUMN_MAP = {  # src/config.py:266-274
+    "PLANID": "plan_id",
+    "SSNUM": "ssn",
+    "FIRSTNAM": "first_name",
+    "LASTNAM": "last_name",
+    "BIRTHDATE": "dob",
+    "TERM_DATE": "term_date",
+}
+
+ROTH_BASIS_COLUMN_MAP = {  # src/config.py:256-264
+    "PLANID": "plan_id",
+    "SSNUM": "ssn",
+    "FIRSTNAM": "first_name",
+    "LASTNAM": "last_name",
+    "FIRSTTAXYEARROTH": "first_roth_tax_year",
+    "Total": "roth_basis_amt",
+}
+
+RELIUS_MATCH_KEYS = ["plan_id", "ssn", "gross_amt", "exported_date", "tax_year"]
+MATRIX_MATCH_KEYS = ["plan_id", "ssn", "gross_amt", "txn_date"]
+
+#: F1 exclusions (src/cleaning/clean_matrix.py:219-234)
+IGNORED_MATRIX_ACCOUNTS = ["07B00442", "07I00442", "07M00442"]
+IGNORED_TXN_METHODS = [
+    "account transfer",
+    "suspense transfer",
+    "ach distribution reject",
+    "check stop",
+]
+
+
+def _rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    return df.withColumnsRenamed(mapping)
+
+
+def _dedup_keep_first(df: DataFrame, keys: list[str], order_col: str = "src_order") -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def clean_relius(
+    raw: DataFrame,
+    *,
+    drop_rows_missing_keys: bool = True,
+    date_start: str | None = None,
+    date_end: str | None = None,
+    months: list[int] | None = None,
+    today: str = VALIDATION_TODAY,
+) -> DataFrame:
+    """clean_relius (src/cleaning/clean_relius.py:203-349), Spark-first."""
+    df = _rename(raw, RELIUS_COLUMN_MAP)
+    df = df.select(*[c for c in RELIUS_COLUMN_MAP.values() if c in df.columns], "src_order")
+    df = (
+        df.withColumn("plan_id", N.norm_plan_id("plan_id"))
+        .withColumn("ssn", N.norm_ssn("ssn"))
+        .withColumn("exported_date", N.to_date_safe("exported_date"))
+        .withColumn("tax_year", N.to_long_safe("tax_year"))
+        .withColumn("gross_amt", N.to_double_safe("gross_amt"))
+        .withColumn("dist_code_1", N.norm_text("dist_code_1", strip=True, upper=True))
+        .withColumn("dist_category_relius", N.classify_dist_name("dist_name"))
+        .withColumn("full_name", N.full_name("first_name", "last_name"))
+    )
+    df = df.filter(N.date_filter_mask("exported_date", date_start=date_start, date_end=date_end, months=months))
+    ssn_ok = V.ssn_valid("ssn")
+    amt_ok = V.amounts_valid("gross_amt")
+    date_ok = V.dates_valid("exported_date", today=today)
+    code_ok = V.code_1099r_valid("dist_code_1")
+    df = (
+        df.withColumn("ssn_valid", ssn_ok)
+        .withColumn("amount_valid", amt_ok)
+        .withColumn("date_valid", date_ok)
+        .withColumn("code_1099r_valid", code_ok)
+        .withColumn("validation_issues", V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok))
+    )
+    if drop_rows_missing_keys:
+        df = df.na.drop(subset=RELIUS_MATCH_KEYS, how="any")
+    return _dedup_keep_first(df, RELIUS_MATCH_KEYS)
+
+
+def clean_matrix(
+    raw: DataFrame,
+    *,
+    drop_rows_missing_keys: bool = True,
+    date_start: str | None = None,
+    date_end: str | None = None,
+    months: list[int] | None = None,
+    today: str = VALIDATION_TODAY,
+) -> DataFrame:
+    """clean_matrix (src/cleaning/clean_matrix.py:240-470), Spark-first."""
+    df = _rename(raw, MATRIX_COLUMN_MAP)
+    df = df.select(*[c for c in MATRIX_COLUMN_MAP.values() if c in df.columns], "src_order")
+    # F1: noise filters before normalization (filter ordering is free for
+    # Catalyst, but matching the reference keeps row-identity semantics clear)
+    df = df.filter(~F.col("matrix_account").cast("string").isin(IGNORED_MATRIX_ACCOUNTS))
+    df = df.filter(
+        ~F.lower(F.trim(F.col("txn_method").cast("string"))).isin(IGNORED_TXN_METHODS)
+    )
+    df = (
+        df.withColumn("plan_id", N.norm_plan_id("plan_id"))
+        .withColumn("ssn", N.norm_ssn("ssn"))
+        .withColumn("txn_date", N.to_date_safe("txn_date"))
+        .withColumn("gross_amt", N.to_double_safe("gross_amt"))
+        .withColumn("fed_taxable_amt", N.to_double_safe("fed_taxable_amt"))
+        .withColumn("roth_initial_contribution_year", N.to_long_safe("roth_initial_contribution_year"))
+        .withColumn("state", N.norm_state("state"))
+        .withColumn("tax_code_1", N.norm_tax_code("tax_code_1"))
+        .withColumn("tax_code_2", N.norm_tax_code("tax_code_2"))
+        .withColumn("transaction_id", N.norm_transaction_id("transaction_id"))
+        .withColumn("txn_method", N.norm_text("txn_method"))
+        .withColumn("tax_form", N.norm_text("tax_form"))
+        .withColumn("federal_taxing_method", N.norm_text("federal_taxing_method"))
+        .withColumn("dist_type", N.norm_text("dist_type"))
+        .withColumn("participant_name", N.norm_text("participant_name"))
+    )
+    df = df.filter(N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months))
+    ssn_ok = V.ssn_valid("ssn")
+    amt_ok = V.amounts_valid("gross_amt", "fed_taxable_amt")
+    date_ok = V.dates_valid("txn_date", today=today)
+    code_ok = V.code_1099r_valid("tax_code_1")
+    cross = V.cross_field_issues("gross_amt", "fed_taxable_amt", "tax_code_1")
+    df = (
+        df.withColumn("ssn_valid", ssn_ok)
+        .withColumn("amount_valid", amt_ok)
+        .withColumn("date_valid", date_ok)
+        .withColumn("code_1099r_valid", code_ok)
+        .withColumn(
+            "validation_issues",
+            V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok, cross_issues=cross),
+        )
+    )
+    if drop_rows_missing_keys:
+        df = df.na.drop(subset=MATRIX_MATCH_KEYS, how="any")
+    return _dedup_keep_first(df, MATRIX_MATCH_KEYS)
+
+
+def clean_relius_demo(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataFrame:
+    """clean_relius_demo (src/cleaning/clean_relius_demo.py:61-146).
+
+    Keep-last dedup per (plan_id, ssn) -> row_number over src_order DESC.
+    """
+    df = _rename(raw, DEMO_COLUMN_MAP)
+    df = df.select(*DEMO_COLUMN_MAP.values(), "src_order")
+    df = (
+        df.withColumn("ssn", N.norm_ssn("ssn"))
+        .withColumn("dob", N.to_date_safe("dob"))
+        .withColumn("term_date", N.to_date_safe("term_date"))
+        .withColumn("plan_id", N.norm_plan_id("plan_id"))
+        .withColumn("first_name", N.norm_text("first_name"))
+        .withColumn("last_name", N.norm_text("last_name"))
+    )
+    ssn_ok = V.ssn_valid("ssn")
+    # date_valid is masked to NULL where term_date is null (reference :121)
+    date_ok = F.when(
+        F.col("term_date").isNotNull(), V.dates_valid("term_date", today=today)
+    )
+    df = (
+        df.withColumn("ssn_valid", ssn_ok)
+        .withColumn("amount_valid", F.lit(None).cast("boolean"))
+        .withColumn("date_valid", date_ok)
+        .withColumn("code_1099r_valid", F.lit(None).cast("boolean"))
+        .withColumn(
+            "validation_issues",
+            V.validation_issues(ssn_ok, F.lit(None).cast("boolean"), date_ok, F.lit(None).cast("boolean")),
+        )
+    )
+    df = df.filter(F.col("ssn").isNotNull())
+    w = Window.partitionBy("plan_id", "ssn").orderBy(F.col("src_order").desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def clean_roth_basis(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataFrame:
+    """clean_relius_roth_basis (src/cleaning/clean_relius_roth_basis.py:92-174).
+
+    D3: completeness-ranked dedup — keep the row with the most non-null
+    {first_roth_tax_year, roth_basis_amt}, ties broken by src_order.
+    """
+    df = _rename(raw, ROTH_BASIS_COLUMN_MAP)
+    df = df.select(*ROTH_BASIS_COLUMN_MAP.values(), "src_order")
+    df = (
+        df.withColumn("ssn", N.norm_ssn("ssn"))
+        .withColumn("plan_id", N.norm_plan_id("plan_id"))
+        .withColumn("first_name", N.norm_text("first_name"))
+        .withColumn("last_name", N.norm_text("last_name"))
+        .withColumn("first_roth_tax_year", N.to_long_safe("first_roth_tax_year"))
+        .withColumn("roth_basis_amt", N.to_double_safe("roth_basis_amt"))
+    )
+    ssn_ok = V.ssn_valid("ssn")
+    amt_ok = V.amounts_valid("roth_basis_amt")
+    df = (
+        df.withColumn("ssn_valid", ssn_ok)
+        .withColumn("amount_valid", amt_ok)
+        .withColumn("date_valid", F.lit(None).cast("boolean"))
+        .withColumn("code_1099r_valid", F.lit(None).cast("boolean"))
+        .withColumn(
+            "validation_issues",
+            V.validation_issues(ssn_ok, amt_ok, F.lit(None).cast("boolean"), F.lit(None).cast("boolean")),
+        )
+    )
+    completeness = F.col("first_roth_tax_year").isNotNull().cast("int") + F.col(
+        "roth_basis_amt"
+    ).isNotNull().cast("int")
+    w = Window.partitionBy("plan_id", "ssn").orderBy(
+        completeness.desc(), F.col("src_order").asc()
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

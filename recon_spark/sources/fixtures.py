@@ -1,0 +1,308 @@
+"""Spark-side rendering of the fixture derivation spec (sources/spec.py).
+
+Produces the four reference-shaped *raw* input tables (raw export headers,
+dirty values) from the driver's ``orders`` x ``customer`` parquet. The
+matching DuckDB rendering lives in :mod:`recon_spark.oracles.fixtures_sql`.
+
+Scale notes (100 TB design): the derivation is a projection over a single
+equi-join ``orders ⋈ customer`` on ``custkey``; with a real fact table this
+is the classic fact-dim join (broadcast the dim or rely on AQE). The
+``src_order`` column gives D1/D2 dedup an explicit, deterministic ordering
+(pandas "file order" has no distributed equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import spec
+from .tpch import load
+
+
+def pick(key: Column, values: Sequence[str | None]) -> Column:
+    """values[key % len(values)] with None -> NULL (1-based element_at)."""
+    arr = F.array(*[F.lit(v).cast("string") for v in values])
+    return F.element_at(arr, (key % len(values)).cast("int") + 1)
+
+
+# --- customer-keyed expressions ---------------------------------------------
+
+def _k() -> Column:
+    return F.col("c_custkey")
+
+
+def plan_id_expr(k: Column) -> Column:
+    return pick(k, spec.PLAN_IDS)
+
+
+def ssn9_expr(k: Column) -> Column:
+    return F.lpad(((k * spec.SSN_MULTIPLIER) % spec.SSN_MODULUS).cast("string"), 9, "0")
+
+
+def ssn_raw_expr(k: Column) -> Column:
+    """Dirty SSN variants exercising C1: float artifact, hyphens, short, padded."""
+    s = ssn9_expr(k)
+    v = k % 6
+    return (
+        F.when(v == 1, F.concat(s, F.lit(".0")))
+        .when(
+            v == 2,
+            F.concat(
+                F.substring(s, 1, 3), F.lit("-"), F.substring(s, 4, 2), F.lit("-"), F.substring(s, 6, 4)
+            ),
+        )
+        .when(v == 3, F.regexp_replace(s, "^0+", ""))
+        .when(v == 4, F.concat(F.lit(" "), s, F.lit(" ")))
+        .otherwise(s)
+    )
+
+
+def first_name_expr(k: Column) -> Column:
+    return F.when(k % 29 != 0, F.concat(F.lit("First"), (k % 50).cast("string")))
+
+
+def last_name_expr(k: Column) -> Column:
+    return F.when(k % 31 != 0, F.concat(F.lit("Last"), (k % 73).cast("string")))
+
+
+def participant_name_expr(k: Column) -> Column:
+    return F.when(
+        k % 37 != 0,
+        F.concat(
+            F.lit("First"), (k % 50).cast("string"), F.lit(" "), F.lit("Last"), (k % 73).cast("string")
+        ),
+    )
+
+
+def state_expr(k: Column) -> Column:
+    return pick(k, spec.STATES)
+
+
+def dob_raw_expr(k: Column) -> Column:
+    d = F.make_date(
+        (F.lit(1940) + k % 61).cast("int"), (F.lit(1) + k % 12).cast("int"), (F.lit(1) + k % 28).cast("int")
+    )
+    return (
+        F.when(k % 19 == 0, F.lit(None).cast("string"))
+        .when(k % 53 == 0, F.lit("not-a-date"))
+        .otherwise(d.cast("string"))
+    )
+
+
+def term_raw_expr(k: Column) -> Column:
+    d = F.make_date(
+        (F.lit(2010) + k % 15).cast("int"),
+        (F.lit(1) + (k * 5) % 12).cast("int"),
+        (F.lit(1) + (k * 3) % 28).cast("int"),
+    )
+    return F.when(k % 4 != 0, d.cast("string"))
+
+
+# --- orders-keyed expressions ------------------------------------------------
+
+def exported_date_expr(o: Column) -> Column:
+    shifted = F.add_months(F.col("o_orderdate").cast("date"), spec.EXPORT_SHIFT_MONTHS)
+    return F.when(o % 101 == 0, F.lit("2099-01-01").cast("date")).otherwise(shifted)
+
+
+def gross_expr() -> Column:
+    return F.round(F.col("o_totalprice"), 2)
+
+
+def txn_date_expr(o: Column) -> Column:
+    return F.date_add(exported_date_expr(o), (o % 15).cast("int"))
+
+
+def tax_year_raw_expr(o: Column) -> Column:
+    y = F.year(exported_date_expr(o)).cast("string")
+    return (
+        F.when(o % 97 == 0, F.lit(None).cast("string"))
+        .when(o % 89 == 0, F.concat(y, F.lit(".0")))
+        .otherwise(y)
+    )
+
+
+def matrix_account_expr(o: Column, k: Column) -> Column:
+    return (
+        F.when(o % 23 == 0, F.lit("07B00442"))
+        .when(o % 23 == 1, F.lit("07I00442"))
+        .otherwise(F.concat(F.lit("07C00"), F.lpad((k % 900).cast("string"), 3, "0")))
+    )
+
+
+def txn_method_expr(o: Column) -> Column:
+    return (
+        F.when(o % 41 == 0, F.lit(spec.IGNORED_TXN_METHOD_MOD_41))
+        .when(o % 43 == 0, F.lit(spec.IGNORED_TXN_METHOD_MOD_43))
+        .otherwise(pick(o, spec.TXN_METHODS))
+    )
+
+
+def fed_taxable_expr(o: Column) -> Column:
+    g = gross_expr()
+    return (
+        F.when(o % 37 == 0, F.round(g * 1.2, 2))
+        .when(o % 4 == 0, g)
+        .when(o % 4 == 1, F.lit(0.0))
+        .when(o % 4 == 2, F.lit(None).cast("double"))
+        .otherwise(F.round(g * 0.5, 2))
+    )
+
+
+def transaction_id_expr(o: Column) -> Column:
+    base = (o * 10 + 3).cast("string")
+    return (
+        F.when(o % 31 == 0, F.concat(F.lit("TX"), base))
+        .when(o % 5 == 0, F.concat(base, F.lit(".0")))
+        .otherwise(base)
+    )
+
+
+def ric_year_expr(k: Column) -> Column:
+    return (
+        F.when(k % 11 == 0, F.lit(None).cast("long"))
+        .when(k % 13 == 0, F.lit(0).cast("long"))
+        .otherwise((F.lit(2005) + k % 14).cast("long"))
+    )
+
+
+# --- table builders -----------------------------------------------------------
+
+def _orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    # fact ⋈ dim: customer is the small side -> broadcast
+    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+
+
+def relius_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relius distributions export (raw headers, ~4/5 of orders + dup block)."""
+    oc = _orders_customer(spark, sf_dir)
+    o, k = F.col("o_orderkey"), F.col("c_custkey")
+
+    def sel(df: DataFrame, dist_code: Column, dist_name: Column, src: int) -> DataFrame:
+        return df.select(
+            plan_id_expr(k).alias("PLANID_1"),
+            ssn_raw_expr(k).alias("SSNUM_1"),
+            first_name_expr(k).alias("FIRSTNAM"),
+            last_name_expr(k).alias("LASTNAM"),
+            state_expr(k).alias("STATEADDR"),
+            gross_expr().alias("GROSSDISTRAMT"),
+            exported_date_expr(o).cast("string").alias("EXPORTEDDATE"),
+            tax_year_raw_expr(o).alias("TAXYR"),
+            dist_code.alias("DISTR1CD"),
+            dist_name.alias("DISTRNAM"),
+            F.lit(src).cast("long").alias("src_order"),
+        )
+
+    base = sel(oc.filter(o % 5 != 4), pick(o, spec.DIST_CODES_1), pick(o, spec.DIST_NAMES), 0)
+    dups = sel(
+        oc.filter((o % 5 != 4) & (o % 50 == 0)), F.lit("1"), F.lit("Rollover"), 1
+    )
+    return base.unionByName(dups)
+
+
+def matrix_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix disbursements export (raw headers, ~6/7 of orders + dup block)."""
+    oc = _orders_customer(spark, sf_dir)
+    o, k = F.col("o_orderkey"), F.col("c_custkey")
+
+    def sel(df: DataFrame, tax_code_1: Column, txn_id: Column, src: int) -> DataFrame:
+        return df.select(
+            matrix_account_expr(o, k).alias("Matrix Account"),
+            plan_id_expr(k).alias("Client Account"),
+            ssn_raw_expr(k).alias("Participant SSN"),
+            participant_name_expr(k).alias("Participant Name"),
+            state_expr(k).alias("Participant State"),
+            gross_expr().alias("Gross Amount"),
+            txn_date_expr(o).cast("string").alias("Transaction Date"),
+            txn_method_expr(o).alias("Transaction Type"),
+            tax_code_1.alias("Tax Code"),
+            pick(o, spec.TAX_CODES_2).alias("Tax Code 2"),
+            pick(o, spec.TAX_FORMS).alias("Tax Form"),
+            pick(o, spec.FED_TAXING_METHODS).alias("Federal Taxing Method"),
+            pick(o, ["Rollover", "Cash", "Roth"]).alias("Distribution Type"),
+            txn_id.alias("Transaction Id"),
+            fed_taxable_expr(o).alias("Fed Taxable Amount"),
+            ric_year_expr(k).alias("Roth Initial Contribution Year"),
+            F.lit(src).cast("long").alias("src_order"),
+        )
+
+    base = sel(oc.filter(o % 7 != 6), pick(o, spec.TAX_CODES_1), transaction_id_expr(o), 0)
+    dups = sel(
+        oc.filter((o % 7 != 6) & (o % 60 == 0)),
+        F.lit("1"),
+        F.concat((o * 10 + 3).cast("string"), F.lit("9")),
+        1,
+    )
+    return base.unionByName(dups)
+
+
+def relius_demo_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participant master: one row per customer + dup block (keep-last dedup)."""
+    customer = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def sel(df: DataFrame, dob: Column, term: Column, first: Column, src: int) -> DataFrame:
+        return df.select(
+            plan_id_expr(k).alias("PLANID"),
+            ssn_raw_expr(k).alias("SSNUM"),
+            first.alias("FIRSTNAM"),
+            last_name_expr(k).alias("LASTNAM"),
+            dob.alias("BIRTHDATE"),
+            term.alias("TERM_DATE"),
+            F.lit(src).cast("long").alias("src_order"),
+        )
+
+    base = sel(customer, dob_raw_expr(k), term_raw_expr(k), first_name_expr(k), 0)
+    dups = sel(
+        customer.filter(k % 10 == 0),
+        F.lit(None).cast("string"),
+        F.lit(None).cast("string"),
+        F.lit("DupFirst"),
+        1,
+    )
+    return base.unionByName(dups)
+
+
+def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roth basis extract: Roth-plan customers (buckets 3-5), 2/3 coverage,
+    plus an all-null dup block (completeness-ranked dedup D3)."""
+    customer = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    in_scope = (k % 10).isin(3, 4, 5) & (k % 3 != 2)
+
+    first_year = (
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+        .when(k % 17 == 0, F.lit("1800"))
+        .when(k % 23 == 0, F.lit("0"))
+        .otherwise((F.lit(2005) + k % 16).cast("string"))
+    )
+    basis = (
+        F.when(k % 9 == 0, F.lit(None).cast("double"))
+        .when(k % 21 == 0, F.lit(-100.0))
+        .otherwise(F.round((k % 200).cast("double") * 2500.0 + 500.0, 2))
+    )
+
+    def sel(df: DataFrame, year_c: Column, basis_c: Column, src: int) -> DataFrame:
+        return df.select(
+            plan_id_expr(k).alias("PLANID"),
+            ssn_raw_expr(k).alias("SSNUM"),
+            first_name_expr(k).alias("FIRSTNAM"),
+            last_name_expr(k).alias("LASTNAM"),
+            year_c.alias("FIRSTTAXYEARROTH"),
+            basis_c.alias("Total"),
+            F.lit(src).cast("long").alias("src_order"),
+        )
+
+    base = sel(customer.filter(in_scope), first_year, basis, 0)
+    dups = sel(
+        customer.filter(in_scope & (k % 12 == 0)),
+        F.lit(None).cast("string"),
+        F.lit(None).cast("double"),
+        1,
+    )
+    return base.unionByName(dups)

@@ -1,0 +1,116 @@
+"""Deterministic derivation spec: TPC-H tables -> reference-shaped raw inputs.
+
+The DuckDB correctness oracle can only see the driver's parquet views
+(region/nation/customer/.../embeddings), so the four reference input tables
+(relius distributions, matrix disbursements, relius demographics, roth basis
+— schemas per /root/repo/FIXTURES.md) are *derived* from ``orders`` x
+``customer`` with pure modular arithmetic. This module is the single source
+of truth: :mod:`recon_spark.sources.fixtures` renders it as Spark Column
+expressions and :mod:`recon_spark.oracles.fixtures_sql` renders the same
+spec as DuckDB SQL, so the two sides cannot drift.
+
+Every value list below is indexed by ``key % len(list)``; ``None`` means
+SQL NULL. The dirty variants (float-artifact SSNs, verbose tax codes,
+whitespace noise) deliberately exercise the C1-C21 normalizers.
+"""
+
+from __future__ import annotations
+
+# customer-keyed (k = c_custkey) --------------------------------------------
+
+#: plan universe: buckets 0-2 inherited, 3-5 Roth (prefix 300005 / suffix R),
+#: 3,4,6,8 IRA-flavored (prefix 300001/300005 or substring IRA).
+PLAN_IDS = [
+    "300004PLAT",
+    "300004MBD",
+    "300004MBDII",
+    "300005R01",
+    "300005R",
+    "400001AR",
+    "300001IRA",
+    "400001ABC",
+    "500IRA02",
+    "600002XY",
+]
+
+SSN_MULTIPLIER = 48271
+SSN_MODULUS = 899_999_999  # keeps the area code out of the 9xx invalid range
+
+STATES = ["CA", "ny ", "TX", None, "fl"]  # k % 5
+
+# orders-keyed (o = o_orderkey) ----------------------------------------------
+
+#: months added to o_orderdate (1992-1998) to land txn years in 2023-2029 so
+#: the age rules (59.5/55 vs dob 1940-2000) and Engine C's 2025 basis-coverage
+#: year are all exercised.
+EXPORT_SHIFT_MONTHS = 372
+
+DIST_CODES_1 = ["7", "1", "b ", "4", "G", "ZZ", "2", None]  # o % 8
+
+DIST_NAMES = [  # o % 6
+    "Rollover",
+    "Cash Distribution",
+    "Partial Rollover - Net",
+    "RMD ACH",
+    "Full Liquidation Check",
+    "Recurring Payment",
+]
+
+TXN_METHODS = ["ACH", "Wire", "Check Distribution", "check  distribution "]  # o % 4
+IGNORED_TXN_METHOD_MOD_41 = "Account Transfer"
+IGNORED_TXN_METHOD_MOD_43 = "Suspense Transfer"
+
+TAX_CODES_1 = [  # o % 11
+    "7",
+    "7 - Normal Distribution",
+    "1",
+    "4",
+    "G",
+    "g - rollover",
+    "B",
+    "H",
+    "11 - Loan",
+    "2",
+    None,
+]
+
+TAX_CODES_2 = [  # o % 13
+    None,
+    None,
+    "G",
+    "4",
+    "7",
+    None,
+    "1",
+    "2",
+    None,
+    "H",
+    None,
+    "4 - Death",
+    None,
+]
+
+TAX_FORMS = [  # o % 9
+    "1099-R",
+    "1099-R",
+    "No Tax",
+    "No Tax",
+    "no  tax",
+    "Other Form",
+    None,
+    "1099R",
+    "1099 - R",
+]
+
+FED_TAXING_METHODS = [  # o % 7
+    "Rollover",
+    "rollover ",
+    "ROLL-OVER",
+    "Taxable",
+    None,
+    "Rollover",
+    "Partial",
+]
+
+#: deterministic "today" injected into V3 date validation on both sides.
+VALIDATION_TODAY = "2026-01-15"
