@@ -3,9 +3,13 @@
 Reference: /root/reference/src/engines/age_taxcode_analysis.py:117-366.
 
 Spark shape: matrix facts LEFT JOIN demographics dim on (plan_id, ssn) —
-the demo side is a deduplicated participant master, i.e. dimension-sized,
-so it is broadcast; the age cascade is a single ``when`` chain (one
-projection, no shuffle beyond the join).
+the demo side is a deduplicated participant master. The join is left
+unhinted: demographics is customer-cardinality (it grows with the data,
+unlike a config dim), so a forced broadcast would bypass the
+autoBroadcastJoinThreshold and OOM executors at 100x scale. AQE picks
+broadcast at runtime while the dim actually fits, shuffle-hash/SMJ
+otherwise. The age cascade is a single ``when`` chain (one projection,
+no shuffle beyond the join).
 """
 
 from __future__ import annotations
@@ -35,9 +39,7 @@ STATUS_NEEDS_CORRECTION = "match_needs_correction"
 def attach_demo_to_matrix(matrix_df: DataFrame, demo_df: DataFrame) -> DataFrame:
     """LEFT equi-join matrix -> demographics + name fallback (reference :117-160)."""
     demo = demo_df.select("plan_id", "ssn", "dob", "term_date", "first_name", "last_name")
-    out = matrix_df.drop("first_name", "last_name").join(
-        F.broadcast(demo), ["plan_id", "ssn"], "left"
-    )
+    out = matrix_df.drop("first_name", "last_name").join(demo, ["plan_id", "ssn"], "left")
     return out.withColumn(
         "full_name",
         F.coalesce(F.col("participant_name"), N.full_name("first_name", "last_name")),

@@ -10,11 +10,12 @@ the ``isin`` into the parquet scan), then a single full-outer equi-join on
 is derived from per-side non-null marker columns. The asymmetric date
 window (J2) is evaluated post-join as ``datediff BETWEEN 0 AND max_lag``.
 
-100 TB notes: the join shuffles both sides on the 3-part key unless one
-side broadcasts. With the default inherited-plan scope the Relius side is
-a small fraction of the data — AQE converts the join to broadcast at
-runtime; no manual hint needed (verified via explain at sf0.1). Skewed
-``(plan_id, ssn)`` hot keys would be split by AQE skew-join handling.
+100 TB notes: both sides shuffle on the 3-part key into a sort-merge join
+(Spark cannot use broadcast-hash for a full-outer join — only BNLJ, which
+would be strictly worse — so SMJ is the correct, scale-safe physical plan
+here). The plan-scope filter is pushed into both parquet scans before the
+shuffle; skewed ``(plan_id, ssn)`` hot keys are split by AQE skew-join
+handling.
 """
 
 from __future__ import annotations

@@ -3,7 +3,9 @@
 Reference: /root/reference/src/engines/roth_taxable_analysis.py:106-460.
 
 Spark shape: Roth-scoped matrix facts LEFT JOIN two participant dims
-(demographics, Roth basis) on (plan_id, ssn) — both broadcast; the
+(demographics, Roth basis) on (plan_id, ssn) — both unhinted (participant
+dims are customer-cardinality, so AQE/threshold decides broadcast vs
+shuffle; a forced hint would OOM at scale); the
 per-participant 2025 gross total (reference's groupby+map-back, :169-175)
 is a window aggregate ``sum(when(txn_year=2025, gross)) OVER
 (PARTITION BY plan_id, ssn)`` so no second shuffle or self-join is needed;
@@ -88,8 +90,10 @@ def run_roth_taxable_analysis(
 
     demo = demo_clean.select("plan_id", "ssn", "dob", "term_date")
     basis = roth_basis_clean.select("plan_id", "ssn", "first_roth_tax_year", "roth_basis_amt")
-    df = df.join(F.broadcast(demo), ["plan_id", "ssn"], "left")
-    df = df.join(F.broadcast(basis), ["plan_id", "ssn"], "left")
+    # two left joins then a window sum over the same (plan_id, ssn) key —
+    # with a shuffle join the window reuses the join exchange (co-partition)
+    df = df.join(demo, ["plan_id", "ssn"], "left")
+    df = df.join(basis, ["plan_id", "ssn"], "left")
 
     df = (
         df.withColumn("txn_year", F.year("txn_date").cast("long"))

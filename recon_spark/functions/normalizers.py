@@ -27,12 +27,21 @@ def _c(col: Column | str) -> Column:
 def norm_ssn(col: Column | str) -> Column:
     """Normalize SSN-ish input to a 9-digit string, else NULL.
 
-    Semantics (src/core/normalizers.py:59-95): stringify + trim, strip a
-    trailing ``.0`` float artifact, drop all non-digits, left-pad to 9;
-    anything that doesn't land on 1..9 digits becomes NULL.
+    Semantics (src/core/normalizers.py:59-95): integral numerics (incl. a
+    DOUBLE-typed column, which would otherwise stringify in scientific
+    notation) format as plain digits; strings are trimmed, a trailing
+    ``.0`` float artifact stripped, non-digits dropped; the digits are
+    left-padded to 9; anything not landing on 1..9 digits becomes NULL.
     """
-    s = F.regexp_replace(F.trim(_c(col).cast("string")), r"\.0$", "")
-    digits = F.regexp_replace(s, r"[^0-9]", "")
+    c = _c(col)
+    num = c.try_cast("double")
+    num_digits = F.when(
+        num.isNotNull() & (num == F.floor(num)) & (num >= 0) & (num < 1e15),
+        num.cast("bigint").cast("string"),
+    )
+    s = F.regexp_replace(F.trim(c.cast("string")), r"\.0$", "")
+    str_digits = F.regexp_replace(s, r"[^0-9]", "")
+    digits = F.coalesce(num_digits, str_digits)
     return F.when(F.length(digits).between(1, 9), F.lpad(digits, 9, "0"))
 
 

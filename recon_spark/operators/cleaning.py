@@ -90,8 +90,12 @@ def _rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df.withColumnsRenamed(mapping)
 
 
-def _dedup_keep_first(df: DataFrame, keys: list[str], order_col: str = "src_order") -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+def _dedup_keep_first(df: DataFrame, keys: list[str]) -> DataFrame:
+    # (src_order, src_seq) is a total order over fixture rows, so the winner
+    # is deterministic across partitionings and matches the DuckDB oracle's
+    # identical ORDER BY (src_order alone is a per-block constant — ties
+    # would get an arbitrary winner).
+    w = Window.partitionBy(*keys).orderBy(F.col("src_order").asc(), F.col("src_seq").asc())
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     )
@@ -108,7 +112,9 @@ def clean_relius(
 ) -> DataFrame:
     """clean_relius (src/cleaning/clean_relius.py:203-349), Spark-first."""
     df = _rename(raw, RELIUS_COLUMN_MAP)
-    df = df.select(*[c for c in RELIUS_COLUMN_MAP.values() if c in df.columns], "src_order")
+    df = df.select(
+        *[c for c in RELIUS_COLUMN_MAP.values() if c in df.columns], "src_order", "src_seq"
+    )
     df = (
         df.withColumn("plan_id", N.norm_plan_id("plan_id"))
         .withColumn("ssn", N.norm_ssn("ssn"))
@@ -147,12 +153,23 @@ def clean_matrix(
 ) -> DataFrame:
     """clean_matrix (src/cleaning/clean_matrix.py:240-470), Spark-first."""
     df = _rename(raw, MATRIX_COLUMN_MAP)
-    df = df.select(*[c for c in MATRIX_COLUMN_MAP.values() if c in df.columns], "src_order")
+    df = df.select(
+        *[c for c in MATRIX_COLUMN_MAP.values() if c in df.columns], "src_order", "src_seq"
+    )
     # F1: noise filters before normalization (filter ordering is free for
-    # Catalyst, but matching the reference keeps row-identity semantics clear)
-    df = df.filter(~F.col("matrix_account").cast("string").isin(IGNORED_MATRIX_ACCOUNTS))
+    # Catalyst, but matching the reference keeps row-identity semantics clear).
+    # NULL account/method must NOT match the exclusion list (the reference
+    # astype(str) turns NaN into 'nan', which never matches); coalesce to ''
+    # so three-valued logic can't silently drop the row.
     df = df.filter(
-        ~F.lower(F.trim(F.col("txn_method").cast("string"))).isin(IGNORED_TXN_METHODS)
+        ~F.coalesce(F.col("matrix_account").cast("string"), F.lit("")).isin(
+            IGNORED_MATRIX_ACCOUNTS
+        )
+    )
+    df = df.filter(
+        ~F.coalesce(F.lower(F.trim(F.col("txn_method").cast("string"))), F.lit("")).isin(
+            IGNORED_TXN_METHODS
+        )
     )
     df = (
         df.withColumn("plan_id", N.norm_plan_id("plan_id"))
@@ -198,7 +215,7 @@ def clean_relius_demo(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataF
     Keep-last dedup per (plan_id, ssn) -> row_number over src_order DESC.
     """
     df = _rename(raw, DEMO_COLUMN_MAP)
-    df = df.select(*DEMO_COLUMN_MAP.values(), "src_order")
+    df = df.select(*DEMO_COLUMN_MAP.values(), "src_order", "src_seq")
     df = (
         df.withColumn("ssn", N.norm_ssn("ssn"))
         .withColumn("dob", N.to_date_safe("dob"))
@@ -223,7 +240,9 @@ def clean_relius_demo(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataF
         )
     )
     df = df.filter(F.col("ssn").isNotNull())
-    w = Window.partitionBy("plan_id", "ssn").orderBy(F.col("src_order").desc())
+    w = Window.partitionBy("plan_id", "ssn").orderBy(
+        F.col("src_order").desc(), F.col("src_seq").desc()
+    )
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
@@ -234,7 +253,7 @@ def clean_roth_basis(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataFr
     {first_roth_tax_year, roth_basis_amt}, ties broken by src_order.
     """
     df = _rename(raw, ROTH_BASIS_COLUMN_MAP)
-    df = df.select(*ROTH_BASIS_COLUMN_MAP.values(), "src_order")
+    df = df.select(*ROTH_BASIS_COLUMN_MAP.values(), "src_order", "src_seq")
     df = (
         df.withColumn("ssn", N.norm_ssn("ssn"))
         .withColumn("plan_id", N.norm_plan_id("plan_id"))
@@ -259,6 +278,6 @@ def clean_roth_basis(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataFr
         "roth_basis_amt"
     ).isNotNull().cast("int")
     w = Window.partitionBy("plan_id", "ssn").orderBy(
-        completeness.desc(), F.col("src_order").asc()
+        completeness.desc(), F.col("src_order").asc(), F.col("src_seq").asc()
     )
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

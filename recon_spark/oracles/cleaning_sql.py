@@ -23,7 +23,7 @@ CLEAN_CTES = f"""relius_norm AS (
     "DISTRNAM" AS dist_name,
     {sql.classify_dist_name('"DISTRNAM"')} AS dist_category_relius,
     {sql.full_name('"FIRSTNAM"', '"LASTNAM"')} AS full_name,
-    src_order
+    src_order, src_seq
   FROM relius_raw
 ),
 relius_clean AS (
@@ -41,7 +41,7 @@ relius_clean AS (
   FROM relius_norm
   WHERE plan_id IS NOT NULL AND ssn IS NOT NULL AND gross_amt IS NOT NULL
     AND exported_date IS NOT NULL AND tax_year IS NOT NULL
-  QUALIFY row_number() OVER (PARTITION BY {_RELIUS_KEYS} ORDER BY src_order) = 1
+  QUALIFY row_number() OVER (PARTITION BY {_RELIUS_KEYS} ORDER BY src_order, src_seq) = 1
 ),
 matrix_norm AS (
   SELECT
@@ -61,10 +61,10 @@ matrix_norm AS (
     {sql.to_long_safe('"Roth Initial Contribution Year"')} AS roth_initial_contribution_year,
     {sql.norm_transaction_id('"Transaction Id"')} AS transaction_id,
     {sql.norm_text('"Matrix Account"')} AS matrix_account,
-    src_order
+    src_order, src_seq
   FROM matrix_raw
-  WHERE CAST("Matrix Account" AS VARCHAR) NOT IN ('07B00442', '07I00442', '07M00442')
-    AND lower(trim(CAST("Transaction Type" AS VARCHAR))) NOT IN
+  WHERE coalesce(CAST("Matrix Account" AS VARCHAR), '') NOT IN ('07B00442', '07I00442', '07M00442')
+    AND coalesce(lower(trim(CAST("Transaction Type" AS VARCHAR))), '') NOT IN
         ('account transfer', 'suspense transfer', 'ach distribution reject', 'check stop')
 ),
 matrix_clean AS (
@@ -82,7 +82,7 @@ matrix_clean AS (
     )} AS validation_issues
   FROM matrix_norm
   WHERE plan_id IS NOT NULL AND ssn IS NOT NULL AND gross_amt IS NOT NULL AND txn_date IS NOT NULL
-  QUALIFY row_number() OVER (PARTITION BY {_MATRIX_KEYS} ORDER BY src_order) = 1
+  QUALIFY row_number() OVER (PARTITION BY {_MATRIX_KEYS} ORDER BY src_order, src_seq) = 1
 ),
 demo_norm AS (
   SELECT
@@ -92,7 +92,7 @@ demo_norm AS (
     {sql.norm_text('"LASTNAM"')} AS last_name,
     {sql.to_date_safe('"BIRTHDATE"')} AS dob,
     {sql.to_date_safe('"TERM_DATE"')} AS term_date,
-    src_order
+    src_order, src_seq
   FROM demo_raw
 ),
 demo_clean AS (
@@ -109,7 +109,7 @@ demo_clean AS (
     )} AS validation_issues
   FROM demo_norm
   WHERE ssn IS NOT NULL
-  QUALIFY row_number() OVER (PARTITION BY plan_id, ssn ORDER BY src_order DESC) = 1
+  QUALIFY row_number() OVER (PARTITION BY plan_id, ssn ORDER BY src_order DESC, src_seq DESC) = 1
 ),
 basis_norm AS (
   SELECT
@@ -119,7 +119,7 @@ basis_norm AS (
     {sql.norm_text('"LASTNAM"')} AS last_name,
     {sql.to_long_safe('"FIRSTTAXYEARROTH"')} AS first_roth_tax_year,
     TRY_CAST("Total" AS DOUBLE) AS roth_basis_amt,
-    src_order
+    src_order, src_seq
   FROM basis_raw
 ),
 basis_clean AS (
@@ -138,7 +138,7 @@ basis_clean AS (
   QUALIFY row_number() OVER (
     PARTITION BY plan_id, ssn
     ORDER BY (CAST(first_roth_tax_year IS NOT NULL AS INT) + CAST(roth_basis_amt IS NOT NULL AS INT)) DESC,
-             src_order
+             src_order, src_seq
   ) = 1
 )"""
 

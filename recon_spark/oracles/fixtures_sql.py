@@ -41,7 +41,7 @@ EXPORTED_DATE = (
     f"(CASE WHEN ({O}) % 101 = 0 THEN DATE '2099-01-01' "
     f"ELSE CAST(CAST(o_orderdate AS DATE) + INTERVAL {spec.EXPORT_SHIFT_MONTHS} MONTH AS DATE) END)"
 )
-GROSS = "round(o_totalprice, 2)"
+GROSS = "(floor(o_totalprice * 100) / 100)"
 TXN_DATE = f"({EXPORTED_DATE} + CAST(({O}) % 15 AS INT))"
 TAX_YEAR_RAW = (
     f"(CASE WHEN ({O}) % 97 = 0 THEN NULL "
@@ -58,9 +58,9 @@ TXN_METHOD = (
     f"ELSE {sql.pick(O, spec.TXN_METHODS)} END)"
 )
 FED_TAXABLE = (
-    f"(CASE WHEN ({O}) % 37 = 0 THEN round({GROSS} * 1.2, 2) "
+    f"(CASE WHEN ({O}) % 37 = 0 THEN floor({GROSS} * 1.2 * 100) / 100 "
     f"WHEN ({O}) % 4 = 0 THEN {GROSS} WHEN ({O}) % 4 = 1 THEN 0.0 "
-    f"WHEN ({O}) % 4 = 2 THEN NULL ELSE round({GROSS} * 0.5, 2) END)"
+    f"WHEN ({O}) % 4 = 2 THEN NULL ELSE floor({GROSS} * 0.5 * 100) / 100 END)"
 )
 TXN_ID_BASE = f"CAST(({O}) * 10 + 3 AS VARCHAR)"
 TRANSACTION_ID = (
@@ -78,7 +78,7 @@ BASIS_FIRST_YEAR = (
 )
 BASIS_AMT = (
     f"(CASE WHEN ({K}) % 9 = 0 THEN NULL WHEN ({K}) % 21 = 0 THEN -100.0 "
-    f"ELSE round(CAST(({K}) % 200 AS DOUBLE) * 2500.0 + 500.0, 2) END)"
+    f"ELSE CAST(({K}) % 200 AS DOUBLE) * 2500.0 + 500.0 END)"
 )
 
 
@@ -94,7 +94,8 @@ def _relius_select(dist_code: str, dist_name: str, src: int) -> str:
       {TAX_YEAR_RAW} AS "TAXYR",
       {dist_code} AS "DISTR1CD",
       {dist_name} AS "DISTRNAM",
-      CAST({src} AS BIGINT) AS src_order
+      CAST({src} AS BIGINT) AS src_order,
+      CAST({O} AS BIGINT) AS src_seq
     FROM oc"""
 
 
@@ -116,7 +117,8 @@ def _matrix_select(tax_code_1: str, txn_id: str, src: int) -> str:
       {txn_id} AS "Transaction Id",
       {FED_TAXABLE} AS "Fed Taxable Amount",
       {RIC_YEAR} AS "Roth Initial Contribution Year",
-      CAST({src} AS BIGINT) AS src_order
+      CAST({src} AS BIGINT) AS src_order,
+      CAST({O} AS BIGINT) AS src_seq
     FROM oc"""
 
 
@@ -142,18 +144,20 @@ cust AS (SELECT c_custkey AS k FROM customer),
 demo_raw AS (
   SELECT {PLAN_ID} AS "PLANID", {SSN_RAW} AS "SSNUM", {FIRST_NAME} AS "FIRSTNAM",
          {LAST_NAME} AS "LASTNAM", {DOB_RAW} AS "BIRTHDATE", {TERM_RAW} AS "TERM_DATE",
-         CAST(0 AS BIGINT) AS src_order
+         CAST(0 AS BIGINT) AS src_order, CAST({K} AS BIGINT) AS src_seq
   FROM cust
   UNION ALL
-  SELECT {PLAN_ID}, {SSN_RAW}, 'DupFirst', {LAST_NAME}, NULL, NULL, CAST(1 AS BIGINT)
+  SELECT {PLAN_ID}, {SSN_RAW}, 'DupFirst', {LAST_NAME}, NULL, NULL, CAST(1 AS BIGINT),
+         CAST({K} AS BIGINT)
   FROM cust WHERE ({K}) % 10 = 0
 ),
 basis_raw AS (
   SELECT {PLAN_ID} AS "PLANID", {SSN_RAW} AS "SSNUM", {FIRST_NAME} AS "FIRSTNAM",
          {LAST_NAME} AS "LASTNAM", {BASIS_FIRST_YEAR} AS "FIRSTTAXYEARROTH",
-         {BASIS_AMT} AS "Total", CAST(0 AS BIGINT) AS src_order
+         {BASIS_AMT} AS "Total", CAST(0 AS BIGINT) AS src_order, CAST({K} AS BIGINT) AS src_seq
   FROM cust WHERE ({K}) % 10 IN (3, 4, 5) AND ({K}) % 3 <> 2
   UNION ALL
-  SELECT {PLAN_ID}, {SSN_RAW}, {FIRST_NAME}, {LAST_NAME}, NULL, CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+  SELECT {PLAN_ID}, {SSN_RAW}, {FIRST_NAME}, {LAST_NAME}, NULL, CAST(NULL AS DOUBLE),
+         CAST(1 AS BIGINT), CAST({K} AS BIGINT)
   FROM cust WHERE ({K}) % 10 IN (3, 4, 5) AND ({K}) % 3 <> 2 AND ({K}) % 12 = 0
 )"""

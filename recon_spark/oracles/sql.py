@@ -32,7 +32,13 @@ def s(col: str) -> str:
 # --- normalizers ------------------------------------------------------------
 
 def norm_ssn(col: str) -> str:
-    digits = rf"regexp_replace(regexp_replace(trim({s(col)}), '\.0$', ''), '[^0-9]', '', 'g')"
+    num = f"TRY_CAST({col} AS DOUBLE)"
+    num_digits = (
+        f"(CASE WHEN {num} IS NOT NULL AND {num} = floor({num}) AND {num} >= 0 "
+        f"AND {num} < 1e15 THEN CAST(CAST({num} AS BIGINT) AS VARCHAR) END)"
+    )
+    str_digits = rf"regexp_replace(regexp_replace(trim({s(col)}), '\.0$', ''), '[^0-9]', '', 'g')"
+    digits = f"coalesce({num_digits}, {str_digits})"
     return (
         f"(CASE WHEN length({digits}) BETWEEN 1 AND 9 THEN lpad({digits}, 9, '0') END)"
     )
@@ -170,7 +176,9 @@ def validation_issues_joined(
     ]
     elems += [f"CASE WHEN ({mask}) THEN {lit(tok)} END" for mask, tok in cross_tokens]
     arr = "[" + ", ".join(elems) + "]"
-    return f"array_to_string(list_filter({arr}, x -> x IS NOT NULL), ';')"
+    # DuckDB's array_to_string yields NULL for an empty list; Spark's
+    # array_join yields '' — coalesce so the serializations agree.
+    return f"coalesce(array_to_string(list_filter({arr}, x -> x IS NOT NULL), ';'), '')"
 
 
 def cross_tokens_matrix(gross: str, taxable: str, code: str) -> list[tuple[str, str]]:

@@ -1,0 +1,258 @@
+"""Query registry: every graded operator as a (Spark callable, oracle SQL)
+pair for ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the oracle SQL's aliases exactly (the driver sorts
+columns by name before value-hashing). Array columns are serialized with
+``array_join`` on the Spark side and mirrored in the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engines import age_taxcode, ira_rollover, match_planid, roth_taxable
+from .functions import normalizers as N
+from .operators import cleaning
+from .oracles import engines_sql, sql
+from .oracles.cleaning_sql import PRELUDE
+from .oracles.fixtures_sql import FIXTURE_CTES
+from .sources import fixtures
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _issues_joined(df: DataFrame) -> DataFrame:
+    return df.withColumn("validation_issues", F.array_join("validation_issues", ";"))
+
+
+def clean_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four cleaned canonical tables from the fixture derivation."""
+    return {
+        "relius": cleaning.clean_relius(fixtures.relius_raw(spark, sf_dir)),
+        "matrix": cleaning.clean_matrix(fixtures.matrix_raw(spark, sf_dir)),
+        "demo": cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, sf_dir)),
+        "basis": cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, sf_dir)),
+    }
+
+
+# --- cleaners (P1/P2, F1/F8, D1-D3, C*, V*) ---------------------------------
+
+_RELIUS_COLS = [
+    "plan_id", "ssn", "first_name", "last_name", "state", "gross_amt",
+    "exported_date", "tax_year", "dist_code_1", "dist_name",
+    "dist_category_relius", "full_name", "ssn_valid", "amount_valid",
+    "date_valid", "code_1099r_valid", "validation_issues", "src_order", "src_seq",
+]
+
+_MATRIX_COLS = [
+    "matrix_account", "plan_id", "ssn", "participant_name", "state",
+    "gross_amt", "txn_date", "txn_method", "tax_code_1", "tax_code_2",
+    "tax_form", "federal_taxing_method", "dist_type", "transaction_id",
+    "fed_taxable_amt", "roth_initial_contribution_year", "ssn_valid",
+    "amount_valid", "date_valid", "code_1099r_valid", "validation_issues",
+    "src_order", "src_seq",
+]
+
+_DEMO_COLS = [
+    "plan_id", "ssn", "first_name", "last_name", "dob", "term_date",
+    "ssn_valid", "amount_valid", "date_valid", "code_1099r_valid",
+    "validation_issues", "src_order", "src_seq",
+]
+
+_BASIS_COLS = [
+    "plan_id", "ssn", "first_name", "last_name", "first_roth_tax_year",
+    "roth_basis_amt", "ssn_valid", "amount_valid", "date_valid",
+    "code_1099r_valid", "validation_issues", "src_order", "src_seq",
+]
+
+
+@register(
+    "clean_relius",
+    f"{PRELUDE}\nSELECT {', '.join(_RELIUS_COLS)} FROM relius_clean",
+)
+def q_clean_relius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cleaning.clean_relius(fixtures.relius_raw(spark, sf_dir))
+    return _issues_joined(df).select(*_RELIUS_COLS)
+
+
+@register(
+    "clean_matrix",
+    f"{PRELUDE}\nSELECT {', '.join(_MATRIX_COLS)} FROM matrix_clean",
+)
+def q_clean_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cleaning.clean_matrix(fixtures.matrix_raw(spark, sf_dir))
+    return _issues_joined(df).select(*_MATRIX_COLS)
+
+
+@register(
+    "clean_relius_demo",
+    f"{PRELUDE}\nSELECT {', '.join(_DEMO_COLS)} FROM demo_clean",
+)
+def q_clean_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, sf_dir))
+    return _issues_joined(df).select(*_DEMO_COLS)
+
+
+@register(
+    "clean_roth_basis",
+    f"{PRELUDE}\nSELECT {', '.join(_BASIS_COLS)} FROM basis_clean",
+)
+def q_clean_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, sf_dir))
+    return _issues_joined(df).select(*_BASIS_COLS)
+
+
+# --- normalizer batteries (C1-C21 as projection queries) ---------------------
+
+_BATTERY_RELIUS_SQL = f"""WITH {FIXTURE_CTES}
+SELECT
+  {sql.norm_ssn('"SSNUM_1"')} AS ssn_norm,
+  {sql.norm_plan_id('"PLANID_1"')} AS plan_id_norm,
+  {sql.to_date_safe('"EXPORTEDDATE"')} AS exported_date_parsed,
+  CAST(year({sql.to_date_safe('"EXPORTEDDATE"')}) AS BIGINT) AS exported_year,
+  {sql.to_long_safe('"TAXYR"')} AS tax_year_long,
+  {sql.to_double_safe('"GROSSDISTRAMT"')} AS gross_double,
+  {sql.norm_text('"DISTR1CD"', upper=True)} AS dist_code_upper,
+  {sql.classify_dist_name('"DISTRNAM"')} AS dist_category,
+  {sql.full_name('"FIRSTNAM"', '"LASTNAM"')} AS full_name_synth,
+  CAST(date_trunc('month', {sql.to_date_safe('"EXPORTEDDATE"')}) AS DATE) AS export_month,
+  src_order, src_seq
+FROM relius_raw"""
+
+
+@register("normalizers_relius", _BATTERY_RELIUS_SQL)
+def q_battery_relius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = fixtures.relius_raw(spark, sf_dir)
+    exported = N.to_date_safe("EXPORTEDDATE")
+    return raw.select(
+        N.norm_ssn("SSNUM_1").alias("ssn_norm"),
+        N.norm_plan_id("PLANID_1").alias("plan_id_norm"),
+        exported.alias("exported_date_parsed"),
+        F.year(exported).cast("long").alias("exported_year"),
+        N.to_long_safe("TAXYR").alias("tax_year_long"),
+        N.to_double_safe("GROSSDISTRAMT").alias("gross_double"),
+        N.norm_text("DISTR1CD", strip=True, upper=True).alias("dist_code_upper"),
+        N.classify_dist_name("DISTRNAM").alias("dist_category"),
+        N.full_name("FIRSTNAM", "LASTNAM").alias("full_name_synth"),
+        N.month_bucket(exported).alias("export_month"),
+        "src_order",
+        "src_seq",
+    )
+
+
+_BATTERY_MATRIX_SQL = f"""WITH {FIXTURE_CTES}
+SELECT
+  {sql.norm_tax_code('"Tax Code"')} AS tax_code_norm,
+  {sql.norm_tax_code('"Tax Code 2"')} AS tax_code_2_norm,
+  {sql.combined_tax_code(sql.norm_tax_code('"Tax Code"'), sql.norm_tax_code('"Tax Code 2"'))} AS combined_code,
+  {sql.norm_compact_upper('"Tax Form"')} AS tax_form_compact,
+  {sql.norm_space_lower('"Transaction Type"')} AS txn_method_spaced,
+  {sql.norm_transaction_id('"Transaction Id"')} AS txn_id_norm,
+  {sql.norm_text('"Participant State"', upper=True)} AS state_norm,
+  CAST(date_diff('day', {sql.to_date_safe('"Transaction Date"')},
+       CAST({sql.to_date_safe('"Transaction Date"')} + INTERVAL 3 DAY AS DATE)) AS BIGINT) AS lag_3,
+  {sql.ssn_valid(sql.norm_ssn('"Participant SSN"'))} AS ssn_ok,
+  {sql.amounts_valid('"Gross Amount"', '"Fed Taxable Amount"')} AS amounts_ok,
+  {sql.code_1099r_valid(sql.norm_tax_code('"Tax Code"'))} AS code_ok,
+  src_order, src_seq
+FROM matrix_raw"""
+
+
+@register("normalizers_matrix", _BATTERY_MATRIX_SQL)
+def q_battery_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import validators as V
+
+    raw = fixtures.matrix_raw(spark, sf_dir)
+    code1 = N.norm_tax_code("Tax Code")
+    code2 = N.norm_tax_code("Tax Code 2")
+    txn = N.to_date_safe("Transaction Date")
+    return raw.select(
+        code1.alias("tax_code_norm"),
+        code2.alias("tax_code_2_norm"),
+        N.combined_tax_code(code1, code2).alias("combined_code"),
+        N.norm_compact_upper("Tax Form").alias("tax_form_compact"),
+        N.norm_space_lower("Transaction Type").alias("txn_method_spaced"),
+        N.norm_transaction_id("Transaction Id").alias("txn_id_norm"),
+        N.norm_text("Participant State", strip=True, upper=True).alias("state_norm"),
+        N.date_lag_days(F.date_add(txn, 3), txn).alias("lag_3"),
+        V.ssn_valid(N.norm_ssn("Participant SSN")).alias("ssn_ok"),
+        V.amounts_valid("Gross Amount", "Fed Taxable Amount").alias("amounts_ok"),
+        V.code_1099r_valid(code1).alias("code_ok"),
+        "src_order",
+        "src_seq",
+    )
+
+
+_BATTERY_DEMO_SQL = f"""WITH {FIXTURE_CTES}
+SELECT
+  {sql.norm_ssn('"SSNUM"')} AS ssn_norm,
+  {sql.to_date_safe('"BIRTHDATE"')} AS dob_parsed,
+  {sql.to_date_safe('"TERM_DATE"')} AS term_parsed,
+  {sql.attained_age_by_year_end(sql.to_date_safe('"BIRTHDATE"'), '2025', 59, 6)} AS att_59_5_2025,
+  {sql.attained_age_by_year_end(sql.to_date_safe('"BIRTHDATE"'), '2025', 55, 0)} AS att_55_2025,
+  CAST(2025 - year({sql.to_date_safe('"BIRTHDATE"')}) AS DOUBLE) AS age_2025,
+  src_order, src_seq
+FROM demo_raw"""
+
+
+@register("normalizers_demo", _BATTERY_DEMO_SQL)
+def q_battery_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = fixtures.relius_demo_raw(spark, sf_dir)
+    dob = N.to_date_safe("BIRTHDATE")
+    return raw.select(
+        N.norm_ssn("SSNUM").alias("ssn_norm"),
+        dob.alias("dob_parsed"),
+        N.to_date_safe("TERM_DATE").alias("term_parsed"),
+        N.attained_age_by_year_end(dob, F.lit(2025), years=59, months=6).alias("att_59_5_2025"),
+        N.attained_age_by_year_end(dob, F.lit(2025), years=55).alias("att_55_2025"),
+        (F.lit(2025) - F.year(dob)).cast("double").alias("age_2025"),
+        "src_order",
+        "src_seq",
+    )
+
+
+# --- engines A-D -------------------------------------------------------------
+
+
+@register("engine_a_match_planid", engines_sql.ENGINE_A_SQL)
+def q_engine_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return out.select(*match_planid.OUTPUT_COLUMNS)
+
+
+@register("engine_b_age_taxcode", engines_sql.ENGINE_B_SQL)
+def q_engine_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = age_taxcode.run_age_taxcode_analysis(t["matrix"], t["demo"])
+    return out.select(*age_taxcode.OUTPUT_COLUMNS)
+
+
+@register("engine_c_roth_taxable", engines_sql.ENGINE_C_SQL)
+def q_engine_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    return roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+
+
+@register("engine_d_ira_rollover", engines_sql.ENGINE_D_SQL)
+def q_engine_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = ira_rollover.run_ira_rollover_analysis(t["matrix"])
+    return out.select(*ira_rollover.OUTPUT_COLUMNS)

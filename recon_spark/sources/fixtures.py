@@ -6,9 +6,12 @@ matching DuckDB rendering lives in :mod:`recon_spark.oracles.fixtures_sql`.
 
 Scale notes (100 TB design): the derivation is a projection over a single
 equi-join ``orders ⋈ customer`` on ``custkey``; with a real fact table this
-is the classic fact-dim join (broadcast the dim or rely on AQE). The
-``src_order`` column gives D1/D2 dedup an explicit, deterministic ordering
-(pandas "file order" has no distributed equivalent).
+is the classic fact-dim join — left unhinted so AQE broadcasts the dim when
+it actually fits and falls back to a shuffle join when it doesn't (a forced
+hint would OOM executors once customer grows past driver memory).
+``(src_order, src_seq)`` gives D1/D2 dedup an explicit *total* ordering
+(pandas "file order" has no distributed equivalent; src_order alone is a
+per-block constant, so key collisions inside one block would be arbitrary).
 """
 
 from __future__ import annotations
@@ -108,8 +111,19 @@ def exported_date_expr(o: Column) -> Column:
     return F.when(o % 101 == 0, F.lit("2099-01-01").cast("date")).otherwise(shifted)
 
 
+def cents(c: Column) -> Column:
+    """floor(x*100)/100 — bit-deterministic across Spark and DuckDB.
+
+    ``round(x, 2)`` is NOT: Spark rounds the shortest decimal rendering
+    HALF_UP while DuckDB rounds the binary value half-away, so exact-half
+    cents can diverge by 0.01. floor over the identical IEEE product
+    cannot.
+    """
+    return F.floor(c * 100) / 100
+
+
 def gross_expr() -> Column:
-    return F.round(F.col("o_totalprice"), 2)
+    return cents(F.col("o_totalprice"))
 
 
 def txn_date_expr(o: Column) -> Column:
@@ -144,11 +158,11 @@ def txn_method_expr(o: Column) -> Column:
 def fed_taxable_expr(o: Column) -> Column:
     g = gross_expr()
     return (
-        F.when(o % 37 == 0, F.round(g * 1.2, 2))
+        F.when(o % 37 == 0, cents(g * 1.2))
         .when(o % 4 == 0, g)
         .when(o % 4 == 1, F.lit(0.0))
         .when(o % 4 == 2, F.lit(None).cast("double"))
-        .otherwise(F.round(g * 0.5, 2))
+        .otherwise(cents(g * 0.5))
     )
 
 
@@ -174,8 +188,9 @@ def ric_year_expr(k: Column) -> Column:
 def _orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer").select("c_custkey")
-    # fact ⋈ dim: customer is the small side -> broadcast
-    return orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    # fact ⋈ dim: no hint — AQE picks broadcast while customer fits the
+    # threshold, shuffle-hash/SMJ beyond that (customer grows with sf)
+    return orders.join(customer, orders.o_custkey == customer.c_custkey)
 
 
 def relius_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,6 +211,7 @@ def relius_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist_code.alias("DISTR1CD"),
             dist_name.alias("DISTRNAM"),
             F.lit(src).cast("long").alias("src_order"),
+            o.cast("long").alias("src_seq"),
         )
 
     base = sel(oc.filter(o % 5 != 4), pick(o, spec.DIST_CODES_1), pick(o, spec.DIST_NAMES), 0)
@@ -229,6 +245,7 @@ def matrix_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             fed_taxable_expr(o).alias("Fed Taxable Amount"),
             ric_year_expr(k).alias("Roth Initial Contribution Year"),
             F.lit(src).cast("long").alias("src_order"),
+            o.cast("long").alias("src_seq"),
         )
 
     base = sel(oc.filter(o % 7 != 6), pick(o, spec.TAX_CODES_1), transaction_id_expr(o), 0)
@@ -255,6 +272,7 @@ def relius_demo_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             dob.alias("BIRTHDATE"),
             term.alias("TERM_DATE"),
             F.lit(src).cast("long").alias("src_order"),
+            k.cast("long").alias("src_seq"),
         )
 
     base = sel(customer, dob_raw_expr(k), term_raw_expr(k), first_name_expr(k), 0)
@@ -284,7 +302,7 @@ def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis = (
         F.when(k % 9 == 0, F.lit(None).cast("double"))
         .when(k % 21 == 0, F.lit(-100.0))
-        .otherwise(F.round((k % 200).cast("double") * 2500.0 + 500.0, 2))
+        .otherwise((k % 200).cast("double") * 2500.0 + 500.0)
     )
 
     def sel(df: DataFrame, year_c: Column, basis_c: Column, src: int) -> DataFrame:
@@ -296,6 +314,7 @@ def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             year_c.alias("FIRSTTAXYEARROTH"),
             basis_c.alias("Total"),
             F.lit(src).cast("long").alias("src_order"),
+            k.cast("long").alias("src_seq"),
         )
 
     base = sel(customer.filter(in_scope), first_year, basis, 0)
