@@ -1,0 +1,205 @@
+"""Deduplication operators for a large-scale document corpus: exact
+(hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard
+verification.
+
+Scale design (100 TB):
+
+- **Exact dedup** is a single ``row_number`` window over the fingerprint
+  hash — one shuffle on the hash key (uniformly distributed, no skew).
+- **MinHash-LSH** never compares all pairs: signatures are computed in a
+  narrow map stage, exploded to ``bands`` rows per doc, and candidates
+  come from an equi-join on ``(band_idx, band_hash)`` — i.e. only
+  within-bucket pairs materialize. Bucket sizes are bounded by the band
+  width; a hot bucket (boilerplate docs) is exactly the skew AQE's
+  skew-join splitting handles.
+- **SimHash** is one map stage to a 32-bit signature; near-dup candidates
+  come from banding the signature (two 16-bit halves — Hamming distance
+  <= 1 guarantees one identical half), again an equi-join.
+- All hashes are md5-derived (bit-identical in any engine — the DuckDB
+  oracle mirrors them exactly); no JVM-specific hash functions leak into
+  results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+N_MINHASH = 12
+N_BANDS = 4  # 4 bands x 3 rows
+BAND_ROWS = N_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, order_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per ``key``; deterministic winner via ``order_cols``.
+
+    Generalization of the cleaners' D1 dedup to arbitrary content keys.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(col: Column | str, n_hashes: int = N_MINHASH, k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i is the lexicographic
+    min over shingles of ``md5(shingle || '#i')``.
+
+    Hex-string min is order-isomorphic to integer min on the same hash, so
+    string comparison is safe and engine-portable.
+    """
+    sh = T.shingles(col, k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def band_hashes(sig: Column, n_bands: int = N_BANDS, rows: int = BAND_ROWS) -> Column:
+    """LSH banding: array of (band_idx, band_hash) structs, band_hash =
+    md5 of the band's joined signature slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), "|")).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH: explode band hashes, self-join on
+    (band_idx, band_hash), keep ``id_a < id_b``, dedupe pairs found in
+    multiple bands. Returns (id_a, id_b, est_jaccard) where est_jaccard is
+    the signature agreement fraction."""
+    rows = n_hashes // n_bands
+    sig = minhash_signature(text_col, n_hashes, k)
+    with_sig = docs.select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    ).filter(F.col("sig").isNotNull())
+
+    banded = with_sig.select(
+        "id", "sig", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
+    ).select("id", "sig", "b.band_idx", "b.band_hash")
+
+    left = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(len(range(n_hashes)))).alias("est_jaccard"),
+    )
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union)
+
+
+def verify_candidates(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Second stage: join candidate pairs back to shingle sets and keep
+    pairs whose exact n-gram Jaccard clears ``threshold``. Two equi-joins
+    on the doc id (no fan-out: candidates << corpus)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), T.shingles(text_col, k).alias("sh")
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+def _hash32(c: Column) -> Column:
+    """First 8 md5 hex chars as a 32-bit unsigned int (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over token 32-bit hashes: bit j of the result is set iff
+    more than half the tokens have bit j set. Pure column algebra: one
+    pass building the token-hash array, then ``bits`` popcount folds."""
+    toks = T.tokens(col)
+    hashes = F.transform(toks, _hash32)
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        set_cnt = F.size(
+            F.filter(hashes, lambda h, j=j: F.shiftright(h, j).bitwiseAND(1) == 1)
+        )
+        out = out + F.when(set_cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(0)
+    return F.when(n > 0, out)
+
+
+def simhash_bands(sh: Column, bits: int = SIMHASH_BITS, halves: int = 2) -> Column:
+    """Split a simhash into ``halves`` equal bit-slices for banded lookup
+    (Hamming distance < halves guarantees an identical slice)."""
+    width = bits // halves
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(sh, i * width).bitwiseAND(mask).alias("band_val"),
+            )
+            for i in range(halves)
+        ]
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+- **Brute-force top-k** (baseline): a *small query set* is joined against
+  the corpus — the query side broadcasts, the corpus is scanned once, and
+  top-k per query is a ``row_number`` window partitioned by query id.
+  This is NOT an all-pairs crossJoin: cost is O(|corpus| * |queries|)
+  with |queries| tiny, the corpus never shuffles except for the final
+  per-query top-k (keyed by query id, bounded output).
+- **Sign-LSH bucketed ANN** (scale path): bucket = sign bits of a fixed
+  dimension subset (coordinate-hyperplane LSH for cosine). Queries probe
+  only their bucket via an equi-join on the bucket key, so corpus rows
+  outside the bucket are never scored. Recall/cost trades off via the
+  number of sign bits; multiple probe tables = multiple bit subsets.
+
+Dot products fold left-to-right over double arrays (deterministic,
+engine-portable — the DuckDB oracle mirrors the same fold), entirely in
+column algebra; a Pandas-UDF/BLAS variant is the drop-in upgrade when
+numpy-scale batching matters more than JVM-side execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: dimensions whose signs form the LSH bucket key (coordinate hyperplanes)
+DEFAULT_SIGN_DIMS = (0, 7, 14, 21, 28, 35, 42, 49)
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product over double arrays."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_to_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` must be small (config-cardinality): it is broadcast and
+    every corpus row is scored against each query in one narrow stage.
+    Self-matches (same id) are excluded. Deterministic tie-break on
+    (score desc, corpus id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def sign_bucket(vec: Column, dims: tuple[int, ...] = DEFAULT_SIGN_DIMS) -> Column:
+    """LSH bucket key: concatenated sign bits of the chosen dimensions
+    (1-based element_at; missing/zero counts as non-negative)."""
+    bits = [
+        F.when(F.element_at(vec, d + 1) < 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_SIGN_DIMS,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing the query's sign
+    bucket. The bucket join is an equi-join on the bucket key — corpus
+    shuffles once on a uniform 2^bits-ary key, no broadcast needed when
+    the query side is large."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score", "bucket")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_SIGN_DIMS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only pairs
+    sharing a sign bucket are scored (never all-pairs)."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    left = c.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    right = c.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -36,7 +36,7 @@ def _combined(s1: str, s2: str) -> str:
 
 # --- Engine A: inherited-plan reconciliation (match_planid.py) ---------------
 
-ENGINE_A_SQL = f"""{PRELUDE},
+ENGINE_A_CTES = f"""{PRELUDE},
 ea_r AS (SELECT * FROM relius_clean WHERE plan_id IN {_INHERITED}),
 ea_m AS (SELECT * FROM matrix_clean WHERE plan_id IN {_INHERITED}),
 ea_joined AS (
@@ -52,6 +52,7 @@ ea_joined AS (
     m.tax_code_2 AS tax_code_2,
     m.transaction_id AS transaction_id,
     m.matrix_account AS matrix_account,
+    m.participant_name AS participant_name,
     CASE WHEN r.src_order IS NULL THEN 'right_only'
          WHEN m.src_order IS NULL THEN 'left_only'
          ELSE 'both' END AS merge_side,
@@ -101,8 +102,9 @@ ea_out AS (
          WHEN is_both AND date_within_tolerance AND needs_correction THEN 'match_needs_correction'
          WHEN is_both AND date_within_tolerance THEN 'match_no_action' END AS match_status
   FROM ea_corr
-)
-SELECT
+)"""
+
+ENGINE_A_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, exported_date, txn_date, date_lag_days,
   date_within_tolerance, merge_side, match_status, dist_category_relius,
   dist_code_1, tax_code_1, tax_code_2, expected_tax_code_1, expected_tax_code_2,
@@ -110,6 +112,8 @@ SELECT
   {_combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS new_tax_code,
   correction_reason, action, transaction_id, matrix_account
 FROM ea_out"""
+
+ENGINE_A_SQL = f"{ENGINE_A_CTES}\n{ENGINE_A_SELECT}"
 
 
 # --- Engine B: age-based tax-code audit (age_taxcode.py) ---------------------
@@ -120,7 +124,7 @@ _EB_ROTH = (
     " OR ends_with(upper(trim(coalesce(plan_id, ''))), 'R'))"
 )
 
-ENGINE_B_SQL = f"""{PRELUDE},
+ENGINE_B_CTES = f"""{PRELUDE},
 eb_join AS (
   SELECT m.*,
     d.dob, d.term_date, d.first_name, d.last_name,
@@ -195,8 +199,9 @@ eb_final AS (
          ELSE 'age_rule_insufficient_data' END AS match_status,
     CASE WHEN eb_needs_corr THEN 'UPDATE_1099' END AS action
   FROM eb_out
-)
-SELECT
+)"""
+
+ENGINE_B_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, txn_date, transaction_id, matrix_account, full_name,
   tax_code_1, tax_code_2, dob, term_date, dob_year, txn_year, term_year,
   age_at_distribution_year, age_at_termination_year,
@@ -207,6 +212,8 @@ SELECT
   CAST(NULL AS VARCHAR) AS suggested_tax_code_2,
   {_combined("CASE WHEN match_status <> 'match_no_action' THEN expected_tax_code_1 END", "CAST(NULL AS VARCHAR)")} AS new_tax_code
 FROM eb_final"""
+
+ENGINE_B_SQL = f"{ENGINE_B_CTES}\n{ENGINE_B_SELECT}"
 
 
 # --- Engine D: IRA rollover audit (ira_rollover.py) --------------------------
@@ -219,7 +226,7 @@ _IRA_PLAN = (
 _COMPACT = "replace(regexp_replace(upper(trim({0})), '\\s+', '', 'g'), '-', '')"
 _SPACE_LOWER = "lower(regexp_replace(trim({0}), '\\s+', ' ', 'g'))"
 
-ENGINE_D_SQL = f"""{PRELUDE},
+ENGINE_D_CTES = f"""{PRELUDE},
 ed_scope AS (
   SELECT * FROM matrix_clean
   WHERE {_IRA_PLAN}
@@ -261,8 +268,9 @@ ed_final AS (
       CASE WHEN form_unknown THEN 'unrecognized_tax_form' END
     ], x -> x IS NOT NULL), '; '), '') AS review_reason
   FROM ed_masks2
-)
-SELECT
+)"""
+
+ENGINE_D_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, txn_date, transaction_id, matrix_account,
   participant_name, txn_method, federal_taxing_method, tax_form,
   tax_code_1, tax_code_2, match_status,
@@ -274,6 +282,8 @@ SELECT
   CASE WHEN ed_correction THEN 'ira_rollover_tax_form_1099r_expected_no_tax'
        WHEN match_status = 'match_needs_review' THEN review_reason END AS correction_reason
 FROM ed_final"""
+
+ENGINE_D_SQL = f"{ENGINE_D_CTES}\n{ENGINE_D_SELECT}"
 
 
 # --- Engine C: Roth taxable analysis (roth_taxable.py) -----------------------
@@ -323,7 +333,7 @@ _EC_REASONS_LIST = ",\n      ".join(
     f"CASE WHEN {mask} THEN '{tok}' END" for mask, tok in _EC_REASON_PAIRS
 )
 
-ENGINE_C_SQL = f"""{PRELUDE},
+ENGINE_C_CTES = f"""{PRELUDE},
 ec_scope AS (
   SELECT * FROM matrix_clean
   WHERE {_EC_ROTH} AND plan_id NOT IN {_INHERITED}
@@ -479,8 +489,9 @@ ec_final AS (
          ELSE suggested_taxable_base END AS suggested_taxable_amt,
     CASE WHEN year_change_required THEN CAST(f_year AS BIGINT) END AS suggested_first_roth_tax_year
   FROM ec_status
-)
-SELECT
+)"""
+
+ENGINE_C_SELECT = f"""SELECT
   transaction_id, txn_date, ssn, participant_name, matrix_account, plan_id,
   tax_code_1, tax_code_2, suggested_tax_code_1, suggested_tax_code_2,
   {_combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS new_tax_code,
@@ -491,3 +502,5 @@ SELECT
   roth_basis_amt, age_at_txn, suggested_taxable_amt,
   suggested_first_roth_tax_year, correction_reason, action, match_status
 FROM ec_final"""
+
+ENGINE_C_SQL = f"{ENGINE_C_CTES}\n{ENGINE_C_SELECT}"

@@ -1,0 +1,167 @@
+"""DuckDB renderings of the reporting layer: correction builder (F11/P3)
+and analytics aggregations (A2-A7), built on the engine CTE prefixes from
+:mod:`recon_spark.oracles.engines_sql`.
+"""
+
+from __future__ import annotations
+
+from . import engines_sql as E
+
+NL = "chr(10)"
+
+_KPI_STATUSES = (
+    "('match_no_action','match_needs_correction','match_needs_review',"
+    "'date_out_of_range','unmatched_relius','unmatched_matrix',"
+    "'excluded_from_age_engine_rollover_or_inherited','age_rule_insufficient_data')"
+)
+
+# --- corrections (F11 + P3) ---------------------------------------------------
+
+CORRECTIONS_A_SQL = f"""{E.ENGINE_A_CTES}
+SELECT
+  transaction_id AS "Transaction Id",
+  txn_date AS "Transaction Date",
+  ssn AS "Participant SSN",
+  participant_name AS "Participant Name",
+  matrix_account AS "Matrix Account",
+  tax_code_1 AS "Current Tax Code 1",
+  tax_code_2 AS "Current Tax Code 2",
+  {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS "New Tax Code",
+  CAST(NULL AS DOUBLE) AS "New Taxable Amount",
+  CAST(NULL AS BIGINT) AS "New First Year contrib",
+  correction_reason AS "Reason",
+  action AS "Action"
+FROM ea_out
+WHERE match_status IN ('match_needs_correction', 'match_needs_review')
+  AND (suggested_tax_code_1 IS NOT NULL OR suggested_tax_code_2 IS NOT NULL)
+  AND merge_side = 'both' AND date_within_tolerance
+  AND coalesce(action, '') = 'UPDATE_1099'"""
+
+# ``MATERIALIZED`` barrier: without it DuckDB inlines the 12-level engine-C
+# CTE chain into every OR branch of the selection predicate and its
+# expression tree explodes (observed OOM at sf0.001).
+CORRECTIONS_C_SQL = f"""{E.ENGINE_C_CTES},
+ec_mat AS MATERIALIZED (SELECT * FROM ec_final)
+SELECT
+  transaction_id AS "Transaction Id",
+  txn_date AS "Transaction Date",
+  ssn AS "Participant SSN",
+  participant_name AS "Participant Name",
+  matrix_account AS "Matrix Account",
+  tax_code_1 AS "Current Tax Code 1",
+  tax_code_2 AS "Current Tax Code 2",
+  {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS "New Tax Code",
+  CAST(suggested_taxable_amt AS DOUBLE) AS "New Taxable Amount",
+  CAST(suggested_first_roth_tax_year AS BIGINT) AS "New First Year contrib",
+  correction_reason AS "Reason",
+  action AS "Action"
+FROM ec_mat
+WHERE match_status IN ('match_needs_correction', 'match_needs_review')
+  AND (suggested_tax_code_1 IS NOT NULL OR suggested_tax_code_2 IS NOT NULL
+       OR suggested_taxable_amt IS NOT NULL
+       OR suggested_first_roth_tax_year IS NOT NULL
+       OR coalesce(contains(action, 'INVESTIGATE'), false))
+  AND (coalesce(contains(action, 'UPDATE_1099'), false)
+       OR coalesce(contains(action, 'INVESTIGATE'), false))"""
+
+# --- analytics (A2-A7) --------------------------------------------------------
+
+KPI_A_SQL = f"""{E.ENGINE_A_CTES},
+kpi AS (
+  SELECT match_status, CAST(count(*) AS BIGINT) AS n
+  FROM ea_out
+  WHERE match_status IN {_KPI_STATUSES}
+  GROUP BY match_status
+)
+SELECT match_status, n, n * 100.0 / sum(n) OVER () AS pct FROM kpi"""
+
+MONTHLY_B_SQL = f"""{E.ENGINE_B_CTES},
+mm AS (
+  SELECT
+    CAST(date_trunc('month', txn_date) AS DATE) AS month,
+    CAST(count(*) AS BIGINT) AS total_txns,
+    CAST(sum(CASE WHEN match_status = 'match_needs_correction' THEN 1 ELSE 0 END)
+         AS BIGINT) AS correction_count
+  FROM eb_final
+  WHERE txn_date IS NOT NULL
+  GROUP BY 1
+)
+SELECT month, total_txns, correction_count,
+       correction_count / total_txns AS correction_rate
+FROM mm"""
+
+LAG_HIST_A_SQL = f"""{E.ENGINE_A_CTES}
+SELECT date_lag_days, CAST(count(*) AS BIGINT) AS n
+FROM ea_out GROUP BY date_lag_days"""
+
+TRENDS_A_SQL = f"""{E.ENGINE_A_CTES}
+SELECT CAST(date_trunc('month', txn_date) AS DATE) AS month,
+       correction_reason, CAST(count(*) AS BIGINT) AS n
+FROM ea_out
+WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
+GROUP BY 1, 2"""
+
+#: Engine B reason vocabulary — explicit pivot domain (A6)
+EB_REASONS = [
+    "age_59_5_or_over_normal_distribution",
+    "terminated_at_or_after_55",
+    "terminated_before_55",
+    "no_term_date_under_55_in_txn_year",
+    "no_term_date_55_plus_in_txn_year",
+]
+
+_CROSSTAB_COLS = ",\n  ".join(
+    f"CAST(sum(CASE WHEN (CASE WHEN match_status <> 'match_no_action' THEN eb_reason END)"
+    f" = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{v}\""
+    for v in EB_REASONS
+)
+
+CROSSTAB_B_SQL = f"""{E.ENGINE_B_CTES}
+SELECT coalesce(tax_code_1, '(none)') AS tax_code_1,
+  {_CROSSTAB_COLS}
+FROM eb_final
+GROUP BY 1"""
+
+ACTION_MIX_C_SQL = f"""{E.ENGINE_C_CTES}
+SELECT
+  CAST(sum(CASE WHEN coalesce(contains(action, 'UPDATE_1099'), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+  CAST(sum(CASE WHEN coalesce(contains(action, 'INVESTIGATE'), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_investigate,
+  CAST(sum(CASE WHEN coalesce(contains(action, 'UPDATE_1099'), false)
+                 AND coalesce(contains(action, 'INVESTIGATE'), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(sum(CASE WHEN NOT coalesce(contains(action, 'UPDATE_1099'), false)
+                 AND NOT coalesce(contains(action, 'INVESTIGATE'), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM ec_final"""
+
+REASON_TRENDS_C_SQL = f"""{E.ENGINE_C_CTES},
+ec_mat AS MATERIALIZED (SELECT txn_date, correction_reason FROM ec_final),
+exploded AS (
+  SELECT
+    CAST(date_trunc('month', txn_date) AS DATE) AS month,
+    unnest(list_filter(
+      list_transform(string_split(correction_reason, {NL}),
+                     x -> regexp_replace(trim(x), '^-\\s*', '')),
+      x -> x <> '')) AS reason
+  FROM ec_mat
+  WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
+)
+SELECT month, reason, CAST(count(*) AS BIGINT) AS n
+FROM exploded GROUP BY month, reason"""
+
+UNMATCHED_A_SQL = f"""{E.ENGINE_A_CTES}
+SELECT match_status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(gross_amt AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS gross_total
+FROM ea_out
+WHERE match_status IN ('unmatched_relius', 'unmatched_matrix')
+GROUP BY match_status"""
+
+#: A2 generalized over the driver's events table (batch twin of the
+#: streaming monthly trend).
+EVENTS_MONTHLY_SQL = """SELECT
+  CAST(date_trunc('month', ts) AS DATE) AS month,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_total
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2"""

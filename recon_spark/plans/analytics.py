@@ -1,0 +1,173 @@
+"""Analytics aggregations (SURVEY.md §2: A2-A7) over engine outputs.
+
+Reference: /root/reference/src/visualization/{match_planid,age_taxcode,
+roth_taxable,ira_rollover}_visualization.py (the ``build_*`` halves; the
+matplotlib ``plot_*`` halves are presentation, out of engine scope).
+
+Every function is a pure DataFrame -> DataFrame groupBy/pivot plan:
+partial aggregation happens map-side, the shuffle key is the (small)
+group key, and result cardinality is bounded by the key domain — these
+aggregate safely at 100 TB. Ratios are computed from the aggregated
+counts (one pass, no self-join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalizers as N
+
+#: status vocabulary (src/config.py:430-447)
+KPI_STATUSES = [
+    "match_no_action",
+    "match_needs_correction",
+    "match_needs_review",
+    "date_out_of_range",
+    "unmatched_relius",
+    "unmatched_matrix",
+    "excluded_from_age_engine_rollover_or_inherited",
+    "age_rule_insufficient_data",
+]
+
+
+def build_kpi_summary(df: DataFrame, statuses: Sequence[str] = KPI_STATUSES) -> DataFrame:
+    """A3: per-status count + percent of total
+    (match_planid_visualization.py:39-66 and per-engine clones).
+
+    One aggregate over a constant-size status domain; the percent uses a
+    window over the single aggregated row set (no second scan).
+    """
+    agg = (
+        df.filter(F.col("match_status").isin(list(statuses)))
+        .groupBy("match_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.select(
+        "match_status",
+        "n",
+        (F.col("n") * 100.0 / total).alias("pct"),
+    )
+
+
+def build_monthly_metrics(
+    df: DataFrame,
+    date_col: str = "txn_date",
+    correction_status: str = "match_needs_correction",
+) -> DataFrame:
+    """A2: month -> total_txns, correction_count, correction_rate
+    (age_taxcode_visualization.py:35-75; ira clone :103-144).
+    """
+    month = N.month_bucket(date_col)
+    return (
+        df.filter(F.col(date_col).isNotNull())
+        .groupBy(month.alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("total_txns"),
+            F.sum(
+                F.when(F.col("match_status") == correction_status, 1).otherwise(0)
+            ).alias("correction_count"),
+        )
+        .withColumn(
+            "correction_rate", F.col("correction_count") / F.col("total_txns")
+        )
+    )
+
+
+def build_value_counts(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
+    """A4: frequency histogram of one column
+    (match_planid_visualization.py:176-218, :258-294)."""
+    out_name = alias or col
+    return (
+        df.groupBy(F.col(col).alias(out_name))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_two_key_trends(
+    df: DataFrame, date_col: str = "txn_date", key_col: str = "correction_reason"
+) -> DataFrame:
+    """A5: month x key -> count (match_planid_visualization.py:334-375)."""
+    month = N.month_bucket(date_col)
+    return (
+        df.filter(F.col(date_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(month.alias("month"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_reason_trends_exploded(
+    df: DataFrame, date_col: str = "txn_date", reason_col: str = "correction_reason"
+) -> DataFrame:
+    """A5 (Engine C variant): multi-line reasons exploded to one row per
+    (month, reason token) before counting
+    (roth_taxable_visualization.py:282-350, uses C21 split)."""
+    tokens = N.split_reason_lines(reason_col)
+    return (
+        df.filter(F.col(date_col).isNotNull() & F.col(reason_col).isNotNull())
+        .select(N.month_bucket(date_col).alias("month"), F.explode(tokens).alias("reason"))
+        .groupBy("month", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_crosstab(
+    df: DataFrame, row_col: str, pivot_col: str, pivot_values: Sequence[str]
+) -> DataFrame:
+    """A6: crosstab(row, col) with explicit column domain
+    (age_taxcode_visualization.py:224-256; pivot_table fill_value=0
+    match_planid_visualization.py:395-404).
+
+    ``pivot_values`` is passed explicitly: a declared domain keeps the
+    output schema static (required for the oracle compare and, at scale,
+    avoids the extra distinct-values job Spark runs for an open pivot).
+    """
+    out = (
+        df.groupBy(F.coalesce(F.col(row_col), F.lit("(none)")).alias(row_col))
+        .pivot(pivot_col, list(pivot_values))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, list(pivot_values))
+
+
+def build_action_mix(df: DataFrame, action_col: str = "action") -> DataFrame:
+    """A7: tallies of rows whose multi-line action set contains
+    UPDATE_1099 / INVESTIGATE / both / none
+    (roth_taxable_visualization.py:102-150)."""
+    tokens = N.action_tokens(action_col)
+    has_u = F.coalesce(F.array_contains(tokens, "UPDATE_1099"), F.lit(False))
+    has_i = F.coalesce(F.array_contains(tokens, "INVESTIGATE"), F.lit(False))
+    return df.agg(
+        F.sum(has_u.cast("long")).alias("n_update"),
+        F.sum(has_i.cast("long")).alias("n_investigate"),
+        F.sum((has_u & has_i).cast("long")).alias("n_both"),
+        F.sum((~has_u & ~has_i).cast("long")).alias("n_none"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def build_unmatched_summary(df: DataFrame) -> DataFrame:
+    """A3 variant: unmatched rows by side with amount totals
+    (match_planid_visualization.py:107-134)."""
+    return (
+        df.filter(F.col("match_status").isin("unmatched_relius", "unmatched_matrix"))
+        .groupBy("match_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: double summation is order-dependent
+            # across partitions (would drift from any serial oracle)
+            F.sum(F.col("gross_amt").cast("decimal(18,6)")).alias("gross_total"),
+        )
+    )
+
+
+def build_completeness_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """V7-adjacent: per-column null/invalid counts as one aggregate row."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    return df.agg(*aggs)

@@ -256,3 +256,101 @@ def q_engine_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = clean_tables(spark, sf_dir)
     out = ira_rollover.run_ira_rollover_analysis(t["matrix"])
     return out.select(*ira_rollover.OUTPUT_COLUMNS)
+
+
+# --- corrections (F11/P3/F10) ------------------------------------------------
+
+from .oracles import plans_sql  # noqa: E402
+from .plans import analytics, corrections  # noqa: E402
+from .sources.tpch import load as _load_table  # noqa: E402
+
+
+@register("corrections_engine_a", plans_sql.CORRECTIONS_A_SQL)
+def q_corrections_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    matches = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return corrections.build_correction_df(matches)
+
+
+@register("corrections_engine_c", plans_sql.CORRECTIONS_C_SQL)
+def q_corrections_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return corrections.build_correction_df(out)
+
+
+# --- analytics (A2-A7) -------------------------------------------------------
+
+
+@register("analytics_kpi_engine_a", plans_sql.KPI_A_SQL)
+def q_kpi_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return analytics.build_kpi_summary(out)
+
+
+@register("analytics_monthly_engine_b", plans_sql.MONTHLY_B_SQL)
+def q_monthly_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = age_taxcode.run_age_taxcode_analysis(t["matrix"], t["demo"])
+    return analytics.build_monthly_metrics(out)
+
+
+@register("analytics_lag_histogram_engine_a", plans_sql.LAG_HIST_A_SQL)
+def q_lag_hist_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return analytics.build_value_counts(out, "date_lag_days")
+
+
+@register("analytics_trends_engine_a", plans_sql.TRENDS_A_SQL)
+def q_trends_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return analytics.build_two_key_trends(out)
+
+
+@register("analytics_crosstab_engine_b", plans_sql.CROSSTAB_B_SQL)
+def q_crosstab_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = age_taxcode.run_age_taxcode_analysis(t["matrix"], t["demo"])
+    return analytics.build_crosstab(
+        out, "tax_code_1", "correction_reason", plans_sql.EB_REASONS
+    )
+
+
+@register("analytics_action_mix_engine_c", plans_sql.ACTION_MIX_C_SQL)
+def q_action_mix_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return analytics.build_action_mix(out)
+
+
+@register("analytics_reason_trends_engine_c", plans_sql.REASON_TRENDS_C_SQL)
+def q_reason_trends_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return analytics.build_reason_trends_exploded(out)
+
+
+@register("analytics_unmatched_engine_a", plans_sql.UNMATCHED_A_SQL)
+def q_unmatched_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return analytics.build_unmatched_summary(out)
+
+
+@register("analytics_events_monthly", plans_sql.EVENTS_MONTHLY_SQL)
+def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_total"),
+        )
+    )

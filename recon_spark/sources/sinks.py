@@ -1,0 +1,119 @@
+"""Sinks (SURVEY.md §2: S3-S5) — Spark-native renderings of the
+reference's Excel writers (/root/reference/src/outputs/export_utils.py:
+47-107, build_correction_file.py:309-361).
+
+Excel is a single-node format; the scale-correct equivalents are:
+
+- S3 single-sheet sink  -> one parquet (or csv) directory per dataset
+- S4 multi-sheet sink   -> ``partitionBy(key)`` parquet layout, one
+  partition directory per "sheet"
+- S5 correction sink    -> the corrections frame written
+  ``partitionBy("Action")`` after F10 token expansion, so the
+  Correction/Investigate "tabs" are partition directories written in a
+  single pass (rows with both tokens are duplicated into both, exactly
+  like the reference's dual-tab workbook)
+
+A tiny pandas round-trip (`to_excel`) is provided behind an import guard
+for users who need the literal .xlsx deliverable at sample scale.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalizers as N
+
+EXCEL_SHEETNAME_LIMIT = 31
+
+
+def dedupe_sheet_names(names: list[str]) -> list[str]:
+    """Truncate to Excel's 31-char limit and dedupe with _N suffixes
+    (export_utils.py:47-61)."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for raw in names:
+        base = raw[:EXCEL_SHEETNAME_LIMIT]
+        if base not in seen:
+            seen[base] = 0
+            out.append(base)
+            continue
+        seen[base] += 1
+        suffix = f"_{seen[base]}"
+        out.append(base[: EXCEL_SHEETNAME_LIMIT - len(suffix)] + suffix)
+    return out
+
+
+def _safe_dirname(name: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]+", "_", name)
+
+
+def write_df(df: DataFrame, path: str | Path, *, fmt: str = "parquet") -> str:
+    """S3: single-dataset sink."""
+    p = str(path)
+    df.write.mode("overwrite").format(fmt).save(p)
+    return p
+
+
+def write_multi_sheet(
+    sheets: dict[str, DataFrame], base_path: str | Path, *, fmt: str = "parquet"
+) -> dict[str, str]:
+    """S4: one directory per sheet under ``base_path`` (sheet names
+    truncated + deduped like the Excel writer)."""
+    names = dedupe_sheet_names(list(sheets.keys()))
+    out: dict[str, str] = {}
+    for (raw, df), name in zip(sheets.items(), names):
+        p = str(Path(base_path) / _safe_dirname(name))
+        df.write.mode("overwrite").format(fmt).save(p)
+        out[raw] = p
+    return out
+
+
+def write_correction_file(
+    corrections: DataFrame, path: str | Path, *, fmt: str = "parquet"
+) -> str:
+    """S5: dual-tab correction sink as a single ``partitionBy("Action")``
+    write (build_correction_file.py:309-361 + F10 split semantics).
+
+    Rows whose multi-line Action carries both tokens are exploded into
+    both partitions; each row's Action cell is rewritten to its tab's
+    token. One shuffle-free pass over the corrections frame.
+    """
+    tokens = N.action_tokens("Action")
+    exploded = (
+        corrections.withColumn(
+            "Action",
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokens, lambda t: t.isin("UPDATE_1099", "INVESTIGATE"))
+                )
+            ),
+        )
+        .withColumn(
+            "Tab",
+            F.when(F.col("Action") == "UPDATE_1099", "Correction").otherwise(
+                "Investigate"
+            ),
+        )
+    )
+    p = str(path)
+    exploded.write.mode("overwrite").format(fmt).partitionBy("Tab").save(p)
+    return p
+
+
+def write_excel(df: DataFrame, path: str | Path, *, sheet_name: str = "data") -> str:
+    """Literal .xlsx deliverable (sample scale only — collects to the
+    driver). Guarded: openpyxl may be absent in this environment."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as ex:  # pragma: no cover
+        raise NotImplementedError(
+            "openpyxl not installed; use write_df/write_correction_file "
+            "(parquet) instead"
+        ) from ex
+    pdf = df.toPandas()
+    pdf.to_excel(str(path), sheet_name=sheet_name[:EXCEL_SHEETNAME_LIMIT], index=False)
+    return str(path)

@@ -67,9 +67,14 @@ def main():
 
     spark = get_spark("check", cpus=8)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def fresh_con():
+        con = duckdb.connect()
+        # explicit limits: default memory autodetection misfires in this
+        # sandbox ("bad allocation" at tiny block sizes)
+        con.execute("SET threads=4; SET memory_limit='8GB'")
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return con
 
     qs = E.queries()
     oracles = E.oracle_sql()
@@ -84,10 +89,12 @@ def main():
                 n = sdf.count()
                 print(f"  {nm}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
                 continue
+            con = fresh_con()
             rel = con.sql(oracles[nm])
             duck_cols = rel.columns
             duck_rows = rel.fetchall()
             err = compare(nm, sdf, duck_rows, duck_cols)
+            con.close()
         except Exception as ex:  # noqa: BLE001
             err = f"EXCEPTION {type(ex).__name__}: {ex}"
         if err:
