@@ -1,0 +1,67 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"engine_a_match_planid": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the ``noop`` sink (full execution of
+every column, no driver-side collect, no disk write) — the honest
+distributed-execution cost, not ``count()``'s pruned plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: representative slice of the registry: the four reconciliation engines,
+#: the corrections deliverable, analytics rollups, and the LLM-pipeline
+#: operators (text stats, MinHash-LSH near-dup, LSH ANN).
+HEADLINE = [
+    "clean_matrix",
+    "engine_a_match_planid",
+    "engine_b_age_taxcode",
+    "engine_c_roth_taxable",
+    "engine_d_ira_rollover",
+    "corrections_engine_a",
+    "analytics_trends_engine_a",
+    "analytics_events_monthly",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "similarity_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from recon_spark.registry import QUERIES
+    from recon_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

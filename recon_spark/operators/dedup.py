@@ -48,23 +48,57 @@ def exact_dedup(
     )
 
 
-def minhash_signature(col: Column | str, n_hashes: int = N_MINHASH, k: int = 3) -> Column:
-    """MinHash signature as array<string>: element i is the lexicographic
-    min over shingles of ``md5(shingle || '#i')``.
+def signature_from_shingles(sh: Column, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature over an already-materialized shingle array column:
+    element i is the lexicographic min over shingles of
+    ``md5(shingle || '#i')``.
 
     Hex-string min is order-isomorphic to integer min on the same hash, so
     string comparison is safe and engine-portable.
+
+    PERF: ``sh`` must be a staged column reference — the expression is
+    referenced ``n_hashes + 1`` times, so an inline shingle subtree would
+    be recomputed that many times per row (and shingling is itself
+    O(n^2) when inlined; see text.shingles_from_tokens).
     """
-    sh = T.shingles(col, k)
+
+    # NB: the salt must be captured via a factory, not a default arg — a
+    # two-parameter lambda makes F.transform bind the second param to the
+    # array-index lambda variable, silently clobbering the closure value.
+    def _salted(i: int):
+        salt = F.lit(f"#{i}")
+        return lambda s: F.md5(F.concat(s, salt))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
-            )
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _salted(i))) for i in range(n_hashes)]
     )
     return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_signature(col: Column | str, n_hashes: int = N_MINHASH, k: int = 3) -> Column:
+    """Inline convenience form for tiny frames/tests — hot paths must
+    stage tokens + shingles and use :func:`signature_from_shingles`."""
+    return signature_from_shingles(T.shingles(col, k), n_hashes)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    k: int = 3,
+    sig_out: str = "sig",
+    sh_out: str | None = None,
+) -> DataFrame:
+    """Staged MinHash pipeline: tokens -> shingles -> signature, each as a
+    materialized column so no subtree is re-evaluated (narrow, no shuffle)."""
+    keep_sh = sh_out or "__sh"
+    out = (
+        df.withColumn("__toks", T.tokens(text_col))
+        .withColumn(keep_sh, T.shingles_from_tokens(F.col("__toks"), k))
+        .withColumn(sig_out, signature_from_shingles(F.col(keep_sh), n_hashes))
+        .drop("__toks")
+    )
+    return out if sh_out else out.drop("__sh")
 
 
 def band_hashes(sig: Column, n_bands: int = N_BANDS, rows: int = BAND_ROWS) -> Column:
@@ -96,10 +130,11 @@ def minhash_lsh_candidates(
     multiple bands. Returns (id_a, id_b, est_jaccard) where est_jaccard is
     the signature agreement fraction."""
     rows = n_hashes // n_bands
-    sig = minhash_signature(text_col, n_hashes, k)
-    with_sig = docs.select(
-        F.col(id_col).alias("id"), sig.alias("sig")
-    ).filter(F.col("sig").isNotNull())
+    with_sig = (
+        with_minhash(docs, text_col, n_hashes, k, sig_out="sig")
+        .select(F.col(id_col).alias("id"), "sig")
+        .filter(F.col("sig").isNotNull())
+    )
 
     banded = with_sig.select(
         "id", "sig", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
@@ -154,8 +189,12 @@ def verify_candidates(
     """Second stage: join candidate pairs back to shingle sets and keep
     pairs whose exact n-gram Jaccard clears ``threshold``. Two equi-joins
     on the doc id (no fan-out: candidates << corpus)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), T.shingles(text_col, k).alias("sh")
+    sh = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
     )
     out = (
         candidates.join(
@@ -173,20 +212,44 @@ def _hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over token 32-bit hashes: bit j of the result is set iff
-    more than half the tokens have bit j set. Pure column algebra: one
-    pass building the token-hash array, then ``bits`` popcount folds."""
-    toks = T.tokens(col)
-    hashes = F.transform(toks, _hash32)
+def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over an already-materialized token-hash array column: bit j
+    of the result is set iff more than half the tokens have bit j set.
+
+    PERF: ``hashes`` is referenced ``bits * 2 + 1`` times — stage it
+    (``withColumn``) or the tokenize+md5 subtree re-runs per reference.
+    """
     n = F.size(hashes)
+
+    # Single-arg lambda via factory (see signature_from_shingles for why a
+    # `j=j` default arg would be clobbered by the array-index variable).
+    def _bit_set(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(1) == 1
+
     out = F.lit(0).cast("long")
     for j in range(bits):
-        set_cnt = F.size(
-            F.filter(hashes, lambda h, j=j: F.shiftright(h, j).bitwiseAND(1) == 1)
-        )
+        set_cnt = F.size(F.filter(hashes, _bit_set(j)))
         out = out + F.when(set_cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(0)
     return F.when(n > 0, out)
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Inline convenience form for tiny frames/tests — hot paths must
+    stage the hash array and use :func:`simhash_from_hashes`."""
+    return simhash_from_hashes(F.transform(T.tokens(col), _hash32), bits)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Staged SimHash pipeline: token-hash array materialized once, then
+    the bit-fold reads the array (narrow, no shuffle)."""
+    return (
+        df.withColumn("__th", F.transform(T.tokens(text_col), _hash32))
+        .withColumn(out, simhash_from_hashes(F.col("__th"), bits))
+        .drop("__th")
+    )
 
 
 def simhash_bands(sh: Column, bits: int = SIMHASH_BITS, halves: int = 2) -> Column:

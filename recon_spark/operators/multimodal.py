@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata structs, with decode / feature-extraction as Arrow-batched
+``mapInPandas`` stages.
+
+The Spark-side contract is real and tested — schema, batch shape,
+partitioning, null handling. The *decoders* are where a production
+deployment plugs in PIL/torchaudio/ffmpeg; those libraries are not in
+this container, so :func:`decode_image` / :func:`decode_audio` raise
+``NotImplementedError`` and the pipeline ships a deterministic
+byte-stripe feature extractor (:func:`fake_features`) so every stage
+downstream of decode is still exercised end-to-end.
+
+Scale notes (100 TB): payloads stay opaque bytes until the one
+``mapInPandas`` stage that needs them — no JVM<->Python crossing
+elsewhere. Arrow moves each partition in columnar batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
+feature extraction is embarrassingly parallel, so the stage scales with
+partition count, and the output is a narrow (id, feature) table that
+shuffles cheaply into ANN indexing (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+#: output schema of the feature-extraction stage
+FEATURE_SCHEMA = "id long, mime string, n_bytes long, feature array<float>"
+
+
+def attach_binary(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    mime: str = "text/plain",
+) -> DataFrame:
+    """Wrap a source column as an opaque binary payload + metadata struct
+    — the canonical multimodal row shape (payload: binary, meta: struct)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(F.col(text_col).cast("string")).alias("checksum"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real image decode needs PIL/opencv (absent here)."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; plug in here (payload -> HxWxC array)"
+    )
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB — real audio decode needs torchaudio/ffmpeg (absent here)."""
+    raise NotImplementedError(
+        "audio decode requires torchaudio/ffmpeg; plug in here (payload -> waveform)"
+    )
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: mean byte value of
+    ``dim`` equal stripes of the payload (0 for empty stripes)."""
+    n = len(payload)
+    if n == 0:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        chunk = payload[i * n // dim : (i + 1) * n // dim]
+        out.append(sum(chunk) / len(chunk) if chunk else 0.0)
+    return out
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over (id, payload, meta) rows.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; the
+    output iterator yields frames matching FEATURE_SCHEMA. Swap
+    ``fake_features`` for a real encoder (batched model inference) without
+    touching the Spark plan.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feature": [
+                        fake_features(bytes(p), dim) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -137,10 +137,13 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_for_hash(col))
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles as strings ("w1 w2 w3"). Documents shorter
-    than k tokens produce their full token join as a single shingle."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-shingles over an already-materialized token array column.
+
+    PERF: ``toks`` must be a plain column reference (stage it with
+    ``withColumn`` first). Passing the ``tokens(...)`` expression inline
+    re-tokenizes the whole document once PER SHINGLE inside the transform
+    lambda — O(n^2) per row; measured 20x slower at 5k docs."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     make = F.transform(
@@ -149,7 +152,100 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n > 0, F.array_distinct(make)).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles as strings ("w1 w2 w3"). Documents shorter
+    than k tokens produce their full token join as a single shingle.
+
+    Convenience inline form for tiny frames/tests — hot paths must stage
+    the token array and use :func:`shingles_from_tokens` (see PERF note)."""
+    return shingles_from_tokens(tokens(col), k)
+
+
 def min_shingle_hash(col: Column | str, k: int = 3) -> Column:
     """Rolling-hash-style content fingerprint: lexicographic min of the
     md5 hashes of the document's k-shingles (a 1-hash MinHash)."""
     return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+# --- staged full-stats pipeline ----------------------------------------------
+
+
+def mean_word_len_from_tokens(toks: Column) -> Column:
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n)
+
+
+def language_guess_from_tokens(toks: Column) -> Column:
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    for lang in LANG_STOPWORDS:
+        chain = chain.when(scores[lang] == best, F.lit(lang))
+    return F.when(best > 0, chain).otherwise(F.lit(None).cast("string"))
+
+
+def quality_flags_from(n_tokens: Column, mwl: Column, sym: Column) -> Column:
+    return F.array_compact(
+        F.array(
+            F.when(n_tokens < QUALITY_MIN_TOKENS, F.lit("too_few_tokens")),
+            F.when(
+                F.coalesce(mwl > QUALITY_MAX_MEAN_WORD_LEN, F.lit(False)),
+                F.lit("mean_word_len_too_high"),
+            ),
+            F.when(
+                F.coalesce(sym > QUALITY_MAX_SYMBOL_RATIO, F.lit(False)),
+                F.lit("symbol_ratio_too_high"),
+            ),
+        )
+    )
+
+
+def with_text_stats(df, text_col: str = "text"):
+    """Append the full text-analysis battery as columns, computing the
+    token array ONCE per row (staged column, not a re-evaluated
+    expression subtree — see shingles_from_tokens PERF note).
+
+    Adds: n_tokens, n_chars, punct_ratio, mean_word_len, stopword_ratio,
+    lang_guess, quality_flags (array), quality_score, fingerprint,
+    min_shingle_hash. Narrow (no shuffle); one scan -> project chain.
+    """
+    toks = F.col("__toks")
+    sw_words = LANG_STOPWORDS["en"]
+    out = (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__sh", shingles_from_tokens(toks))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_chars", char_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("mean_word_len", mean_word_len_from_tokens(toks))
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                F.size(toks) > 0,
+                F.size(F.filter(toks, lambda t: t.isin(*sw_words))).cast("double")
+                / F.size(toks),
+            ),
+        )
+        .withColumn("lang_guess", language_guess_from_tokens(toks))
+        .withColumn(
+            "quality_flags",
+            quality_flags_from(
+                F.col("n_tokens"), F.col("mean_word_len"), F.col("punct_ratio")
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            (F.lit(3) - F.size("quality_flags")).cast("double") / 3.0,
+        )
+        .withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("min_shingle_hash", F.array_min(F.transform(F.col("__sh"), F.md5)))
+    )
+    return out.drop("__toks", "__sh")

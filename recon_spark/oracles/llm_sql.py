@@ -1,0 +1,303 @@
+"""DuckDB renderings of the LLM-data-pipeline operators (text analysis,
+dedup exact/MinHash-LSH/SimHash, similarity search), generated from the
+same constants as ``recon_spark.operators.{text,dedup,similarity}`` so the
+two sides cannot drift.
+
+Hash portability: everything derives from md5 (hex string min for
+MinHash, first-8-hex-chars-as-uint32 for SimHash), which is bit-identical
+across engines. Float folds are explicit left-to-right ``list_reduce``
+index folds, mirroring Spark's ``F.aggregate`` order exactly.
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup as D
+from ..operators import text as T
+
+NL = "chr(10)"
+
+
+def tokens(col: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower(trim(CAST({col} AS VARCHAR))),"
+        f" '{T.TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+
+
+def shingles(col: str, k: int = 3) -> str:
+    toks = tokens(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+        f" ELSE [] END)"
+    )
+
+
+def normalize_for_hash(col: str) -> str:
+    return rf"trim(regexp_replace(lower(CAST({col} AS VARCHAR)), '\s+', ' ', 'g'))"
+
+
+def fingerprint(col: str) -> str:
+    return f"md5({normalize_for_hash(col)})"
+
+
+def minhash_signature_from(sh_col: str, n_hashes: int = D.N_MINHASH) -> str:
+    """Signature expression over an existing shingles column."""
+    elems = ", ".join(
+        f"list_min(list_transform({sh_col}, s -> md5(s || '#{i}')))"
+        for i in range(n_hashes)
+    )
+    return f"(CASE WHEN len({sh_col}) > 0 THEN [{elems}] END)"
+
+
+def hash32(expr: str) -> str:
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def simhash_from(hs_col: str, bits: int = D.SIMHASH_BITS) -> str:
+    """SimHash expression over an existing token-hash-array column."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hs_col}, h -> ((h >> {j}) & 1) = 1)) > len({hs_col})"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"(CASE WHEN len({hs_col}) > 0 THEN ({terms}) END)"
+
+
+def dot(a: str, b: str) -> str:
+    prods = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"coalesce(list_reduce({prods}, (x, y) -> x + y), 0.0)"
+
+
+def norm(a: str) -> str:
+    sq = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))"
+    )
+    return f"sqrt(coalesce(list_reduce({sq}, (x, y) -> x + y), 0.0))"
+
+
+def cosine(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN {norm(a)} * {norm(b)} > 0"
+        f" THEN {dot(a, b)} / ({norm(a)} * {norm(b)}) END)"
+    )
+
+
+def sign_bucket(vec: str, dims: tuple[int, ...]) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec}[{d + 1}] < 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+    return f"({bits})"
+
+
+# --- planted-duplicate corpus (shared Spark/SQL derivation) ------------------
+
+#: every 50th doc gets an exact copy, every 70th a near-copy with an
+#: appended suffix; ids offset so originals sort first.
+EXACT_COPY_MOD = 50
+NEAR_COPY_MOD = 70
+COPY_ID_OFFSET = 100_000
+NEAR_ID_OFFSET = 200_000
+NEAR_SUFFIX = " extra trailing tokens appended here"
+
+DOCS_AUG_CTE = f"""docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_ID_OFFSET}, text FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_ID_OFFSET}, text || '{NEAR_SUFFIX}'
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+)"""
+
+#: every 25th embedding gets an exact copy under an offset id
+EMB_COPY_MOD = 25
+EMB_AUG_CTE = f"""emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {COPY_ID_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % {EMB_COPY_MOD} = 0
+)"""
+
+
+# --- registered query SQL ----------------------------------------------------
+
+_LANG_SCORES = ",\n    ".join(
+    f"CAST(len(list_filter(toks, t -> t IN {_in_list(words)})) AS BIGINT) AS s_{lang}"
+    for lang, words in T.LANG_STOPWORDS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_STOPWORDS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in T.LANG_STOPWORDS)
+    + " END"
+)
+
+_QUALITY_FLAGS = f"""list_filter([
+      CASE WHEN n_tokens < {T.QUALITY_MIN_TOKENS} THEN 'too_few_tokens' END,
+      CASE WHEN coalesce(mean_wl > {T.QUALITY_MAX_MEAN_WORD_LEN}, false) THEN 'mean_word_len_too_high' END,
+      CASE WHEN coalesce(sym_ratio > {T.QUALITY_MAX_SYMBOL_RATIO}, false) THEN 'symbol_ratio_too_high' END
+    ], x -> x IS NOT NULL)"""
+
+TEXT_STATS_SQL = f"""WITH base AS (
+  SELECT doc_id, text, {tokens('text')} AS toks FROM documents
+),
+stats AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    (CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      / length(text) END) AS sym_ratio,
+    (CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) END) AS mean_wl,
+    CAST(len(list_filter(toks, t -> t IN {_in_list(T.LANG_STOPWORDS['en'])})) AS BIGINT) AS en_hits,
+    {_LANG_SCORES}
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars, sym_ratio AS punct_ratio,
+  mean_wl AS mean_word_len,
+  (CASE WHEN n_tokens > 0 THEN CAST(en_hits AS DOUBLE) / n_tokens END) AS stopword_ratio,
+  (CASE WHEN {_LANG_BEST} > 0 THEN {_LANG_CASE} END) AS lang_guess,
+  coalesce(array_to_string({_QUALITY_FLAGS}, ';'), '') AS quality_flags,
+  CAST(3 - len({_QUALITY_FLAGS}) AS DOUBLE) / 3.0 AS quality_score,
+  {fingerprint('text')} AS fingerprint,
+  list_min(list_transform({shingles('text')}, s -> md5(s))) AS min_shingle_hash
+FROM stats"""
+
+DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
+fp AS (
+  SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug
+)
+SELECT doc_id, fingerprint FROM fp
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1"""
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"""  SELECT id, sig, {b} AS band_idx,
+    md5(array_to_string(list_slice(sig, {b * D.BAND_ROWS + 1}, {b * D.BAND_ROWS + D.BAND_ROWS}), '|')) AS band_hash
+  FROM sigs"""
+    for b in range(D.N_BANDS)
+)
+
+MINHASH_LSH_SQL = f"""WITH {DOCS_AUG_CTE},
+shs AS (
+  SELECT doc_id AS id, {shingles('text')} AS sh FROM docs_aug
+),
+withsh AS (
+  SELECT id, sh, {minhash_signature_from('sh')} AS sig FROM shs
+  WHERE {minhash_signature_from('sh')} IS NOT NULL
+),
+sigs AS (SELECT id, sig FROM withsh),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_filter(range(1, {D.N_MINHASH} + 1), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+      / {D.N_MINHASH} AS est_jaccard,
+    (CASE WHEN len(list_distinct(list_concat(sa2.sh, sb2.sh))) > 0 THEN
+      CAST(len(list_intersect(sa2.sh, sb2.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa2.sh, sb2.sh))) END) AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b
+  JOIN withsh sa2 ON sa2.id = c.id_a
+  JOIN withsh sb2 ON sb2.id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard, jaccard FROM pairs WHERE jaccard >= 0.4"""
+
+SIMHASH_SQL = f"""WITH {DOCS_AUG_CTE},
+hsx AS (
+  SELECT doc_id, list_transform({tokens('text')}, t -> {hash32('t')}) AS hs
+  FROM docs_aug
+)
+SELECT doc_id, {simhash_from('hs')} AS simhash FROM hsx"""
+
+_H = D.SIMHASH_BITS // 2
+_HMASK = (1 << _H) - 1
+
+SIMHASH_PAIRS_SQL = f"""WITH {DOCS_AUG_CTE},
+hsx AS (
+  SELECT doc_id, list_transform({tokens('text')}, t -> {hash32('t')}) AS hs
+  FROM docs_aug
+),
+sims AS (
+  SELECT doc_id AS id, {simhash_from('hs')} AS sh FROM hsx
+),
+nn AS (SELECT id, sh FROM sims WHERE sh IS NOT NULL),
+banded AS (
+  SELECT id, sh, 0 AS band_idx, sh & {_HMASK} AS band_val FROM nn
+  UNION ALL
+  SELECT id, sh, 1, (sh >> {_H}) & {_HMASK} FROM nn
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.sh AS sh_a, b.id AS id_b, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6"""
+
+_DIMS = ", ".join(str(d) for d in (0, 7, 14, 21, 28, 35, 42, 49))
+
+TOPK_BRUTE_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {cosine('qv', 'nv')} AS score
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+
+def _ann_sql(dims: tuple[int, ...]) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sign_bucket('embedding', dims)} AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv,
+         {sign_bucket('embedding', dims)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, c.bucket, {cosine('qv', 'nv')} AS score
+  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, bucket FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+
+ANN_LSH_SQL = _ann_sql((0, 7, 14, 21, 28, 35, 42, 49))
+
+EMB_NEAR_DUP_SQL = f"""WITH {EMB_AUG_CTE},
+c AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {sign_bucket('embedding', (0, 7, 14, 21, 28, 35, 42, 49))} AS bucket
+  FROM emb_aug
+)
+SELECT a.id AS id_a, b.id AS id_b, {cosine('a.vec', 'b.vec')} AS score
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {cosine('a.vec', 'b.vec')} >= 0.95"""

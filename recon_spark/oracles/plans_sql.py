@@ -165,3 +165,24 @@ EVENTS_MONTHLY_SQL = """SELECT
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2"""
+
+#: 30-day tumbling window in microseconds
+_WIN_US = 30 * 86_400 * 1_000_000
+
+#: Batch rendering of ``recon_spark.streaming.trends.windowed_event_trend``:
+#: Spark tumbling windows align to the epoch in the session timezone (UTC
+#: here), so window_start = us - us % 30d lands on midnight UTC and casts
+#: to DATE losslessly. ns -> us narrowing is floor (``// 1000``), exactly
+#: matching the Spark reader's ``ts DIV 1000``.
+STREAM_WINDOW_SQL = f"""WITH ev AS (
+  SELECT (epoch_ns(ts) // 1000) AS us, event_type, value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT
+  CAST(make_timestamp(us - (us % {_WIN_US})) AS DATE) AS window_start,
+  CAST(make_timestamp(us - (us % {_WIN_US}) + {_WIN_US}) AS DATE) AS window_end,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_total
+FROM ev
+GROUP BY 1, 2, 3"""

@@ -354,3 +354,139 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("value_total"),
         )
     )
+
+
+# --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
+
+from .operators import dedup as DD  # noqa: E402
+from .operators import multimodal, similarity  # noqa: E402
+from .operators import text as T  # noqa: E402
+from .oracles import llm_sql  # noqa: E402
+
+
+def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents corpus with planted exact/near duplicates (mirrors
+    llm_sql.DOCS_AUG_CTE so dedup queries are self-validating)."""
+    docs = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % llm_sql.EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + llm_sql.COPY_ID_OFFSET).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % llm_sql.NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + llm_sql.NEAR_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(llm_sql.NEAR_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % llm_sql.EMB_COPY_MOD == 0).select(
+        (F.col("vec_id") + llm_sql.COPY_ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+@register("text_stats", llm_sql.TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_table(spark, sf_dir, "documents")
+    return T.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "punct_ratio",
+        "mean_word_len",
+        "stopword_ratio",
+        "lang_guess",
+        F.array_join("quality_flags", ";").alias("quality_flags"),
+        "quality_score",
+        "fingerprint",
+        "min_shingle_hash",
+    )
+
+
+@register("dedup_exact_documents", llm_sql.DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_aug(spark, sf_dir).withColumn("fingerprint", T.fingerprint("text"))
+    out = DD.exact_dedup(aug, F.col("fingerprint"), ["doc_id"])
+    return out.select("doc_id", "fingerprint")
+
+
+@register("dedup_minhash_lsh", llm_sql.MINHASH_LSH_SQL)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_aug(spark, sf_dir)
+    cand = DD.minhash_lsh_candidates(aug)
+    return DD.verify_candidates(cand, aug, threshold=0.4)
+
+
+@register("dedup_simhash_values", llm_sql.SIMHASH_SQL)
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.with_simhash(docs_aug(spark, sf_dir)).select("doc_id", "simhash")
+
+
+@register("dedup_simhash_pairs", llm_sql.SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = (
+        DD.with_simhash(docs_aug(spark, sf_dir), out="sh")
+        .select(F.col("doc_id").alias("id"), "sh")
+        .filter(F.col("sh").isNotNull())
+    )
+    banded = sims.select(
+        "id", "sh", F.explode(DD.simhash_bands(F.col("sh"))).alias("b")
+    ).select("id", "sh", "b.band_idx", "b.band_val")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@register("similarity_topk_bruteforce", llm_sql.TOPK_BRUTE_SQL)
+def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("similarity_ann_lsh", llm_sql.ANN_LSH_SQL)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.95)
+
+
+@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_table(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary(docs)
+    return multimodal.extract_features(wrapped)
+
+
+@register("streaming_event_trend", plans_sql.STREAM_WINDOW_SQL)
+def q_streaming_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming 30-day tumbling-window trend, executed with an
+    availableNow trigger into a memory sink; oracle is the equivalent batch
+    window rollup (Spark tumbling windows are epoch-aligned in UTC)."""
+    from .streaming import trends
+
+    out = trends.run_to_memory(spark, sf_dir, name="event_trends_check")
+    return out.select(
+        F.col("window_start").cast("date").alias("window_start"),
+        F.col("window_end").cast("date").alias("window_end"),
+        "event_type",
+        "n",
+        "value_total",
+    )

@@ -1,0 +1,292 @@
+"""Golden-frame tests for the LLM-data-pipeline operators: text analysis,
+dedup (exact / MinHash-LSH / SimHash), similarity search, multimodal
+plumbing, and the streaming trend twin.
+
+These complement the DuckDB oracle checks (oracles/llm_sql.py) with
+hand-computable cases — in particular they pin the MinHash salt and
+SimHash bit loops, which once regressed via the two-parameter-lambda
+pitfall (F.transform binding the second param to the array index).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators import dedup as DD
+from recon_spark.operators import multimodal
+from recon_spark.operators import similarity as SIM
+from recon_spark.operators import text as T
+
+
+def one(spark, text):
+    return (
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+        .select(
+            T.token_count("text").alias("n"),
+            T.char_count("text").alias("c"),
+            T.punct_ratio("text").alias("p"),
+            T.language_guess("text").alias("lang"),
+            T.quality_flags("text").alias("flags"),
+            T.fingerprint("text").alias("fp"),
+            T.shingles("text").alias("sh"),
+        )
+        .first()
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def test_tokens_split_and_lowercase(spark):
+    row = (
+        spark.createDataFrame([("Hello, World!  42",)], "text string")
+        .select(T.tokens("text").alias("t"))
+        .first()
+    )
+    assert row.t == ["hello", "world", "42"]
+
+
+def test_token_and_char_count(spark):
+    r = one(spark, "one two three")
+    assert r.n == 3 and r.c == 13
+
+
+def test_null_text_yields_null_stats(spark):
+    r = one(spark, None)
+    assert r.n is None and r.c is None and r.p is None and r.fp is None
+
+
+def test_punct_ratio(spark):
+    r = one(spark, "ab!!")
+    assert r.p == pytest.approx(0.5)
+
+
+def test_language_guess(spark):
+    assert one(spark, "the cat and the dog is here").lang == "en"
+    assert one(spark, "el que de la y un").lang == "es"
+    assert one(spark, "zzz qqq xxx").lang is None
+
+
+def test_quality_flags(spark):
+    assert one(spark, "hi").flags == ["too_few_tokens"]
+    assert one(spark, "a perfectly ordinary sentence with many plain words").flags == []
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    a = one(spark, "Hello   World").fp
+    b = one(spark, "hello world").fp
+    c = one(spark, "hello there").fp
+    assert a == b and a != c
+
+
+def test_shingles(spark):
+    assert one(spark, "a b c d").sh == ["a b c", "b c d"]
+    assert one(spark, "a b").sh == ["a b"]  # shorter than k -> full join
+    assert one(spark, "").sh == []
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(3, "Same  Text"), (1, "same text"), (2, "other text")],
+        "doc_id long, text string",
+    ).withColumn("fp", T.fingerprint("text"))
+    kept = DD.exact_dedup(df, F.col("fp"), ["doc_id"])
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_minhash_salts_are_distinct(spark):
+    """Regression guard: each signature slot uses a different salt, so a
+    multi-shingle doc must NOT produce 12 identical hash values."""
+    row = (
+        spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog again and again",)],
+            "text string",
+        )
+        .select(DD.minhash_signature("text").alias("sig"))
+        .first()
+    )
+    assert len(row.sig) == DD.N_MINHASH
+    assert len(set(row.sig)) > 1
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    rows = (
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        .select(DD.minhash_signature("text").alias("sig"))
+        .collect()
+    )
+    assert rows[0].sig == rows[1].sig
+
+
+def test_minhash_lsh_finds_copy_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally unrelated words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    cand = DD.minhash_lsh_candidates(docs)
+    verified = DD.verify_candidates(cand, docs, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in verified] == [(1, 2)]
+    assert verified[0].est_jaccard == pytest.approx(1.0)
+    assert verified[0].jaccard == pytest.approx(1.0)
+
+
+def test_minhash_near_dup_survives_verification(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " with extra trailing tokens")],
+        "doc_id long, text string",
+    )
+    cand = DD.minhash_lsh_candidates(docs)
+    out = DD.verify_candidates(cand, docs, threshold=0.4).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert 0.4 <= out[0].jaccard < 1.0
+
+
+def test_simhash_identical_and_range(spark):
+    rows = (
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "wholly different terms")],
+            "doc_id long, text string",
+        )
+        .select("doc_id", DD.simhash("text").alias("sh"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.sh for r in rows}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    for v in by_id.values():
+        assert 0 <= v < (1 << DD.SIMHASH_BITS)
+
+
+def test_simhash_bands_reassemble(spark):
+    row = (
+        spark.createDataFrame([("alpha beta gamma delta",)], "text string")
+        .select(
+            DD.simhash("text").alias("sh"),
+            DD.simhash_bands(DD.simhash("text")).alias("bands"),
+        )
+        .first()
+    )
+    assert [b.band_idx for b in row.bands] == [0, 1]
+    lo, hi = (b.band_val for b in row.bands)
+    assert lo + (hi << 16) == row.sh
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),   # nearly parallel to q
+            (3, [0.0, 1.0]),   # orthogonal to q
+            (4, [-1.0, 0.0]),  # opposite
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = SIM.brute_force_topk(corpus, q, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].score == pytest.approx(1.0 / math.sqrt(1.01))
+    assert out[1].score == pytest.approx(0.0)
+    assert out[2].score == pytest.approx(-1.0)
+
+
+def test_ann_lsh_scores_only_same_bucket(spark):
+    dims = (0, 1)
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 1.0]),
+            (2, [2.0, 1.0]),    # same bucket "00"
+            (3, [-1.0, 1.0]),   # bucket "10" — never scored
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = SIM.ann_topk_lsh(corpus, q, k=5, dims=dims).collect()
+    assert [r.neighbor_id for r in out] == [2]
+    assert out[0].bucket == "00"
+
+
+def test_cosine_near_dup_pairs(spark):
+    corpus = _vecs(
+        spark,
+        [(1, [1.0, 2.0]), (2, [2.0, 4.0]), (3, [5.0, -1.0])],
+    )
+    out = SIM.cosine_near_dup_pairs(corpus, threshold=0.95, dims=(0, 1)).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].score == pytest.approx(1.0)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_attach_binary_shape(spark):
+    docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    row = multimodal.attach_binary(docs).first()
+    assert row.id == 7
+    assert bytes(row.payload) == b"abc"
+    assert row.meta.mime == "text/plain" and row.meta.n_bytes == 3
+
+
+def test_fake_features_deterministic():
+    # 8 one-byte stripes -> the byte values themselves
+    assert multimodal.fake_features(b"abcdefgh") == [float(b) for b in b"abcdefgh"]
+    assert multimodal.fake_features(b"") == [0.0] * multimodal.FEATURE_DIM
+
+
+def test_extract_features_via_map_in_pandas(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r.id: r
+        for r in multimodal.extract_features(
+            multimodal.attach_binary(docs.filter(F.col("text").isNotNull()))
+        ).collect()
+    }
+    assert out[1].n_bytes == 8
+    assert out[1].feature == [float(b) for b in b"abcdefgh"]
+
+
+def test_decoders_are_stubs():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"")
+
+
+# --- streaming ---------------------------------------------------------------
+
+
+def test_streaming_trend_matches_batch(spark):
+    """availableNow streaming run over sf0.001 events == the identical
+    batch plan over the same source (exact rows, not just counts)."""
+    from recon_spark.sources.tpch import load_events
+    from recon_spark.streaming import trends
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream_rows = sorted(
+        (str(r.window_start), r.event_type, r.n, str(r.value_total))
+        for r in trends.run_to_memory(spark, sf_dir, name="t_stream_parity").collect()
+    )
+    batch_rows = sorted(
+        (str(r.window_start), r.event_type, r.n, str(r.value_total))
+        for r in trends.windowed_event_trend(load_events(spark, sf_dir)).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
