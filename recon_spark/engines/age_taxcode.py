@@ -53,7 +53,11 @@ def run_age_taxcode_analysis(
     date_start: str | None = None,
     date_end: str | None = None,
     months: Sequence[int] | None = None,
+    date_filter: "DateFilterConfig | None" = None,
 ) -> DataFrame:
+    from recon_spark.functions.dateconfig import resolve_date_args
+
+    date_start, date_end, months = resolve_date_args(date_filter, date_start, date_end, months)
     m = matrix_clean.filter(
         N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months)
     )
@@ -77,16 +81,16 @@ def run_age_taxcode_analysis(
     att_55_term = N.attained_age_by_year_end("dob", term_year, years=TERM_RULE_AGE[0])
     att_55_txn = N.attained_age_by_year_end("dob", txn_year, years=TERM_RULE_AGE[0])
 
-    df = (
-        df.withColumn("dob_year", dob_year.cast("long"))
-        .withColumn("txn_year", txn_year.cast("long"))
-        .withColumn("term_year", term_year.cast("long"))
-        .withColumn("age_at_distribution_year", (txn_year - dob_year).cast("double"))
-        .withColumn("age_at_termination_year", (term_year - dob_year).cast("double"))
-        .withColumn("attained_59_5_in_txn_year", att_59_5)
-        .withColumn("attained_55_in_txn_year", att_55_txn)
-        .withColumn("attained_55_in_term_year", att_55_term)
-    )
+    df = df.withColumns({
+        "dob_year": dob_year.cast("long"),
+        "txn_year": txn_year.cast("long"),
+        "term_year": term_year.cast("long"),
+        "age_at_distribution_year": (txn_year - dob_year).cast("double"),
+        "age_at_termination_year": (term_year - dob_year).cast("double"),
+        "attained_59_5_in_txn_year": att_59_5,
+        "attained_55_in_txn_year": att_55_txn,
+        "attained_55_in_term_year": att_55_term,
+    })
 
     has_term = F.col("term_year").isNotNull()
     eligible = (
@@ -113,41 +117,37 @@ def run_age_taxcode_analysis(
         .when(dist_under_55, "no_term_date_under_55_in_txn_year")
         .when(dist_55_plus, "no_term_date_55_plus_in_txn_year")
     )
-    df = (
-        df.withColumn("expected_tax_code_1", expected1)
-        .withColumn("expected_tax_code_2", F.lit(None).cast("string"))
-        .withColumn(
-            "code_matches_expected",
-            F.coalesce(
-                F.col("expected_tax_code_1").isNotNull()
-                & (F.coalesce(F.col("tax_code_1"), F.lit("")) == F.col("expected_tax_code_1")),
-                F.lit(False),
-            ),
-        )
+    df = df.withColumns({
+        "expected_tax_code_1": expected1,
+        "expected_tax_code_2": F.lit(None).cast("string"),
+    })
+    df = df.withColumn(
+        "code_matches_expected",
+        F.coalesce(
+            F.col("expected_tax_code_1").isNotNull()
+            & (F.coalesce(F.col("tax_code_1"), F.lit("")) == F.col("expected_tax_code_1")),
+            F.lit(False),
+        ),
     )
     needs_corr = (
         F.col("expected_tax_code_1").isNotNull()
         & ~F.col("code_matches_expected")
         & ~F.col("age_engine_excluded")
     )
-    df = (
-        df.withColumn(
-            "match_status",
-            F.when(F.col("code_matches_expected"), STATUS_NO_ACTION)
-            .when(needs_corr, STATUS_NEEDS_CORRECTION)
-            .when(F.col("age_engine_excluded"), STATUS_EXCLUDED)
-            .otherwise(STATUS_INSUFFICIENT),
-        )
-        .withColumn("action", F.when(needs_corr, "UPDATE_1099"))
-        .withColumn(
-            "correction_reason", F.when(F.col("match_status") != STATUS_NO_ACTION, reason)
-        )
-        .withColumn(
-            "suggested_tax_code_1",
-            F.when(F.col("match_status") != STATUS_NO_ACTION, F.col("expected_tax_code_1")),
-        )
-        .withColumn("suggested_tax_code_2", F.lit(None).cast("string"))
-    )
+    df = df.withColumns({
+        "match_status": F.when(F.col("code_matches_expected"), STATUS_NO_ACTION)
+        .when(needs_corr, STATUS_NEEDS_CORRECTION)
+        .when(F.col("age_engine_excluded"), STATUS_EXCLUDED)
+        .otherwise(STATUS_INSUFFICIENT),
+        "action": F.when(needs_corr, "UPDATE_1099"),
+    })
+    df = df.withColumns({
+        "correction_reason": F.when(F.col("match_status") != STATUS_NO_ACTION, reason),
+        "suggested_tax_code_1": F.when(
+            F.col("match_status") != STATUS_NO_ACTION, F.col("expected_tax_code_1")
+        ),
+        "suggested_tax_code_2": F.lit(None).cast("string"),
+    })
     return df.withColumn(
         "new_tax_code", N.combined_tax_code("suggested_tax_code_1", "suggested_tax_code_2")
     )

@@ -30,7 +30,11 @@ def run_ira_rollover_analysis(
     date_start: str | None = None,
     date_end: str | None = None,
     months: Sequence[int] | None = None,
+    date_filter: "DateFilterConfig | None" = None,
 ) -> DataFrame:
+    from recon_spark.functions.dateconfig import resolve_date_args
+
+    date_start, date_end, months = resolve_date_args(date_filter, date_start, date_end, months)
     df = matrix_clean.filter(
         N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months)
     )

@@ -54,7 +54,11 @@ def reconcile_relius_matrix(
     date_start: str | None = None,
     date_end: str | None = None,
     months: Sequence[int] | None = None,
+    date_filter: "DateFilterConfig | None" = None,
 ) -> DataFrame:
+    from recon_spark.functions.dateconfig import resolve_date_args
+
+    date_start, date_end, months = resolve_date_args(date_filter, date_start, date_end, months)
     if plan_ids is None:
         plan_ids = DEFAULT_RECONCILIATION_PLAN_IDS
     plan_list = list(plan_ids)
@@ -99,42 +103,45 @@ def reconcile_relius_matrix(
         )
         mask_rollover = both & is_inherited & is_rollover
         mask_cash = both & is_inherited & ~is_rollover
-        merged = (
-            merged.withColumn("expected_tax_code_1", F.when(mask_rollover | mask_cash, "4"))
-            .withColumn("expected_tax_code_2", F.when(mask_rollover, "G"))
-            .withColumn(
-                "code_matches_expected",
-                (F.coalesce(F.col("tax_code_1"), F.lit("")) == F.coalesce(F.col("expected_tax_code_1"), F.lit("")))
-                & (F.coalesce(F.col("tax_code_2"), F.lit("")) == F.coalesce(F.col("expected_tax_code_2"), F.lit(""))),
-            )
-            .withColumn(
-                "needs_correction",
-                F.coalesce(
-                    both & F.col("expected_tax_code_1").isNotNull() & ~F.col("code_matches_expected"),
-                    F.lit(False),
-                ),
-            )
-            .withColumn("suggested_tax_code_1", F.when(F.col("needs_correction"), F.col("expected_tax_code_1")))
-            .withColumn("suggested_tax_code_2", F.when(F.col("needs_correction"), F.col("expected_tax_code_2")))
-            .withColumn(
-                "correction_reason",
-                F.when(F.col("needs_correction") & mask_rollover, "inherited_rollover_expected_G_and_4").when(
-                    F.col("needs_correction") & mask_cash, "inherited_cash_expected_4"
-                ),
-            )
-            .withColumn("action", F.when(F.col("needs_correction"), "UPDATE_1099"))
+        # layered withColumns batches: each layer only references columns
+        # from earlier layers, so shared subexpressions (needs_correction
+        # etc.) stay single-computed instead of being inlined N times, and
+        # each batch is one analysis pass instead of one per column.
+        merged = merged.withColumns({
+            "expected_tax_code_1": F.when(mask_rollover | mask_cash, "4"),
+            "expected_tax_code_2": F.when(mask_rollover, "G"),
+        })
+        merged = merged.withColumn(
+            "code_matches_expected",
+            (F.coalesce(F.col("tax_code_1"), F.lit("")) == F.coalesce(F.col("expected_tax_code_1"), F.lit("")))
+            & (F.coalesce(F.col("tax_code_2"), F.lit("")) == F.coalesce(F.col("expected_tax_code_2"), F.lit(""))),
         )
+        merged = merged.withColumn(
+            "needs_correction",
+            F.coalesce(
+                both & F.col("expected_tax_code_1").isNotNull() & ~F.col("code_matches_expected"),
+                F.lit(False),
+            ),
+        )
+        merged = merged.withColumns({
+            "suggested_tax_code_1": F.when(F.col("needs_correction"), F.col("expected_tax_code_1")),
+            "suggested_tax_code_2": F.when(F.col("needs_correction"), F.col("expected_tax_code_2")),
+            "correction_reason": F.when(
+                F.col("needs_correction") & mask_rollover, "inherited_rollover_expected_G_and_4"
+            ).when(F.col("needs_correction") & mask_cash, "inherited_cash_expected_4"),
+            "action": F.when(F.col("needs_correction"), "UPDATE_1099"),
+        })
     else:
-        merged = (
-            merged.withColumn("expected_tax_code_1", F.lit(None).cast("string"))
-            .withColumn("expected_tax_code_2", F.lit(None).cast("string"))
-            .withColumn("code_matches_expected", F.lit(None).cast("boolean"))
-            .withColumn("needs_correction", F.lit(False))
-            .withColumn("suggested_tax_code_1", F.lit(None).cast("string"))
-            .withColumn("suggested_tax_code_2", F.lit(None).cast("string"))
-            .withColumn("correction_reason", F.lit(None).cast("string"))
-            .withColumn("action", F.lit(None).cast("string"))
-        )
+        merged = merged.withColumns({
+            "expected_tax_code_1": F.lit(None).cast("string"),
+            "expected_tax_code_2": F.lit(None).cast("string"),
+            "code_matches_expected": F.lit(None).cast("boolean"),
+            "needs_correction": F.lit(False),
+            "suggested_tax_code_1": F.lit(None).cast("string"),
+            "suggested_tax_code_2": F.lit(None).cast("string"),
+            "correction_reason": F.lit(None).cast("string"),
+            "action": F.lit(None).cast("string"),
+        })
 
     within = F.col("date_within_tolerance")
     merged = merged.withColumn(

@@ -79,7 +79,11 @@ def run_roth_taxable_analysis(
     date_start: str | None = None,
     date_end: str | None = None,
     months: Sequence[int] | None = None,
+    date_filter: "DateFilterConfig | None" = None,
 ) -> DataFrame:
+    from recon_spark.functions.dateconfig import resolve_date_args
+
+    date_start, date_end, months = resolve_date_args(date_filter, date_start, date_end, months)
     df = matrix_clean.filter(
         N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months)
     )
@@ -95,37 +99,53 @@ def run_roth_taxable_analysis(
     df = df.join(demo, ["plan_id", "ssn"], "left")
     df = df.join(basis, ["plan_id", "ssn"], "left")
 
-    df = (
-        df.withColumn("txn_year", F.year("txn_date").cast("long"))
-        .withColumn("term_year", F.year("term_date").cast("long"))
-        .withColumn("age_at_txn", N.age_years("dob", "txn_date"))
-        .withColumn("age_at_termination", N.age_years("dob", "term_date"))
-        .withColumn("first_roth_tax_year", N.to_double_safe("first_roth_tax_year"))
-        .withColumn(
-            "roth_initial_contribution_year", N.to_double_safe("roth_initial_contribution_year")
-        )
-    )
+    # Expensive shared subexpressions (regex code normalization, add_months
+    # age attainment, start-year coalesce) are materialized ONCE as helper
+    # columns and referenced by name below. Leaving them as Column variables
+    # inlines a full copy of the tree at every use site — the reason/action
+    # builders alone reference them ~40x, which blew the logical plan into
+    # multi-MiB task binaries and dominated optimizer + codegen time.
+    df = df.withColumns({
+        "txn_year": F.year("txn_date").cast("long"),
+        "term_year": F.year("term_date").cast("long"),
+        "age_at_txn": N.age_years("dob", "txn_date"),
+        "age_at_termination": N.age_years("dob", "term_date"),
+        "first_roth_tax_year": N.to_double_safe("first_roth_tax_year"),
+        "roth_initial_contribution_year": N.to_double_safe("roth_initial_contribution_year"),
+    })
+
+    # A1: per-participant 2025 gross total as a window aggregate.
+    w = Window.partitionBy("plan_id", "ssn")
+    df = df.withColumns({
+        "__start_year": N.start_year("first_roth_tax_year", "roth_initial_contribution_year"),
+        "__code1": F.coalesce(N.norm_tax_code("tax_code_1"), F.lit("")),
+        "__code2": F.coalesce(N.norm_tax_code("tax_code_2"), F.lit("")),
+        "__att_59_5": N.attained_age_by_year_end(
+            "dob", "txn_year", years=NORMAL_AGE[0], months=NORMAL_AGE[1]
+        ),
+        "__att_qualified": N.attained_age_by_year_end(
+            "dob", "txn_year", years=QUALIFIED_AGE[0], months=QUALIFIED_AGE[1]
+        ),
+        "__att_55_txn": N.attained_age_by_year_end("dob", "txn_year", years=TERM_RULE_AGE[0]),
+        "__att_55_term": N.attained_age_by_year_end("dob", "term_year", years=TERM_RULE_AGE[0]),
+        "gross_2025_total": F.sum(
+            F.when(F.col("txn_year") == BASIS_COVERAGE_YEAR, F.col("gross_amt"))
+        ).over(w),
+    })
 
     first_year_valid = (
         F.col("first_roth_tax_year").isNotNull()
         & (F.col("first_roth_tax_year") > 0)
         & F.col("first_roth_tax_year").between(VALID_YEAR_MIN, VALID_YEAR_MAX)
     )
-    start_year = N.start_year("first_roth_tax_year", "roth_initial_contribution_year")
+    start_year = F.col("__start_year")
     start_year_valid = (
         start_year.isNotNull() & (start_year > 0) & start_year.between(VALID_YEAR_MIN, VALID_YEAR_MAX)
     )
     df = df.withColumn("start_roth_year", F.when(start_year_valid, start_year))
 
-    # A1: per-participant 2025 gross total as a window aggregate.
-    w = Window.partitionBy("plan_id", "ssn")
-    df = df.withColumn(
-        "gross_2025_total",
-        F.sum(F.when(F.col("txn_year") == BASIS_COVERAGE_YEAR, F.col("gross_amt"))).over(w),
-    )
-
-    code1 = F.coalesce(N.norm_tax_code("tax_code_1"), F.lit(""))
-    code2 = F.coalesce(N.norm_tax_code("tax_code_2"), F.lit(""))
+    code1 = F.col("__code1")
+    code2 = F.col("__code2")
     engine_excluded = code1.isin(EXCLUDED_CODES_TAXCODE)
     locked = (code1 == ROTH_ROLLOVER_CODE) | ((code1 == ROTH_CODE) & (code2 == DEATH_CODE))
     active = ~engine_excluded
@@ -153,12 +173,10 @@ def run_roth_taxable_analysis(
         & (F.col("roth_basis_amt") >= F.col("gross_2025_total"))
     )
 
-    att_59_5 = N.attained_age_by_year_end("dob", "txn_year", years=NORMAL_AGE[0], months=NORMAL_AGE[1])
-    att_qualified = N.attained_age_by_year_end(
-        "dob", "txn_year", years=QUALIFIED_AGE[0], months=QUALIFIED_AGE[1]
-    )
-    att_55_txn = N.attained_age_by_year_end("dob", "txn_year", years=TERM_RULE_AGE[0])
-    att_55_term = N.attained_age_by_year_end("dob", "term_year", years=TERM_RULE_AGE[0])
+    att_59_5 = F.col("__att_59_5")
+    att_qualified = F.col("__att_qualified")
+    att_55_txn = F.col("__att_55_txn")
+    att_55_term = F.col("__att_55_term")
 
     raw_qualified = (
         active
@@ -228,9 +246,7 @@ def run_roth_taxable_analysis(
     suggested_2 = F.when(taxcode_override, fix_suggested_2).otherwise(
         F.when(age_mismatch & expected_code2.isNotNull(), expected_code2)
     )
-    df = df.withColumn("suggested_tax_code_1", suggested_1).withColumn(
-        "suggested_tax_code_2", suggested_2
-    )
+    df = df.withColumns({"suggested_tax_code_1": suggested_1, "suggested_tax_code_2": suggested_2})
 
     # ordered action tokens; the tax-code fix rules append UPDATE_1099
     # first (reference :204-231), then :301-313 and :358 in source order
@@ -290,25 +306,18 @@ def run_roth_taxable_analysis(
         .otherwise(STATUS_NO_ACTION),
     )
     no_action = F.col("match_status") == STATUS_NO_ACTION
-    df = (
-        df.withColumn("action", N.render_actions(F.col("__actions")))
-        .withColumn(
-            "correction_reason",
-            F.when(~no_action, N.render_reasons(F.col("__reasons"))),
-        )
-        .withColumn("suggested_tax_code_1", F.when(~no_action, F.col("suggested_tax_code_1")))
-        .withColumn("suggested_tax_code_2", F.when(~no_action, F.col("suggested_tax_code_2")))
-        .withColumn(
-            "suggested_taxable_amt",
-            F.when(
-                no_action & (F.col("fed_taxable_amt") == 0), F.lit(None).cast("double")
-            ).otherwise(F.col("suggested_taxable_amt")),
-        )
-    )
+    df = df.withColumns({
+        "action": N.render_actions(F.col("__actions")),
+        "correction_reason": F.when(~no_action, N.render_reasons(F.col("__reasons"))),
+        "suggested_tax_code_1": F.when(~no_action, F.col("suggested_tax_code_1")),
+        "suggested_tax_code_2": F.when(~no_action, F.col("suggested_tax_code_2")),
+        "suggested_taxable_amt": F.when(
+            no_action & (F.col("fed_taxable_amt") == 0), F.lit(None).cast("double")
+        ).otherwise(F.col("suggested_taxable_amt")),
+        "first_roth_tax_year": F.col("first_roth_tax_year").cast("long"),
+        "roth_initial_contribution_year": F.col("roth_initial_contribution_year").cast("long"),
+    })
     df = df.withColumn(
         "new_tax_code", N.combined_tax_code("suggested_tax_code_1", "suggested_tax_code_2")
-    )
-    df = df.withColumn("first_roth_tax_year", F.col("first_roth_tax_year").cast("long")).withColumn(
-        "roth_initial_contribution_year", F.col("roth_initial_contribution_year").cast("long")
     )
     return df.select(*OUTPUT_COLUMNS)

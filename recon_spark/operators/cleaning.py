@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import normalizers as N
 from ..functions import validators as V
+from ..plans import quality as Q
 from ..sources.spec import VALIDATION_TODAY
 
 RELIUS_COLUMN_MAP = {  # src/config.py:240-253
@@ -111,32 +112,35 @@ def clean_relius(
     today: str = VALIDATION_TODAY,
 ) -> DataFrame:
     """clean_relius (src/cleaning/clean_relius.py:203-349), Spark-first."""
+    Q.validate_columns(raw, RELIUS_COLUMN_MAP, "Relius")  # S2
     df = _rename(raw, RELIUS_COLUMN_MAP)
     df = df.select(
         *[c for c in RELIUS_COLUMN_MAP.values() if c in df.columns], "src_order", "src_seq"
     )
-    df = (
-        df.withColumn("plan_id", N.norm_plan_id("plan_id"))
-        .withColumn("ssn", N.norm_ssn("ssn"))
-        .withColumn("exported_date", N.to_date_safe("exported_date"))
-        .withColumn("tax_year", N.to_long_safe("tax_year"))
-        .withColumn("gross_amt", N.to_double_safe("gross_amt"))
-        .withColumn("dist_code_1", N.norm_text("dist_code_1", strip=True, upper=True))
-        .withColumn("dist_category_relius", N.classify_dist_name("dist_name"))
-        .withColumn("full_name", N.full_name("first_name", "last_name"))
-    )
+    # one withColumns batch = one analysis pass (a per-call withColumn chain
+    # re-analyzes the growing plan each time — measurable driver overhead)
+    df = df.withColumns({
+        "plan_id": N.norm_plan_id("plan_id"),
+        "ssn": N.norm_ssn("ssn"),
+        "exported_date": N.to_date_safe("exported_date"),
+        "tax_year": N.to_long_safe("tax_year"),
+        "gross_amt": N.to_double_safe("gross_amt"),
+        "dist_code_1": N.norm_text("dist_code_1", strip=True, upper=True),
+        "dist_category_relius": N.classify_dist_name("dist_name"),
+        "full_name": N.full_name("first_name", "last_name"),
+    })
     df = df.filter(N.date_filter_mask("exported_date", date_start=date_start, date_end=date_end, months=months))
     ssn_ok = V.ssn_valid("ssn")
     amt_ok = V.amounts_valid("gross_amt")
     date_ok = V.dates_valid("exported_date", today=today)
     code_ok = V.code_1099r_valid("dist_code_1")
-    df = (
-        df.withColumn("ssn_valid", ssn_ok)
-        .withColumn("amount_valid", amt_ok)
-        .withColumn("date_valid", date_ok)
-        .withColumn("code_1099r_valid", code_ok)
-        .withColumn("validation_issues", V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok))
-    )
+    df = df.withColumns({
+        "ssn_valid": ssn_ok,
+        "amount_valid": amt_ok,
+        "date_valid": date_ok,
+        "code_1099r_valid": code_ok,
+        "validation_issues": V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok),
+    })
     if drop_rows_missing_keys:
         df = df.na.drop(subset=RELIUS_MATCH_KEYS, how="any")
     return _dedup_keep_first(df, RELIUS_MATCH_KEYS)
@@ -152,6 +156,7 @@ def clean_matrix(
     today: str = VALIDATION_TODAY,
 ) -> DataFrame:
     """clean_matrix (src/cleaning/clean_matrix.py:240-470), Spark-first."""
+    Q.validate_columns(raw, MATRIX_COLUMN_MAP, "Matrix")  # S2
     df = _rename(raw, MATRIX_COLUMN_MAP)
     df = df.select(
         *[c for c in MATRIX_COLUMN_MAP.values() if c in df.columns], "src_order", "src_seq"
@@ -171,39 +176,36 @@ def clean_matrix(
             IGNORED_TXN_METHODS
         )
     )
-    df = (
-        df.withColumn("plan_id", N.norm_plan_id("plan_id"))
-        .withColumn("ssn", N.norm_ssn("ssn"))
-        .withColumn("txn_date", N.to_date_safe("txn_date"))
-        .withColumn("gross_amt", N.to_double_safe("gross_amt"))
-        .withColumn("fed_taxable_amt", N.to_double_safe("fed_taxable_amt"))
-        .withColumn("roth_initial_contribution_year", N.to_long_safe("roth_initial_contribution_year"))
-        .withColumn("state", N.norm_state("state"))
-        .withColumn("tax_code_1", N.norm_tax_code("tax_code_1"))
-        .withColumn("tax_code_2", N.norm_tax_code("tax_code_2"))
-        .withColumn("transaction_id", N.norm_transaction_id("transaction_id"))
-        .withColumn("txn_method", N.norm_text("txn_method"))
-        .withColumn("tax_form", N.norm_text("tax_form"))
-        .withColumn("federal_taxing_method", N.norm_text("federal_taxing_method"))
-        .withColumn("dist_type", N.norm_text("dist_type"))
-        .withColumn("participant_name", N.norm_text("participant_name"))
-    )
+    df = df.withColumns({
+        "plan_id": N.norm_plan_id("plan_id"),
+        "ssn": N.norm_ssn("ssn"),
+        "txn_date": N.to_date_safe("txn_date"),
+        "gross_amt": N.to_double_safe("gross_amt"),
+        "fed_taxable_amt": N.to_double_safe("fed_taxable_amt"),
+        "roth_initial_contribution_year": N.to_long_safe("roth_initial_contribution_year"),
+        "state": N.norm_state("state"),
+        "tax_code_1": N.norm_tax_code("tax_code_1"),
+        "tax_code_2": N.norm_tax_code("tax_code_2"),
+        "transaction_id": N.norm_transaction_id("transaction_id"),
+        "txn_method": N.norm_text("txn_method"),
+        "tax_form": N.norm_text("tax_form"),
+        "federal_taxing_method": N.norm_text("federal_taxing_method"),
+        "dist_type": N.norm_text("dist_type"),
+        "participant_name": N.norm_text("participant_name"),
+    })
     df = df.filter(N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months))
     ssn_ok = V.ssn_valid("ssn")
     amt_ok = V.amounts_valid("gross_amt", "fed_taxable_amt")
     date_ok = V.dates_valid("txn_date", today=today)
     code_ok = V.code_1099r_valid("tax_code_1")
     cross = V.cross_field_issues("gross_amt", "fed_taxable_amt", "tax_code_1")
-    df = (
-        df.withColumn("ssn_valid", ssn_ok)
-        .withColumn("amount_valid", amt_ok)
-        .withColumn("date_valid", date_ok)
-        .withColumn("code_1099r_valid", code_ok)
-        .withColumn(
-            "validation_issues",
-            V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok, cross_issues=cross),
-        )
-    )
+    df = df.withColumns({
+        "ssn_valid": ssn_ok,
+        "amount_valid": amt_ok,
+        "date_valid": date_ok,
+        "code_1099r_valid": code_ok,
+        "validation_issues": V.validation_issues(ssn_ok, amt_ok, date_ok, code_ok, cross_issues=cross),
+    })
     if drop_rows_missing_keys:
         df = df.na.drop(subset=MATRIX_MATCH_KEYS, how="any")
     return _dedup_keep_first(df, MATRIX_MATCH_KEYS)
@@ -214,31 +216,29 @@ def clean_relius_demo(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataF
 
     Keep-last dedup per (plan_id, ssn) -> row_number over src_order DESC.
     """
+    Q.validate_columns(raw, DEMO_COLUMN_MAP, "Relius demographics")  # S2
     df = _rename(raw, DEMO_COLUMN_MAP)
     df = df.select(*DEMO_COLUMN_MAP.values(), "src_order", "src_seq")
-    df = (
-        df.withColumn("ssn", N.norm_ssn("ssn"))
-        .withColumn("dob", N.to_date_safe("dob"))
-        .withColumn("term_date", N.to_date_safe("term_date"))
-        .withColumn("plan_id", N.norm_plan_id("plan_id"))
-        .withColumn("first_name", N.norm_text("first_name"))
-        .withColumn("last_name", N.norm_text("last_name"))
-    )
+    df = df.withColumns({
+        "ssn": N.norm_ssn("ssn"),
+        "dob": N.to_date_safe("dob"),
+        "term_date": N.to_date_safe("term_date"),
+        "plan_id": N.norm_plan_id("plan_id"),
+        "first_name": N.norm_text("first_name"),
+        "last_name": N.norm_text("last_name"),
+    })
     ssn_ok = V.ssn_valid("ssn")
     # date_valid is masked to NULL where term_date is null (reference :121)
     date_ok = F.when(
         F.col("term_date").isNotNull(), V.dates_valid("term_date", today=today)
     )
-    df = (
-        df.withColumn("ssn_valid", ssn_ok)
-        .withColumn("amount_valid", F.lit(None).cast("boolean"))
-        .withColumn("date_valid", date_ok)
-        .withColumn("code_1099r_valid", F.lit(None).cast("boolean"))
-        .withColumn(
-            "validation_issues",
-            V.validation_issues(ssn_ok, F.lit(None).cast("boolean"), date_ok, F.lit(None).cast("boolean")),
-        )
-    )
+    df = df.withColumns({
+        "ssn_valid": ssn_ok,
+        "amount_valid": F.lit(None).cast("boolean"),
+        "date_valid": date_ok,
+        "code_1099r_valid": F.lit(None).cast("boolean"),
+        "validation_issues": V.validation_issues(ssn_ok, F.lit(None).cast("boolean"), date_ok, F.lit(None).cast("boolean")),
+    })
     df = df.filter(F.col("ssn").isNotNull())
     w = Window.partitionBy("plan_id", "ssn").orderBy(
         F.col("src_order").desc(), F.col("src_seq").desc()
@@ -252,28 +252,26 @@ def clean_roth_basis(raw: DataFrame, *, today: str = VALIDATION_TODAY) -> DataFr
     D3: completeness-ranked dedup — keep the row with the most non-null
     {first_roth_tax_year, roth_basis_amt}, ties broken by src_order.
     """
+    Q.validate_columns(raw, ROTH_BASIS_COLUMN_MAP, "Roth basis")  # S2
     df = _rename(raw, ROTH_BASIS_COLUMN_MAP)
     df = df.select(*ROTH_BASIS_COLUMN_MAP.values(), "src_order", "src_seq")
-    df = (
-        df.withColumn("ssn", N.norm_ssn("ssn"))
-        .withColumn("plan_id", N.norm_plan_id("plan_id"))
-        .withColumn("first_name", N.norm_text("first_name"))
-        .withColumn("last_name", N.norm_text("last_name"))
-        .withColumn("first_roth_tax_year", N.to_long_safe("first_roth_tax_year"))
-        .withColumn("roth_basis_amt", N.to_double_safe("roth_basis_amt"))
-    )
+    df = df.withColumns({
+        "ssn": N.norm_ssn("ssn"),
+        "plan_id": N.norm_plan_id("plan_id"),
+        "first_name": N.norm_text("first_name"),
+        "last_name": N.norm_text("last_name"),
+        "first_roth_tax_year": N.to_long_safe("first_roth_tax_year"),
+        "roth_basis_amt": N.to_double_safe("roth_basis_amt"),
+    })
     ssn_ok = V.ssn_valid("ssn")
     amt_ok = V.amounts_valid("roth_basis_amt")
-    df = (
-        df.withColumn("ssn_valid", ssn_ok)
-        .withColumn("amount_valid", amt_ok)
-        .withColumn("date_valid", F.lit(None).cast("boolean"))
-        .withColumn("code_1099r_valid", F.lit(None).cast("boolean"))
-        .withColumn(
-            "validation_issues",
-            V.validation_issues(ssn_ok, amt_ok, F.lit(None).cast("boolean"), F.lit(None).cast("boolean")),
-        )
-    )
+    df = df.withColumns({
+        "ssn_valid": ssn_ok,
+        "amount_valid": amt_ok,
+        "date_valid": F.lit(None).cast("boolean"),
+        "code_1099r_valid": F.lit(None).cast("boolean"),
+        "validation_issues": V.validation_issues(ssn_ok, amt_ok, F.lit(None).cast("boolean"), F.lit(None).cast("boolean")),
+    })
     completeness = F.col("first_roth_tax_year").isNotNull().cast("int") + F.col(
         "roth_basis_amt"
     ).isNotNull().cast("int")

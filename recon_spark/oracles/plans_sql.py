@@ -186,3 +186,40 @@ SELECT
   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_total
 FROM ev
 GROUP BY 1, 2, 3"""
+
+
+# --- QA layer (J5 join coverage, V7 warning metrics) --------------------------
+
+from .cleaning_sql import PRELUDE as _CLEAN_PRELUDE  # noqa: E402
+
+#: J5 — relius rows whose (plan_id, ssn, gross_amt) key exists in matrix
+#: (right side reduced to the D5 distinct-key projection first).
+COVERAGE_A_SQL = f"""{_CLEAN_PRELUDE},
+rk AS (SELECT DISTINCT plan_id, ssn, gross_amt, 1 AS hit FROM matrix_clean)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_left,
+  CAST(count(rk.hit) AS BIGINT) AS n_matched,
+  CAST(count(rk.hit) AS DOUBLE) / count(*) AS coverage_ratio
+FROM relius_clean l LEFT JOIN rk USING (plan_id, ssn, gross_amt)"""
+
+#: V7 — post-normalization warning counters as a (source, metric, n) frame.
+WARNING_METRICS_SQL = f"""{_CLEAN_PRELUDE},
+m AS (
+  SELECT 'relius' AS source, 'invalid_ssn' AS metric,
+         CAST(sum(CASE WHEN ssn IS NULL OR length(ssn) <> 9 THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM relius_clean
+  UNION ALL
+  SELECT 'relius', 'code_over_2_chars',
+         CAST(sum(CASE WHEN dist_code_1 IS NOT NULL AND length(dist_code_1) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM relius_clean
+  UNION ALL
+  SELECT 'matrix', 'invalid_ssn',
+         CAST(sum(CASE WHEN ssn IS NULL OR length(ssn) <> 9 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM matrix_clean
+  UNION ALL
+  SELECT 'matrix', 'code_over_2_chars',
+         CAST(sum(CASE WHEN (tax_code_1 IS NOT NULL AND length(tax_code_1) > 2)
+                         OR (tax_code_2 IS NOT NULL AND length(tax_code_2) > 2) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM matrix_clean
+)
+SELECT source, metric, n FROM m"""

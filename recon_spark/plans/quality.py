@@ -1,0 +1,118 @@
+"""Data-quality QA operators: J5 join-coverage, V7 warning metrics, S2 schema guard.
+
+Parity targets:
+- J5 `_join_coverage_ratio` /root/reference/src/core/generate_sample_data.py:589-599
+  (left keys found in right; the right side is a sorted distinct-key
+  projection, operator D5 at :597)
+- V7 post-normalization warning counts
+  /root/reference/src/cleaning/clean_relius.py:254-260,281-288 and
+  clean_matrix.py:329-335,363-370 (``warnings.warn`` on invalid SSNs /
+  >2-char codes)
+- S2 `_validate_columns` /root/reference/src/core/load_data.py:92-115
+
+100 TB notes: coverage uses a LEFT join against the de-duplicated key
+projection — the distinct() shrinks the right side to key cardinality
+before the shuffle, and the single aggregate is map-side partial. The
+warning metrics are one full-scan aggregate per table (no shuffle beyond
+the final 1-row reduce); the Observation variant rides an existing action
+for free, which is the right way to emit QA counters on a cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+# --- S2: header-presence validation -----------------------------------------
+
+
+def validate_columns(df: DataFrame, required_cols: Iterable[str], source_name: str) -> None:
+    """Raise ``ValueError`` if any required column is absent (driver-side
+    schema assertion — no job is launched)."""
+    missing = [c for c in required_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{source_name}: missing required columns: {missing}. "
+            f"Present columns: {list(df.columns)}"
+        )
+
+
+# --- D5 + J5: distinct-key projection & join coverage ------------------------
+
+
+def distinct_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D5: sorted distinct-key projection (sort is presentational in the
+    reference; distributed output order is undefined, so we only project +
+    de-duplicate — callers that need the sort add ``orderBy``)."""
+    return df.select(*keys).distinct()
+
+
+def join_coverage(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """J5: one-row QA frame — how many left rows have a key present in
+    ``right``. Columns: ``n_left``, ``n_matched``, ``coverage_ratio``."""
+    rk = distinct_keys(right, keys).withColumn("_hit", F.lit(1))
+    joined = left.join(rk, list(keys), "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.count("_hit").alias("n_matched"),
+        (F.count("_hit") / F.count(F.lit(1))).alias("coverage_ratio"),
+    )
+
+
+# --- V7: post-normalization warning metrics ----------------------------------
+
+def _metric_rows(df: DataFrame, source: str, code_bad: Column) -> DataFrame:
+    ssn_bad = F.col("ssn").isNull() | (F.length("ssn") != 9)
+    agg = df.agg(
+        F.sum(ssn_bad.cast("long")).alias("invalid_ssn"),
+        F.sum(code_bad.cast("long")).alias("code_over_2_chars"),
+    )
+    return agg.select(
+        F.lit(source).alias("source"),
+        F.explode(
+            F.create_map(
+                F.lit("invalid_ssn"), F.col("invalid_ssn"),
+                F.lit("code_over_2_chars"), F.col("code_over_2_chars"),
+            )
+        ).alias("metric", "n"),
+    )
+
+
+def build_warning_metrics(relius_clean: DataFrame, matrix_clean: DataFrame) -> DataFrame:
+    """V7 as a queryable frame: (source, metric, n) — the reference emits
+    these as ``warnings.warn`` strings; a cluster pipeline wants them as a
+    table it can alert on."""
+    r_code_bad = F.col("dist_code_1").isNotNull() & (F.length("dist_code_1") > 2)
+    m_code_bad = (
+        F.col("tax_code_1").isNotNull() & (F.length("tax_code_1") > 2)
+    ) | (F.col("tax_code_2").isNotNull() & (F.length("tax_code_2") > 2))
+    return _metric_rows(relius_clean, "relius", r_code_bad).unionByName(
+        _metric_rows(matrix_clean, "matrix", m_code_bad)
+    )
+
+
+def observe_warnings(df: DataFrame, code_col: str, name: str = "quality") -> tuple[DataFrame, Observation]:
+    """V7 the Spark-native way: attach an ``Observation`` so the invalid-SSN /
+    long-code counters are collected as a side effect of whatever action the
+    caller already runs (zero extra jobs; works per-microbatch in streaming).
+
+    Usage::
+
+        df, obs = observe_warnings(clean, "dist_code_1")
+        df.write.parquet(...)          # any action
+        obs.get["invalid_ssn"]         # -> count
+    """
+    obs = Observation(name)
+    ssn_bad = F.col("ssn").isNull() | (F.length("ssn") != 9)
+    code_bad = F.col(code_col).isNotNull() & (F.length(code_col) > 2)
+    return (
+        df.observe(
+            obs,
+            F.sum(ssn_bad.cast("long")).alias("invalid_ssn"),
+            F.sum(code_bad.cast("long")).alias("code_over_2_chars"),
+        ),
+        obs,
+    )

@@ -356,6 +356,23 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- QA layer (J5 join coverage, V7 warning metrics) -------------------------
+
+from .plans import quality  # noqa: E402
+
+
+@register("qa_join_coverage_engine_a", plans_sql.COVERAGE_A_SQL)
+def q_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    return quality.join_coverage(t["relius"], t["matrix"], ["plan_id", "ssn", "gross_amt"])
+
+
+@register("qa_warning_metrics", plans_sql.WARNING_METRICS_SQL)
+def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    return quality.build_warning_metrics(t["relius"], t["matrix"])
+
+
 # --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
 
 from .operators import dedup as DD  # noqa: E402

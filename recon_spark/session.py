@@ -41,6 +41,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The rule engines compile to wide Project stages (hundreds of
+        # expressions). Two measured optimizer/codegen knobs (3-4x wall
+        # clock at sf0.1, neutral at scale):
+        # - constraint propagation is O(#predicates^2) per optimizer pass
+        #   and infers nothing useful here: the cleaners drop null keys
+        #   explicitly, so the IsNotNull constraints it would derive
+        #   already exist as real filters.
+        # - whole-stage-codegen methods larger than HotSpot's 8 KB JIT
+        #   threshold never get JIT-compiled; paying janino compilation
+        #   for bytecode that then runs interpreted is pure loss. Falling
+        #   back to Volcano for those stages keeps codegen exactly where
+        #   it pays (small hot stages) — at 100 TB the wide stages would
+        #   have interpreted either way.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
