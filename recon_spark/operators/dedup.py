@@ -135,6 +135,12 @@ def minhash_lsh_candidates(
         .select(F.col(id_col).alias("id"), "sig")
         .filter(F.col("sig").isNotNull())
     )
+    # Both sides of the band self-join read this frame; without a persist
+    # the whole tokenize->shingle->signature lineage executes twice. At
+    # 100 TB this is exactly what you'd materialize anyway: signatures are
+    # ~100 bytes/doc vs KBs of text, so MEMORY_AND_DISK is cheap and the
+    # join reads the compact form.
+    with_sig = with_sig.persist()
 
     banded = with_sig.select(
         "id", "sig", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
@@ -195,6 +201,7 @@ def verify_candidates(
             F.col(id_col).alias("id"),
             T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
         )
+        .persist()  # joined once per pair side — avoid re-shingling the corpus
     )
     out = (
         candidates.join(

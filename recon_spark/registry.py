@@ -446,6 +446,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.with_simhash(docs_aug(spark, sf_dir), out="sh")
         .select(F.col("doc_id").alias("id"), "sh")
         .filter(F.col("sh").isNotNull())
+        .persist()  # read by both sides of the band self-join
     )
     banded = sims.select(
         "id", "sh", F.explode(DD.simhash_bands(F.col("sh"))).alias("b")
