@@ -1,0 +1,82 @@
+"""End-to-end CLI: fixtures -> cleaners -> Engine A -> correction file.
+
+Parity target: ``python -m src.outputs.build_correction_file``
+(/root/reference/src/outputs/build_correction_file.py:367-420) — the
+reference's primary deliverable. Spark-era differences: inputs are parquet
+(either the four canonical raw tables, or the TPC-H-derived fixtures when
+given a testdata sf dir), the sink is a ``partitionBy`` parquet/csv write,
+and the date filter accepts the full F2 config surface (month names,
+"all", range sanity).
+
+Usage::
+
+    python -m recon_spark.cli --sf-dir /root/testdata/sf0.001 --out /tmp/corr
+    python -m recon_spark.cli --sf-dir ... --plan-ids 300004PLAT,300004MBD \\
+        --date-start 2025-01-01 --date-end 2025-12-31 --months Jan,feb,3 \\
+        --format csv --cpus 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="recon_spark",
+        description="Run the inherited-plan reconciliation and write the correction file.",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="testdata scale dir")
+    p.add_argument("--out", default="/tmp/recon_spark_corrections", help="output path")
+    p.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p.add_argument("--plan-ids", default=None, help="comma-separated plan scope (default: inherited plans)")
+    p.add_argument("--date-start", default=None)
+    p.add_argument("--date-end", default=None)
+    p.add_argument("--months", default="all", help="month names/numbers, comma-separated, or 'all'")
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--no-business-rules", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .engines.match_planid import reconcile_relius_matrix
+    from .functions.dateconfig import DateFilterConfig
+    from .operators.cleaning import clean_matrix, clean_relius
+    from .plans.corrections import build_correction_df
+    from .session import get_spark
+    from .sources import fixtures
+    from .sources.sinks import write_correction_file
+
+    spark = get_spark("recon_spark_cli", cpus=args.cpus)
+
+    date_filter = DateFilterConfig(
+        date_start=args.date_start,
+        date_end=args.date_end,
+        months=[m for m in args.months.split(",") if m] if args.months else "all",
+    )
+    plan_ids = [p.strip() for p in args.plan_ids.split(",")] if args.plan_ids else None
+
+    relius = clean_relius(fixtures.relius_raw(spark, args.sf_dir))
+    matrix = clean_matrix(fixtures.matrix_raw(spark, args.sf_dir))
+    matched = reconcile_relius_matrix(
+        relius,
+        matrix,
+        plan_ids=plan_ids,
+        apply_business_rules=not args.no_business_rules,
+        date_filter=date_filter,
+    )
+    corrections = build_correction_df(matched)
+    # cache: the count action and the partitioned write both consume it
+    corrections = corrections.persist()
+    total = corrections.count()
+    path = write_correction_file(corrections, args.out, fmt=args.format)
+
+    print(f"Corrections written to: {path}")
+    print(f"Total corrections: {total}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
