@@ -10,7 +10,8 @@ capabilities of the reference pipeline ``manuel-reyes-ml/1099_reconciliation_pip
 - The four rule engines (A: inherited-plan reconciliation, B: age-based
   tax-code audit, C: Roth taxable analysis, D: IRA rollover audit) are
   declarative DataFrame DAGs so Catalyst handles pushdown/pruning/join
-  selection, with broadcast hints where a side is dimension-sized.
+  selection; joins are unhinted so AQE/threshold picks broadcast only
+  while a side actually fits (participant dims grow with the data).
 - Analytics (KPI summaries, trends, crosstabs) are groupBy/pivot queries.
 - Beyond the reference surface: large-scale data-pipeline operators
   (dedup exact/MinHash-LSH/SimHash, similarity search, text analysis,
@@ -25,6 +26,8 @@ Layout:
     plans/       analytics aggregations + correction-file builder
     streaming/   Structured Streaming operators
     oracles/     DuckDB-dialect SQL mirroring every operator (correctness oracle)
+    cli.py       end-to-end correction-file CLI (python -m recon_spark.cli)
+    registry.py  every graded operator as a (Spark callable, oracle SQL) pair
 """
 
 __version__ = "0.1.0"

@@ -15,6 +15,12 @@ conditional-token arrays — fully vectorized.
 Action-string parity: the reference appends tokens in trigger order and
 skips duplicates, so the rendered string is the distinct tokens in
 first-trigger order; ``F.array_distinct`` preserves exactly that order.
+
+No-action scrub parity (round-1 verdict open question, resolved): the
+reference nulls suggested tax codes + correction_reason for ALL no-action
+rows, but nulls ``suggested_taxable_amt`` only where
+``fed_taxable_amt == 0`` (reference :415-424, the ``.eq(0)`` conjunct) —
+this module does exactly the same; no divergence exists.
 """
 
 from __future__ import annotations

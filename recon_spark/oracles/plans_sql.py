@@ -223,3 +223,23 @@ m AS (
   FROM matrix_clean
 )
 SELECT source, metric, n FROM m"""
+
+
+# --- stateful streaming oracles ----------------------------------------------
+
+#: streaming dedup keeps one row per (user_id, event_type) within the
+#: watermark; with a single availableNow micro-batch the surviving key set
+#: is exactly the distinct keys.
+STREAM_DEDUP_SQL = """SELECT DISTINCT user_id, event_type
+FROM events WHERE ts IS NOT NULL"""
+
+#: applyInPandasWithState running totals: each key's final emitted row
+#: equals the batch rollup. value_total is compared at fixed microsecond
+#: precision (micros = round(total * 1e6)) because a distributed double
+#: sum is order-dependent at the 1e-12 level.
+STREAM_RUNNING_TOTALS_SQL = """SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(coalesce(value, 0)) * 1000000) AS BIGINT) AS value_total_micros
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type"""

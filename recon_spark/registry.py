@@ -493,6 +493,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(wrapped)
 
 
+@register("streaming_dedup_events", plans_sql.STREAM_DEDUP_SQL)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark) under availableNow;
+    survivors projected to their keys = distinct (user_id, event_type)."""
+    from .streaming import stateful
+
+    out = stateful.run_dedup_to_memory(spark, sf_dir, name="event_dedup_check")
+    return out.select("user_id", "event_type")
+
+
+@register("streaming_running_totals", plans_sql.STREAM_RUNNING_TOTALS_SQL)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals; final per-key row == batch
+    rollup (value compared at fixed 1e-6 precision: double sums are
+    order-dependent at the 1e-12 level)."""
+    from .streaming import stateful
+
+    out = stateful.run_running_totals_to_memory(
+        spark, sf_dir, name="event_running_totals_check"
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("value_total") * 1_000_000).cast("long").alias("value_total_micros"),
+    )
+
+
 @register("streaming_event_trend", plans_sql.STREAM_WINDOW_SQL)
 def q_streaming_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming 30-day tumbling-window trend, executed with an
