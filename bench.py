@@ -50,12 +50,23 @@ def main() -> None:
     from recon_spark.session import get_spark
 
     spark = get_spark("bench")
-    # untimed infrastructure warmup: JIT-compiles the scan/shuffle/noop-sink
-    # machinery once so the first measured query isn't charged for JVM
-    # warmup (standard bench hygiene; touches none of the measured tables)
-    spark.range(0, 1_000_000, 1, 8).groupBy((F.col("id") % 7).alias("k")).count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # untimed infrastructure warmup: JIT-compiles the scan/shuffle/join/
+    # window/noop-sink machinery once so the first measured query isn't
+    # charged for JVM warmup (standard bench hygiene; synthetic data only,
+    # touches none of the measured tables)
+    from pyspark.sql import Window
+
+    base = spark.range(0, 500_000, 1, 8).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    dim = spark.range(0, 97).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    warm = (
+        base.join(dim, "k", "left")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("id")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("m"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

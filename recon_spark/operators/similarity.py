@@ -71,16 +71,26 @@ def brute_force_topk(
     Self-matches (same id) are excluded. Deterministic tie-break on
     (score desc, corpus id asc).
     """
+    # norms are hoisted out of the pair stage: one fold per row instead of
+    # one per (query, row) pair — float-identical, 3x less array math hot
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
     )
+    denom = F.col("__qn") * F.col("__nn")
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn(
+            "score",
+            F.when(denom > 0, dot(F.col("query_vec"), F.col("neighbor_vec")) / denom),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -117,17 +127,23 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
+    denom = F.col("__qn") * F.col("__nn")
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn(
+            "score",
+            F.when(denom > 0, dot(F.col("query_vec"), F.col("neighbor_vec")) / denom),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -151,18 +167,25 @@ def cosine_near_dup_pairs(
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("__n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     left = c.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("__n").alias("__na"), "bucket",
     )
     right = c.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("__n").alias("__nb"), "bucket",
     )
+    denom = F.col("__na") * F.col("__nb")
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "score",
+            F.when(denom > 0, dot(F.col("vec_a"), F.col("vec_b")) / denom),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
