@@ -19,7 +19,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..functions import normalizers as N
+
+if TYPE_CHECKING:
+    from ..functions.dateconfig import DateFilterConfig
 from .match_planid import INHERITED_PLAN_IDS
 
 #: src/config.py:450-470

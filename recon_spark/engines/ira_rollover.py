@@ -14,7 +14,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..functions import normalizers as N
+
+if TYPE_CHECKING:
+    from ..functions.dateconfig import DateFilterConfig
 
 IRA_PLAN_PREFIXES = ["300001", "300005"]  # src/config.py:531
 IRA_PLAN_SUBSTRINGS = ["IRA"]  # src/config.py:532

@@ -25,7 +25,12 @@ from typing import Iterable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..functions import normalizers as N
+
+if TYPE_CHECKING:
+    from ..functions.dateconfig import DateFilterConfig
 
 #: src/config.py:375-382
 INHERITED_PLAN_IDS = ["300004PLAT", "300004MBD", "300004MBDII"]
