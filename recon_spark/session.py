@@ -56,6 +56,15 @@ def get_spark(
         #   have interpreted either way.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Allow co-partitioned joins when both sides are hash-partitioned
+        # on a SUBSET of the join keys (e.g. clean tables bucketed by
+        # (plan_id, ssn) joined on (plan_id, ssn, gross_amt)): same subset
+        # on both sides still co-locates every join key group, and it is
+        # what makes the bucketed clean-once/reconcile-many layout
+        # exchange-free (see tests/test_bucketed_engine.py). Spark's
+        # default (true) rejects subset co-partitioning purely as a skew
+        # heuristic.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
