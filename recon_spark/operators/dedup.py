@@ -177,6 +177,73 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline (candidates + exact-Jaccard verify) computed
+    off ONE persisted shingle frame: the corpus is tokenized and shingled
+    exactly once, signatures derive from the persisted shingles, and the
+    verify stage joins back to the same frame. Equivalent to
+    ``verify_candidates(minhash_lsh_candidates(docs), docs)`` but one
+    whole tokenize+shingle pass cheaper."""
+    rows = n_hashes // n_bands
+    sh = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
+        .persist()
+    )
+    with_sig = (
+        sh.withColumn("sig", signature_from_shingles(F.col("sh"), n_hashes))
+        .select("id", "sig")
+        .filter(F.col("sig").isNotNull())
+        .persist()
+    )
+    banded = with_sig.select(
+        "id", "sig", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
+    ).select("id", "sig", "b.band_idx", "b.band_hash")
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(n_hashes)).alias("est_jaccard"),
+        )
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
 def exact_jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))

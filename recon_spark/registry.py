@@ -430,9 +430,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", llm_sql.MINHASH_LSH_SQL)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = docs_aug(spark, sf_dir)
-    cand = DD.minhash_lsh_candidates(aug)
-    return DD.verify_candidates(cand, aug, threshold=0.4)
+    return DD.minhash_near_dup(docs_aug(spark, sf_dir), threshold=0.4)
 
 
 @register("dedup_simhash_values", llm_sql.SIMHASH_SQL)
