@@ -243,3 +243,45 @@ STREAM_RUNNING_TOTALS_SQL = """SELECT
   CAST(round(sum(coalesce(value, 0)) * 1000000) AS BIGINT) AS value_total_micros
 FROM events WHERE ts IS NOT NULL
 GROUP BY event_type"""
+
+
+# --- additional analytics variants (A4 Engine A, A6 Engine C, A2 Engine D) ----
+
+REASON_HIST_A_SQL = f"""{E.ENGINE_A_CTES}
+SELECT correction_reason, CAST(count(*) AS BIGINT) AS n
+FROM ea_out GROUP BY correction_reason"""
+
+#: Engine C new_tax_code domain (code-fix rules H/H4/B4 + age rules B1/B2/B7)
+EC_NEW_CODES = ["H", "H4", "B4", "B7", "B2", "B1"]
+
+_EC_CROSSTAB_COLS = ",\n  ".join(
+    f"CAST(sum(CASE WHEN new_tax_code = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{v}\""
+    for v in EC_NEW_CODES
+)
+
+#: new_tax_code is derived in ENGINE_C_SELECT, not ec_final — recompute it
+CROSSTAB_C_SQL = f"""{E.ENGINE_C_CTES},
+ec_codes AS (
+  SELECT tax_code_1,
+         {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS new_tax_code
+  FROM ec_final
+)
+SELECT coalesce(tax_code_1, '(none)') AS tax_code_1,
+  {_EC_CROSSTAB_COLS}
+FROM ec_codes
+GROUP BY 1"""
+
+MONTHLY_D_SQL = f"""{E.ENGINE_D_CTES},
+md AS (
+  SELECT
+    CAST(date_trunc('month', txn_date) AS DATE) AS month,
+    CAST(count(*) AS BIGINT) AS total_txns,
+    CAST(sum(CASE WHEN match_status = 'match_needs_correction' THEN 1 ELSE 0 END)
+         AS BIGINT) AS correction_count
+  FROM ed_final
+  WHERE txn_date IS NOT NULL
+  GROUP BY 1
+)
+SELECT month, total_txns, correction_count,
+       correction_count / total_txns AS correction_rate
+FROM md"""

@@ -340,6 +340,34 @@ def q_unmatched_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.build_unmatched_summary(out)
 
 
+@register("analytics_reason_histogram_engine_a", plans_sql.REASON_HIST_A_SQL)
+def q_reason_hist_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    return analytics.build_value_counts(out, "correction_reason")
+
+
+@register("analytics_crosstab_engine_c", plans_sql.CROSSTAB_C_SQL)
+def q_crosstab_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 Engine C variant: current tax_code_1 x suggested new_tax_code
+    (reference build_roth_tax_code_crosstab,
+    roth_taxable_visualization.py:471-533)."""
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return analytics.build_crosstab(
+        out, "tax_code_1", "new_tax_code", plans_sql.EC_NEW_CODES
+    )
+
+
+@register("analytics_monthly_engine_d", plans_sql.MONTHLY_D_SQL)
+def q_monthly_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 Engine D variant (reference build_ira_rollover_metrics,
+    ira_rollover_visualization.py:103-144)."""
+    t = clean_tables(spark, sf_dir)
+    out = ira_rollover.run_ira_rollover_analysis(t["matrix"])
+    return analytics.build_monthly_metrics(out)
+
+
 @register("analytics_events_monthly", plans_sql.EVENTS_MONTHLY_SQL)
 def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load_table(spark, sf_dir, "events")
