@@ -285,3 +285,42 @@ md AS (
 SELECT month, total_txns, correction_count,
        correction_count / total_txns AS correction_rate
 FROM md"""
+
+
+# --- per-engine KPI clones (A3) + Engine C taxable delta histogram (A4) ------
+
+KPI_B_SQL = f"""{E.ENGINE_B_CTES},
+kpi AS (
+  SELECT match_status, CAST(count(*) AS BIGINT) AS n
+  FROM eb_final
+  WHERE match_status IN {_KPI_STATUSES}
+  GROUP BY match_status
+)
+SELECT match_status, n, n * 100.0 / sum(n) OVER () AS pct FROM kpi"""
+
+KPI_C_SQL = f"""{E.ENGINE_C_CTES},
+kpi AS (
+  SELECT match_status, CAST(count(*) AS BIGINT) AS n
+  FROM ec_final
+  WHERE match_status IN {_KPI_STATUSES}
+  GROUP BY match_status
+)
+SELECT match_status, n, n * 100.0 / sum(n) OVER () AS pct FROM kpi"""
+
+KPI_D_SQL = f"""{E.ENGINE_D_CTES},
+kpi AS (
+  SELECT match_status, CAST(count(*) AS BIGINT) AS n
+  FROM ed_final
+  WHERE match_status IN {_KPI_STATUSES}
+  GROUP BY match_status
+)
+SELECT match_status, n, n * 100.0 / sum(n) OVER () AS pct FROM kpi"""
+
+#: delta is compared in integer cents: the inputs are 2-decimal money, so
+#: round(x*100) sits within 1e-9 of an integer in both engines.
+TAXABLE_DELTA_C_SQL = f"""{E.ENGINE_C_CTES}
+SELECT CAST(round((suggested_taxable_amt - fed_taxable_amt) * 100) AS BIGINT) AS delta_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM ec_final
+WHERE suggested_taxable_amt IS NOT NULL AND fed_taxable_amt IS NOT NULL
+GROUP BY 1"""

@@ -77,6 +77,22 @@ def build_monthly_metrics(
     )
 
 
+def build_taxable_delta_distribution(df: DataFrame) -> DataFrame:
+    """A4 (Engine C variant): histogram of suggested-minus-current taxable,
+    in integer cents (roth_taxable_visualization.py:407-438 rounds to 2
+    decimals; cents keep the group key exact for distributed compare)."""
+    delta_cents = F.round(
+        (F.col("suggested_taxable_amt") - F.col("fed_taxable_amt")) * 100
+    ).cast("long")
+    return (
+        df.filter(
+            F.col("suggested_taxable_amt").isNotNull() & F.col("fed_taxable_amt").isNotNull()
+        )
+        .groupBy(delta_cents.alias("delta_cents"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def build_value_counts(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
     """A4: frequency histogram of one column
     (match_planid_visualization.py:176-218, :258-294)."""

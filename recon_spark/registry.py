@@ -340,6 +340,34 @@ def q_unmatched_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.build_unmatched_summary(out)
 
 
+@register("analytics_kpi_engine_b", plans_sql.KPI_B_SQL)
+def q_kpi_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = age_taxcode.run_age_taxcode_analysis(t["matrix"], t["demo"])
+    return analytics.build_kpi_summary(out)
+
+
+@register("analytics_kpi_engine_c", plans_sql.KPI_C_SQL)
+def q_kpi_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return analytics.build_kpi_summary(out)
+
+
+@register("analytics_kpi_engine_d", plans_sql.KPI_D_SQL)
+def q_kpi_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = ira_rollover.run_ira_rollover_analysis(t["matrix"])
+    return analytics.build_kpi_summary(out)
+
+
+@register("analytics_taxable_delta_engine_c", plans_sql.TAXABLE_DELTA_C_SQL)
+def q_taxable_delta_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = clean_tables(spark, sf_dir)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    return analytics.build_taxable_delta_distribution(out)
+
+
 @register("analytics_reason_histogram_engine_a", plans_sql.REASON_HIST_A_SQL)
 def q_reason_hist_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = clean_tables(spark, sf_dir)

@@ -185,3 +185,20 @@ def test_unmatched_summary(spark):
     assert out[0]["match_status"] == "unmatched_relius"
     assert out[0]["n"] == 1
     assert float(out[0]["gross_total"]) == 30.0
+
+
+def test_taxable_delta_distribution(spark):
+    from recon_spark.plans.analytics import build_taxable_delta_distribution
+
+    df = spark.createDataFrame(
+        [
+            (100.0, 0.0),     # delta -100.00 -> -10000 cents
+            (100.0, 0.0),
+            (50.25, 49.25),   # delta -1.00 -> -100 cents
+            (None, 0.0),      # dropped: null current
+            (10.0, None),     # dropped: null suggested
+        ],
+        ["fed_taxable_amt", "suggested_taxable_amt"],
+    )
+    rows = {r.delta_cents: r.n for r in build_taxable_delta_distribution(df).collect()}
+    assert rows == {-10000: 2, -100: 1}
