@@ -50,6 +50,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-ish token pattern: letter runs chunked at 8 chars (long words count
+#: as multiple subwords), digit runs chunked at 3 (as GPT-style BPEs do),
+#: every other non-space symbol its own token. Same regex dialect in Java
+#: (Spark) and RE2 (DuckDB oracle).
+BPE_TOKEN_PATTERN = r"[a-zA-Z]{1,8}|[0-9]{1,3}|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token-count estimate via ``BPE_TOKEN_PATTERN`` — the
+    cheap JVM-side stand-in for a real tokenizer when sizing corpora."""
+    return F.regexp_count(_c(col).cast("string"), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def char_count(col: Column | str) -> Column:
     return F.length(_c(col).cast("string")).cast("long")
 
@@ -223,6 +236,7 @@ def with_text_stats(df, text_col: str = "text"):
         df.withColumn("__toks", tokens(text_col))
         .withColumn("__sh", shingles_from_tokens(toks))
         .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_tokens_bpe", bpe_token_count(text_col))
         .withColumn("n_chars", char_count(text_col))
         .withColumn("punct_ratio", punct_ratio(text_col))
         .withColumn("mean_word_len", mean_word_len_from_tokens(toks))

@@ -153,6 +153,7 @@ TEXT_STATS_SQL = f"""WITH base AS (
 stats AS (
   SELECT doc_id, text, toks,
     CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
     CAST(length(text) AS BIGINT) AS n_chars,
     (CASE WHEN length(text) > 0 THEN
       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
@@ -163,7 +164,7 @@ stats AS (
     {_LANG_SCORES}
   FROM base
 )
-SELECT doc_id, n_tokens, n_chars, sym_ratio AS punct_ratio,
+SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
   mean_wl AS mean_word_len,
   (CASE WHEN n_tokens > 0 THEN CAST(en_hits AS DOUBLE) / n_tokens END) AS stopword_ratio,
   (CASE WHEN {_LANG_BEST} > 0 THEN {_LANG_CASE} END) AS lang_guess,

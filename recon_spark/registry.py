@@ -465,6 +465,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_text_stats(docs).select(
         "doc_id",
         "n_tokens",
+        "n_tokens_bpe",
         "n_chars",
         "punct_ratio",
         "mean_word_len",

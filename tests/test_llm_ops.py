@@ -290,3 +290,22 @@ def test_streaming_trend_matches_batch(spark):
         for r in trends.windowed_event_trend(load_events(spark, sf_dir)).collect()
     )
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            ("hello world",),        # 2 short words -> 2
+            ("extraordinarily",),    # 15 letters -> 8+7 -> 2 chunks
+            ("12345",),              # 5 digits -> 3+2 -> 2 chunks
+            ("a-b",),                # a, -, b -> 3
+            ("",),                   # empty -> 0
+        ],
+        ["text"],
+    )
+    got = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    assert got == [2, 2, 2, 3, 0]
