@@ -189,3 +189,80 @@ def cosine_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ----------------
+
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = IVF_K
+) -> DataFrame:
+    """Deterministic training-free coarse quantizer: the ``k`` lowest-id
+    vectors act as centroids. At cluster scale you would swap in
+    KMeans-trained centroids (pyspark.ml) — the assignment/probe plumbing
+    below is identical either way, and the deterministic choice keeps the
+    operator exactly reproducible for the DuckDB oracle."""
+    return corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+
+
+def _assign_cells(
+    df: DataFrame, centroids: DataFrame, id_out: str, nprobe: int
+) -> DataFrame:
+    """Rank cells per vector by centroid cosine (ties -> lower cell_id)
+    and keep the best ``nprobe``. Centroids are config-cardinality (k
+    rows) -> broadcast; the scored frame never shuffles the corpus."""
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "__cscore", cosine(F.col("__vec"), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_out).orderBy(
+        F.col("__cscore").desc_nulls_last(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= nprobe)
+        .drop("centroid", "__cscore", "__crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their single nearest cell;
+    queries probe their ``nprobe`` nearest cells; scoring happens only
+    inside probed cells (equi-join on cell_id — never all-pairs). Recall
+    trades off via nprobe exactly as in a FAISS-style IVF index."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vec"))
+    c_cells = _assign_cells(c, cents, "neighbor_id", 1).withColumnsRenamed(
+        {"__vec": "neighbor_vec"}
+    )
+    q_cells = _assign_cells(q, cents, "query_id", nprobe).withColumnsRenamed(
+        {"__vec": "query_vec"}
+    )
+    scored = (
+        c_cells.join(q_cells, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score", "cell_id")
+    )

@@ -302,3 +302,47 @@ c AS (
 SELECT a.id AS id_a, b.id AS id_b, {cosine('a.vec', 'b.vec')} AS score
 FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
 WHERE {cosine('a.vec', 'b.vec')} >= 0.95"""
+
+
+# --- IVF ANN oracle ----------------------------------------------------------
+
+from ..operators import similarity as S  # noqa: E402
+
+IVF_ANN_SQL = f"""WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < {S.IVF_K}
+),
+c_assign AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS neighbor_vec, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine('e.embedding', 'c.centroid')} DESC NULLS LAST, c.cell_id
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+c_cells AS (SELECT neighbor_id, neighbor_vec, cell_id FROM c_assign WHERE rnk = 1),
+q_assign AS (
+  SELECT e.vec_id AS query_id, e.embedding AS query_vec, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine('e.embedding', 'c.centroid')} DESC NULLS LAST, c.cell_id
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 5
+),
+q_cells AS (SELECT query_id, query_vec, cell_id FROM q_assign WHERE rnk <= {S.IVF_NPROBE}),
+scored AS (
+  SELECT q.query_id, n.neighbor_id, n.cell_id,
+         {cosine('q.query_vec', 'n.neighbor_vec')} AS score
+  FROM c_cells n JOIN q_cells q USING (cell_id)
+  WHERE n.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, cell_id
+FROM ranked WHERE rank <= 10"""

@@ -536,6 +536,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("similarity_ann_ivf", llm_sql.IVF_ANN_SQL)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (FAISS-style cells, nprobe=2) with
+    deterministic centroids so the DuckDB oracle replays the index."""
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.95)

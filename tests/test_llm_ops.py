@@ -309,3 +309,25 @@ def test_bpe_token_count(spark):
     )
     got = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
     assert got == [2, 2, 2, 3, 0]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import similarity
+    from recon_spark.sources.tpch import load as load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=10).collect()
+    }
+    assert len(approx) == 50  # 5 queries x top-10, cells are well-populated
+    # coarse quantization with nprobe=2 of 8 cells should keep useful recall
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
