@@ -166,10 +166,12 @@ def clean_matrix(
     # NULL account/method must NOT match the exclusion list (the reference
     # astype(str) turns NaN into 'nan', which never matches); coalesce to ''
     # so three-valued logic can't silently drop the row.
+    # expressed as IS NULL OR NOT IN on the bare source column (equivalent
+    # to ~coalesce(col,'').isin(list) since '' is not in the list) so the
+    # predicate is parquet-pushable when the raw table is materialized
     df = df.filter(
-        ~F.coalesce(F.col("matrix_account").cast("string"), F.lit("")).isin(
-            IGNORED_MATRIX_ACCOUNTS
-        )
+        F.col("matrix_account").isNull()
+        | ~F.col("matrix_account").cast("string").isin(IGNORED_MATRIX_ACCOUNTS)
     )
     df = df.filter(
         ~F.coalesce(F.lower(F.trim(F.col("txn_method").cast("string"))), F.lit("")).isin(
