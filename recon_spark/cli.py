@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="testdata scale dir")
     p.add_argument("--out", default="/tmp/recon_spark_corrections", help="output path")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p.add_argument(
+        "--engine", default="a", choices=["a", "b", "c", "d"],
+        help="a: inherited-plan reconciliation (default), b: age tax-code audit, "
+        "c: Roth taxable analysis, d: IRA rollover audit",
+    )
     p.add_argument("--plan-ids", default=None, help="comma-separated plan scope (default: inherited plans)")
     p.add_argument("--date-start", default=None)
     p.add_argument("--date-end", default=None)
@@ -41,9 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    from .engines.match_planid import reconcile_relius_matrix
+    from .engines import age_taxcode, ira_rollover, match_planid, roth_taxable
     from .functions.dateconfig import DateFilterConfig
-    from .operators.cleaning import clean_matrix, clean_relius
+    from .operators import cleaning
     from .plans.corrections import build_correction_df
     from .session import get_spark
     from .sources import fixtures
@@ -58,15 +63,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     plan_ids = [p.strip() for p in args.plan_ids.split(",")] if args.plan_ids else None
 
-    relius = clean_relius(fixtures.relius_raw(spark, args.sf_dir))
-    matrix = clean_matrix(fixtures.matrix_raw(spark, args.sf_dir))
-    matched = reconcile_relius_matrix(
-        relius,
-        matrix,
-        plan_ids=plan_ids,
-        apply_business_rules=not args.no_business_rules,
-        date_filter=date_filter,
-    )
+    matrix = cleaning.clean_matrix(fixtures.matrix_raw(spark, args.sf_dir))
+    if args.engine == "a":
+        relius = cleaning.clean_relius(fixtures.relius_raw(spark, args.sf_dir))
+        matched = match_planid.reconcile_relius_matrix(
+            relius,
+            matrix,
+            plan_ids=plan_ids,
+            apply_business_rules=not args.no_business_rules,
+            date_filter=date_filter,
+        )
+    elif args.engine == "b":
+        demo = cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, args.sf_dir))
+        matched = age_taxcode.run_age_taxcode_analysis(matrix, demo, date_filter=date_filter)
+    elif args.engine == "c":
+        demo = cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, args.sf_dir))
+        basis = cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, args.sf_dir))
+        matched = roth_taxable.run_roth_taxable_analysis(
+            matrix, demo, basis, date_filter=date_filter
+        )
+    else:
+        matched = ira_rollover.run_ira_rollover_analysis(matrix, date_filter=date_filter)
     corrections = build_correction_df(matched)
     # cache: the count action and the partitioned write both consume it
     corrections = corrections.persist()

@@ -31,3 +31,15 @@ def test_cli_month_filter_and_no_rules(spark, tmp_path, capsys):
     assert rc == 0
     # without business rules nothing is actionable -> zero corrections
     assert "Total corrections: 0" in capsys.readouterr().out
+
+
+def test_cli_engine_selection(spark, tmp_path, capsys):
+    for engine in ["b", "c", "d"]:
+        rc = cli.main(
+            ["--sf-dir", SF, "--engine", engine,
+             "--out", str(tmp_path / f"corr_{engine}"), "--cpus", "8"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Total corrections:" in out
+        assert int(out.strip().rsplit(" ", 1)[-1]) > 0
