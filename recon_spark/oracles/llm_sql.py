@@ -346,3 +346,35 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, cell_id
 FROM ranked WHERE rank <= 10"""
+
+
+# --- multimodal feature oracle -----------------------------------------------
+
+#: SQL replay of multimodal.fake_features over the UTF-8 payload: the
+#: corpus is pure ASCII (verified range 32-121), so byte value ==
+#: codepoint and Python's payload[i*n//8:(i+1)*n//8] stripe is
+#: substr(text, i*n//8 + 1, stripe_len). Features round-trip through
+#: FLOAT (the Spark schema is array<float>) and are compared in rounded
+#: milli-units; stripe means are non-negative, so Spark HALF_UP and
+#: DuckDB half-away round identically.
+_STRIPE = (
+    "CASE WHEN ((i+1)*n)//8 - (i*n)//8 > 0 THEN "
+    "CAST(list_sum(list_transform(range((i*n)//8 + 1, ((i+1)*n)//8 + 1), "
+    "j -> unicode(substr(text, j, 1)))) AS DOUBLE) / (((i+1)*n)//8 - (i*n)//8) "
+    "ELSE 0.0 END"
+)
+
+MULTIMODAL_FEATURES_SQL = f"""WITH b AS (
+  SELECT doc_id AS id, text, length(text) AS n FROM documents
+),
+f AS (
+  SELECT id, 'text/plain' AS mime, CAST(n AS BIGINT) AS n_bytes,
+    list_transform(range(0, 8), i -> {_STRIPE}) AS feat
+  FROM b
+)
+SELECT id, mime, n_bytes,
+  array_to_string(
+    list_transform(feat,
+      x -> CAST(CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
+    ';') AS feature_milli
+FROM f"""

@@ -549,11 +549,21 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.95)
 
 
-@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+@register("multimodal_features", llm_sql.MULTIMODAL_FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction, value-checked against a SQL replay
+    of the deterministic stripe-mean extractor (features serialized in
+    rounded milli-units so the float32 array hash-compares)."""
     docs = _load_table(spark, sf_dir, "documents")
     wrapped = multimodal.attach_binary(docs)
-    return multimodal.extract_features(wrapped)
+    feats = multimodal.extract_features(wrapped)
+    milli = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * 1000).cast("long").cast("string"),
+    )
+    return feats.select(
+        "id", "mime", "n_bytes", F.array_join(milli, ";").alias("feature_milli")
+    )
 
 
 @register("streaming_dedup_events", plans_sql.STREAM_DEDUP_SQL)
