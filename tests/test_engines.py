@@ -107,6 +107,24 @@ def test_engine_a_date_filter_kwargs(spark):
     assert out.count() == 0
 
 
+def test_engine_a_date_filter_config_object(spark):
+    from recon_spark.functions.dateconfig import DateFilterConfig
+
+    # fixture dates are January 2025: month-name filter keeps them...
+    kept = reconcile_relius_matrix(
+        _relius(spark), _matrix_a(spark),
+        date_filter=DateFilterConfig(months=["January"]),
+    )
+    # ...and an explicit config wins over raw kwargs
+    dropped = reconcile_relius_matrix(
+        _relius(spark), _matrix_a(spark),
+        date_start="2020-01-01",  # overridden by the config below
+        date_filter=DateFilterConfig(months=["July"]),
+    )
+    assert kept.count() > 0
+    assert dropped.count() == 0
+
+
 # --- Engine B -----------------------------------------------------------------
 
 def _matrix_b(spark, **over):
