@@ -175,7 +175,11 @@ def build_unmatched_summary(df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: double summation is order-dependent
             # across partitions (would drift from any serial oracle)
-            F.sum(F.col("gross_amt").cast("decimal(18,6)")).alias("gross_total"),
+            # cast(38,6) so the output type matches the oracle's DECIMAL(38,6)
+            # exactly (Spark's sum over decimal(18,6) yields decimal(28,6))
+            F.sum(F.col("gross_amt").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("gross_total"),
         )
     )
 

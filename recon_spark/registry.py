@@ -407,7 +407,10 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_total"),
+            # cast(38,6): match the oracle's DECIMAL(38,6) output type exactly
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("value_total"),
         )
     )
 

@@ -51,7 +51,10 @@ def windowed_event_trend(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_total"),
+            # cast(38,6): match the oracle's DECIMAL(38,6) output type exactly
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("value_total"),
         )
         .select(
             F.col("w.start").alias("window_start"),
