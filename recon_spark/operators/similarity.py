@@ -155,6 +155,86 @@ def ann_topk_lsh(
     )
 
 
+def sign_bucket_int(vec: Column, dims: tuple[int, ...] = DEFAULT_SIGN_DIMS) -> Column:
+    """Integer form of :func:`sign_bucket` (bit i set when dims[i] is
+    negative) — XOR-able, which is what multi-probe needs."""
+    out = F.lit(0)
+    for i, d in enumerate(dims):
+        out = out + F.when(F.element_at(vec, d + 1) < 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def flip_masks(nbits: int, radius: int) -> list[int]:
+    """All XOR masks of hamming weight <= radius (0 first): the probe
+    sequence for multi-probe LSH."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for combo in combinations(range(nbits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def ann_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_SIGN_DIMS,
+    radius: int = 2,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes every bucket within
+    ``radius`` bit flips of its own (1 + 8 + 28 = 37 of 256 buckets at
+    radius 2), trading scan fraction for recall — the standard fix for
+    exact-bucket LSH's near-zero recall on weakly-clustered data.
+
+    Scale shape: the query side explodes by the (config-constant) probe
+    count, then the probe join is the same corpus-side equi-join on the
+    bucket key as single-probe LSH — the corpus still shuffles once on a
+    uniform 2^bits-ary key and only probed buckets are scored. Each
+    corpus row lives in exactly one bucket, so no dedup is needed."""
+    masks = flip_masks(len(dims), radius)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
+        sign_bucket_int(F.col(vec_col), dims).alias("__qb"),
+    ).withColumn("__mask", F.explode(F.array([F.lit(m) for m in masks])))
+    q = q.withColumn("bucket", F.col("__mask").bitwiseXOR(F.col("__qb"))).drop(
+        "__mask", "__qb"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
+        sign_bucket_int(F.col(vec_col), dims).alias("bucket"),
+    )
+    denom = F.col("__qn") * F.col("__nn")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.when(denom > 0, dot(F.col("query_vec"), F.col("neighbor_vec")) / denom),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score", "bucket")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -211,13 +291,19 @@ def ivf_centroids(
 
 
 def _assign_cells(
-    df: DataFrame, centroids: DataFrame, id_out: str, nprobe: int
+    df: DataFrame, centroids: DataFrame, id_out: str, nprobe: int, norm_col: str
 ) -> DataFrame:
     """Rank cells per vector by centroid cosine (ties -> lower cell_id)
     and keep the best ``nprobe``. Centroids are config-cardinality (k
-    rows) -> broadcast; the scored frame never shuffles the corpus."""
-    scored = df.join(F.broadcast(centroids)).withColumn(
-        "__cscore", cosine(F.col("__vec"), F.col("centroid"))
+    rows) -> broadcast; the scored frame never shuffles the corpus.
+    ``norm_col`` is the vector's precomputed norm — one fold per row
+    instead of one per (row, centroid) pair; centroid norms likewise
+    staged once per centroid (float-identical to cosine())."""
+    cents = centroids.withColumn("__cn", norm(F.col("centroid")))
+    denom = F.col(norm_col) * F.col("__cn")
+    scored = df.join(F.broadcast(cents)).withColumn(
+        "__cscore",
+        F.when(denom > 0, dot(F.col("__vec"), F.col("centroid")) / denom),
     )
     w = Window.partitionBy(id_out).orderBy(
         F.col("__cscore").desc_nulls_last(), F.col("cell_id").asc()
@@ -225,7 +311,7 @@ def _assign_cells(
     return (
         scored.withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= nprobe)
-        .drop("centroid", "__cscore", "__crank")
+        .drop("centroid", "__cn", "__cscore", "__crank")
     )
 
 
@@ -243,20 +329,32 @@ def ivf_topk(
     inside probed cells (equi-join on cell_id — never all-pairs). Recall
     trades off via nprobe exactly as in a FAISS-style IVF index."""
     cents = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    # norms hoisted like brute_force_topk: one fold per corpus/query row,
+    # reused by both cell assignment and in-cell scoring
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nn"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vec"))
-    c_cells = _assign_cells(c, cents, "neighbor_id", 1).withColumnsRenamed(
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    c_cells = _assign_cells(c, cents, "neighbor_id", 1, "__nn").withColumnsRenamed(
         {"__vec": "neighbor_vec"}
     )
-    q_cells = _assign_cells(q, cents, "query_id", nprobe).withColumnsRenamed(
+    q_cells = _assign_cells(q, cents, "query_id", nprobe, "__qn").withColumnsRenamed(
         {"__vec": "query_vec"}
     )
+    denom = F.col("__qn") * F.col("__nn")
     scored = (
         c_cells.join(q_cells, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn(
+            "score",
+            F.when(denom > 0, dot(F.col("query_vec"), F.col("neighbor_vec")) / denom),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -265,4 +363,48 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score", "cell_id")
+    )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the approximate indexes against the exact baseline:
+    one row per method with hit/total counts and the recall ratio. Turns
+    the ANN operators' quality into a graded number instead of a claim.
+
+    Scale shape: the truth set is |queries| * k rows (config-cardinality,
+    broadcastable); each ANN candidate set is at most that large. The
+    probe joins and the final GROUP BY touch only these tiny frames —
+    the expensive part is the three topk scans, each individually
+    scale-clean (see their docstrings)."""
+    truth = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    cand = (
+        ann_topk_lsh(corpus, queries, k, id_col, vec_col)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            ann_topk_lsh_multiprobe(corpus, queries, k, id_col, vec_col).select(
+                F.lit("lsh_mp2").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+        .unionByName(
+            ivf_topk(corpus, queries, k, id_col, vec_col).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    hit = truth.withColumn("__hit", F.lit(1))
+    totals = truth.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cand.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("hits"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("recall", F.col("hits") / F.col("total"))
     )

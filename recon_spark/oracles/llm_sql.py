@@ -99,6 +99,14 @@ def sign_bucket(vec: str, dims: tuple[int, ...]) -> str:
     return f"({bits})"
 
 
+def sign_bucket_int(vec: str, dims: tuple[int, ...]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{d + 1}] < 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(dims)
+    )
+    return f"({terms})"
+
+
 # --- planted-duplicate corpus (shared Spark/SQL derivation) ------------------
 
 #: every 50th doc gets an exact copy, every 70th a near-copy with an
@@ -378,3 +386,63 @@ SELECT id, mime, n_bytes,
       x -> CAST(CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
     ';') AS feature_milli
 FROM f"""
+
+
+# --- multi-probe LSH oracle --------------------------------------------------
+
+from ..operators import similarity as _SIM  # noqa: E402
+
+_MP_DIMS = _SIM.DEFAULT_SIGN_DIMS
+_MP_MASKS = ", ".join(str(m) for m in _SIM.flip_masks(len(_MP_DIMS), 2))
+
+ANN_LSH_MP_SQL = f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {sign_bucket_int('embedding', _MP_DIMS)} AS qb
+  FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, qv, xor(qb, m.mask) AS bucket
+  FROM q CROSS JOIN (SELECT unnest([{_MP_MASKS}]) AS mask) m
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv,
+         {sign_bucket_int('embedding', _MP_DIMS)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, c.bucket, {cosine('qv', 'nv')} AS score
+  FROM c JOIN probes USING (bucket) WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score,
+       CAST(bucket AS INT) AS bucket
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10"""
+
+
+# --- ANN recall@k vs the exact baseline --------------------------------------
+
+#: one row per approximate method (lsh, lsh_mp2, ivf): hits against the
+#: brute-force truth set, truth-set size, and the recall ratio. Reuses
+#: the topk oracles verbatim as subqueries so the graded number is
+#: derived from already-graded components.
+ANN_RECALL_SQL = f"""WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({TOPK_BRUTE_SQL})
+),
+cand AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM ({ANN_LSH_SQL})
+  UNION ALL
+  SELECT 'lsh_mp2' AS method, query_id, neighbor_id FROM ({ANN_LSH_MP_SQL})
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ({IVF_ANN_SQL})
+)
+SELECT c.method,
+       CAST(count(t.query_id) AS BIGINT) AS hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS total,
+       CAST(count(t.query_id) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS recall
+FROM cand c
+LEFT JOIN truth t
+  ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+GROUP BY c.method"""

@@ -547,6 +547,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@register("similarity_ann_lsh_multiprobe", llm_sql.ANN_LSH_MP_SQL)
+def q_ann_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH (radius 2: 37 of 256 buckets per query) —
+    the recall/cost knob that rescues exact-bucket LSH on
+    weakly-clustered data."""
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+@register("similarity_recall", llm_sql.ANN_RECALL_SQL)
+def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH and IVF indexes vs the brute-force baseline —
+    the approximate operators' quality as a graded number."""
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.95)

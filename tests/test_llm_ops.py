@@ -223,6 +223,48 @@ def test_ann_lsh_scores_only_same_bucket(spark):
     assert out[0].bucket == "00"
 
 
+def test_flip_masks_counts_and_weights():
+    masks = SIM.flip_masks(8, 2)
+    assert masks[0] == 0
+    assert len(masks) == 1 + 8 + 28
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    assert len(set(masks)) == len(masks)
+
+
+def test_multiprobe_reaches_adjacent_bucket(spark):
+    dims = (0, 1)
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 1.0]),     # bucket 0b00
+            (2, [-0.1, 1.0]),    # bucket 0b01 — 1 bit away, nearly parallel
+            (3, [-1.0, -1.0]),   # bucket 0b11 — 2 bits away
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    exact = SIM.ann_topk_lsh(corpus, q, k=5, dims=dims).collect()
+    assert exact == []  # alone in its bucket: exact-bucket LSH finds nothing
+    r1 = SIM.ann_topk_lsh_multiprobe(corpus, q, k=5, dims=dims, radius=1).collect()
+    assert [r.neighbor_id for r in r1] == [2]
+    r2 = SIM.ann_topk_lsh_multiprobe(corpus, q, k=5, dims=dims, radius=2).collect()
+    assert [r.neighbor_id for r in r2] == [2, 3]
+
+
+def test_ann_recall_orders_methods(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    rows = {r.method: r for r in SIM.ann_recall(emb, queries, k=10).collect()}
+    assert set(rows) == {"lsh", "lsh_mp2", "ivf"}
+    for r in rows.values():
+        assert r.total == 50
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == pytest.approx(r.hits / r.total)
+    # multi-probe exists to beat exact-bucket LSH; IVF(nprobe=2) is the
+    # strongest of the three on this corpus
+    assert rows["lsh_mp2"].recall >= rows["lsh"].recall
+    assert rows["ivf"].recall >= 0.5
+
+
 def test_cosine_near_dup_pairs(spark):
     corpus = _vecs(
         spark,
