@@ -27,6 +27,18 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run the inherited-plan reconciliation and write the correction file.",
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="testdata scale dir")
+    p.add_argument(
+        "--relius", default=None, metavar="PATH",
+        help="raw Relius export (.xlsx/.parquet/.csv); default: seeded sample from --sf-dir",
+    )
+    p.add_argument("--matrix", default=None, metavar="PATH", help="raw Matrix export")
+    p.add_argument("--demo", default=None, metavar="PATH", help="raw demographics export")
+    p.add_argument("--roth-basis", default=None, metavar="PATH", help="raw Roth basis extract")
+    p.add_argument(
+        "--input-format", default="auto", choices=["auto", "parquet", "csv", "xlsx"],
+        help="format of the --relius/--matrix/--demo/--roth-basis paths "
+        "(auto: by extension)",
+    )
     p.add_argument("--out", default="/tmp/recon_spark_corrections", help="output path")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     p.add_argument(
@@ -51,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     from .operators import cleaning
     from .plans.corrections import build_correction_df
     from .session import get_spark
-    from .sources import fixtures
+    from .sources import fixtures, load
     from .sources.sinks import write_correction_file
 
     spark = get_spark("recon_spark_cli", cpus=args.cpus)
@@ -63,9 +75,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     plan_ids = [p.strip() for p in args.plan_ids.split(",")] if args.plan_ids else None
 
-    matrix = cleaning.clean_matrix(fixtures.matrix_raw(spark, args.sf_dir))
+    def fmt_for(path: str) -> str:
+        if args.input_format != "auto":
+            return args.input_format
+        return "xlsx" if path.endswith(".xlsx") else ("csv" if path.endswith(".csv") else "parquet")
+
+    def raw(path, loader, sample_fn):
+        """Explicit export path (any supported format, xlsx included) or
+        the seeded --sf-dir sample — reference load_data.py path/sample
+        duality."""
+        if path is None:
+            return sample_fn(spark, args.sf_dir)
+        return loader(spark, path, fmt=fmt_for(path))
+
+    matrix = cleaning.clean_matrix(
+        raw(args.matrix, load.load_matrix, fixtures.matrix_raw)
+    )
     if args.engine == "a":
-        relius = cleaning.clean_relius(fixtures.relius_raw(spark, args.sf_dir))
+        relius = cleaning.clean_relius(
+            raw(args.relius, load.load_relius, fixtures.relius_raw)
+        )
         matched = match_planid.reconcile_relius_matrix(
             relius,
             matrix,
@@ -74,11 +103,17 @@ def main(argv: list[str] | None = None) -> int:
             date_filter=date_filter,
         )
     elif args.engine == "b":
-        demo = cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, args.sf_dir))
+        demo = cleaning.clean_relius_demo(
+            raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+        )
         matched = age_taxcode.run_age_taxcode_analysis(matrix, demo, date_filter=date_filter)
     elif args.engine == "c":
-        demo = cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, args.sf_dir))
-        basis = cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, args.sf_dir))
+        demo = cleaning.clean_relius_demo(
+            raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+        )
+        basis = cleaning.clean_roth_basis(
+            raw(args.roth_basis, load.load_roth_basis, fixtures.roth_basis_raw)
+        )
         matched = roth_taxable.run_roth_taxable_analysis(
             matrix, demo, basis, date_filter=date_filter
         )

@@ -8,12 +8,18 @@ path is given (``use_sample_if_none``, reference ``USE_SAMPLE_DATA_DEFAULT``
 ``src/config.py:427``).
 
 Spark-era shape: inputs are parquet or csv directories/files read with
-``spark.read`` (the xlsx era ends at the lake boundary; an upstream
-converter lands exports as columnar files). The sample fallback is the
+``spark.read``; ``.xlsx`` inputs (the reference's native format) are
+converted at the lake boundary by :mod:`.xlsx` — a driver-side
+per-file step sized to Excel's own limits, after which everything
+downstream is a distributed parquet scan. The sample fallback is the
 deterministic TPC-H-derived fixture generator (S6) at ``DEFAULT_SF_DIR``.
 """
 
 from __future__ import annotations
+
+import hashlib
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,7 +41,19 @@ REQUIRED_DEMO = ["PLANID", "SSNUM", "BIRTHDATE", "TERM_DATE"]
 REQUIRED_ROTH_BASIS = ["PLANID", "SSNUM", "FIRSTTAXYEARROTH", "Total"]
 
 
-def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+def _read(
+    spark: SparkSession, path: str, fmt: str, sheet_name: int | str = 0
+) -> DataFrame:
+    if fmt == "xlsx" or (fmt == "parquet" and str(path).endswith(".xlsx")):
+        from . import xlsx
+
+        key = hashlib.md5(
+            f"{Path(path).resolve()}:{Path(path).stat().st_mtime_ns}:{sheet_name}".encode()
+        ).hexdigest()[:16]
+        out = Path(tempfile.gettempdir()) / "recon_spark_xlsx" / f"{key}.parquet"
+        if not out.exists():
+            xlsx.xlsx_to_parquet(path, out, sheet_name)
+        return spark.read.parquet(str(out))
     if fmt == "csv":
         return spark.read.option("header", "true").csv(path)
     return spark.read.format(fmt).load(path)
@@ -51,12 +69,13 @@ def _load(
     sample_fn,
     use_sample_if_none: bool,
     sample_sf_dir: str | None,
+    sheet_name: int | str = 0,
 ) -> DataFrame:
     if path is None:
         if not use_sample_if_none:
             raise ValueError(f"{source_name}: no path given and sample fallback disabled.")
         return sample_fn(spark, sample_sf_dir or DEFAULT_SF_DIR)
-    df = _read(spark, path, fmt)
+    df = _read(spark, path, fmt, sheet_name)
     validate_columns(df, required, source_name)
     return df
 
@@ -68,12 +87,13 @@ def load_relius(
     fmt: str = "parquet",
     use_sample_if_none: bool = True,
     sample_sf_dir: str | None = None,
+    sheet_name: int | str = 0,
 ) -> DataFrame:
     """Relius distributions export (raw headers) or the seeded sample."""
     return _load(
         spark, path, fmt=fmt, required=REQUIRED_RELIUS, source_name="Relius",
         sample_fn=fixtures.relius_raw, use_sample_if_none=use_sample_if_none,
-        sample_sf_dir=sample_sf_dir,
+        sample_sf_dir=sample_sf_dir, sheet_name=sheet_name,
     )
 
 
@@ -84,12 +104,13 @@ def load_matrix(
     fmt: str = "parquet",
     use_sample_if_none: bool = True,
     sample_sf_dir: str | None = None,
+    sheet_name: int | str = 0,
 ) -> DataFrame:
     """Matrix disbursements export (raw headers) or the seeded sample."""
     return _load(
         spark, path, fmt=fmt, required=REQUIRED_MATRIX, source_name="Matrix",
         sample_fn=fixtures.matrix_raw, use_sample_if_none=use_sample_if_none,
-        sample_sf_dir=sample_sf_dir,
+        sample_sf_dir=sample_sf_dir, sheet_name=sheet_name,
     )
 
 
@@ -100,12 +121,14 @@ def load_relius_demo(
     fmt: str = "parquet",
     use_sample_if_none: bool = True,
     sample_sf_dir: str | None = None,
+    sheet_name: int | str = 0,
 ) -> DataFrame:
     """Participant demographics export or the seeded sample."""
     return _load(
         spark, path, fmt=fmt, required=REQUIRED_DEMO,
         source_name="Relius demographics", sample_fn=fixtures.relius_demo_raw,
         use_sample_if_none=use_sample_if_none, sample_sf_dir=sample_sf_dir,
+        sheet_name=sheet_name,
     )
 
 
@@ -116,10 +139,12 @@ def load_roth_basis(
     fmt: str = "parquet",
     use_sample_if_none: bool = True,
     sample_sf_dir: str | None = None,
+    sheet_name: int | str = 0,
 ) -> DataFrame:
     """Roth basis extract or the seeded sample."""
     return _load(
         spark, path, fmt=fmt, required=REQUIRED_ROTH_BASIS,
         source_name="Roth basis", sample_fn=fixtures.roth_basis_raw,
         use_sample_if_none=use_sample_if_none, sample_sf_dir=sample_sf_dir,
+        sheet_name=sheet_name,
     )

@@ -106,14 +106,22 @@ def write_correction_file(
 
 def write_excel(df: DataFrame, path: str | Path, *, sheet_name: str = "data") -> str:
     """Literal .xlsx deliverable (sample scale only — collects to the
-    driver). Guarded: openpyxl may be absent in this environment."""
+    driver). Uses pandas/openpyxl when installed, else the stdlib
+    minimal writer (sources/xlsx.py) — no longer gated."""
+    pdf = df.toPandas()
+    name = sheet_name[:EXCEL_SHEETNAME_LIMIT]
     try:
         import openpyxl  # noqa: F401
-    except ImportError as ex:  # pragma: no cover
-        raise NotImplementedError(
-            "openpyxl not installed; use write_df/write_correction_file "
-            "(parquet) instead"
-        ) from ex
-    pdf = df.toPandas()
-    pdf.to_excel(str(path), sheet_name=sheet_name[:EXCEL_SHEETNAME_LIMIT], index=False)
+
+        pdf.to_excel(str(path), sheet_name=name, index=False)
+    except ImportError:
+        import pandas as pd
+
+        from .xlsx import write_xlsx
+
+        rows = [
+            [None if pd.isna(v) else v for v in row]
+            for row in pdf.itertuples(index=False)
+        ]
+        write_xlsx(path, [str(c) for c in pdf.columns], rows, sheet_name=name)
     return str(path)
