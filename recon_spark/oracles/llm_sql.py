@@ -423,7 +423,9 @@ FROM (
 
 # --- ANN recall@k vs the exact baseline --------------------------------------
 
-#: one row per approximate method (lsh, lsh_mp2, ivf): hits against the
+#: one row per approximate method: 'lsh' is the DEFAULT ann_topk_lsh
+#: surface (multi-probe radius 2), 'lsh_exact' the radius=0 candidate
+#: generator, 'ivf' the coarse-quantizer index. Hits against the
 #: brute-force truth set, truth-set size, and the recall ratio. Reuses
 #: the topk oracles verbatim as subqueries so the graded number is
 #: derived from already-graded components.
@@ -431,9 +433,9 @@ ANN_RECALL_SQL = f"""WITH truth AS (
   SELECT query_id, neighbor_id FROM ({TOPK_BRUTE_SQL})
 ),
 cand AS (
-  SELECT 'lsh' AS method, query_id, neighbor_id FROM ({ANN_LSH_SQL})
+  SELECT 'lsh_exact' AS method, query_id, neighbor_id FROM ({ANN_LSH_SQL})
   UNION ALL
-  SELECT 'lsh_mp2' AS method, query_id, neighbor_id FROM ({ANN_LSH_MP_SQL})
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM ({ANN_LSH_MP_SQL})
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id FROM ({IVF_ANN_SQL})
 )

@@ -225,6 +225,12 @@ m AS (
          CAST(sum(CASE WHEN (tax_code_1 IS NOT NULL AND length(tax_code_1) > 2)
                          OR (tax_code_2 IS NOT NULL AND length(tax_code_2) > 2) THEN 1 ELSE 0 END) AS BIGINT)
   FROM matrix_clean
+  UNION ALL
+  SELECT 'engine_b', 'matrix_rows_missing_demo',
+         CAST(sum(CASE WHEN dk.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM matrix_clean
+  LEFT JOIN (SELECT DISTINCT plan_id, ssn, 1 AS hit FROM demo_clean) dk
+    USING (plan_id, ssn)
 )
 SELECT source, metric, n FROM m"""
 

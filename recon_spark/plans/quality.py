@@ -81,17 +81,50 @@ def _metric_rows(df: DataFrame, source: str, code_bad: Column) -> DataFrame:
     )
 
 
-def build_warning_metrics(relius_clean: DataFrame, matrix_clean: DataFrame) -> DataFrame:
+def build_demo_coverage_warning(
+    matrix_clean: DataFrame, demo_clean: DataFrame
+) -> DataFrame:
+    """Engine B pre-flight: matrix rows whose (plan_id, ssn) has no row in
+    the participant demographics master. The reference left-joins demo onto
+    matrix (age_taxcode_analysis.py:136-141) and rows that miss get NULL
+    dob/term_date, so every age rule silently falls through for them — the
+    warning the reference never emits. One row: ('engine_b',
+    'matrix_rows_missing_demo', n).
+
+    Scale shape: same as J5 — the demo side is reduced to its distinct
+    (plan_id, ssn) projection before the shuffle, and the aggregate is a
+    map-side-partial count."""
+    dk = distinct_keys(demo_clean, ["plan_id", "ssn"]).withColumn("_hit", F.lit(1))
+    return (
+        matrix_clean.join(dk, ["plan_id", "ssn"], "left")
+        .agg(F.sum(F.col("_hit").isNull().cast("long")).alias("n"))
+        .select(
+            F.lit("engine_b").alias("source"),
+            F.lit("matrix_rows_missing_demo").alias("metric"),
+            "n",
+        )
+    )
+
+
+def build_warning_metrics(
+    relius_clean: DataFrame,
+    matrix_clean: DataFrame,
+    demo_clean: DataFrame | None = None,
+) -> DataFrame:
     """V7 as a queryable frame: (source, metric, n) — the reference emits
     these as ``warnings.warn`` strings; a cluster pipeline wants them as a
-    table it can alert on."""
+    table it can alert on. Pass ``demo_clean`` to include the Engine B
+    demographics-coverage counter."""
     r_code_bad = F.col("dist_code_1").isNotNull() & (F.length("dist_code_1") > 2)
     m_code_bad = (
         F.col("tax_code_1").isNotNull() & (F.length("tax_code_1") > 2)
     ) | (F.col("tax_code_2").isNotNull() & (F.length("tax_code_2") > 2))
-    return _metric_rows(relius_clean, "relius", r_code_bad).unionByName(
+    out = _metric_rows(relius_clean, "relius", r_code_bad).unionByName(
         _metric_rows(matrix_clean, "matrix", m_code_bad)
     )
+    if demo_clean is not None:
+        out = out.unionByName(build_demo_coverage_warning(matrix_clean, demo_clean))
+    return out
 
 
 def observe_warnings(df: DataFrame, code_col: str, name: str = "quality") -> tuple[DataFrame, Observation]:

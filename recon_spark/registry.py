@@ -443,7 +443,7 @@ def q_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("qa_warning_metrics", plans_sql.WARNING_METRICS_SQL)
 def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = clean_tables(spark, sf_dir)
-    return quality.build_warning_metrics(t["relius"], t["matrix"])
+    return quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
 
 
 # --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
@@ -549,8 +549,13 @@ def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_lsh", llm_sql.ANN_LSH_SQL)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-bucket sign-LSH (radius=0) — grades the CANDIDATE GENERATOR,
+    not the default ANN surface: ann_topk_lsh's default is multi-probe
+    (the next query), because exact-bucket standalone recall@10 is ~0."""
     emb = _load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return similarity.ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, radius=0
+    )
 
 
 @register("similarity_ann_ivf", llm_sql.IVF_ANN_SQL)

@@ -51,6 +51,27 @@ def test_warning_metrics(spark):
     assert rows[("matrix", "code_over_2_chars")] == 1  # 'XYZ9' in code 2
 
 
+def test_demo_coverage_warning(spark):
+    matrix = spark.createDataFrame(
+        [("P1", "111111111", "G", None), ("P1", "222222222", "G", None),
+         ("P2", "111111111", "G", None)],
+        "plan_id string, ssn string, tax_code_1 string, tax_code_2 string",
+    )
+    demo = spark.createDataFrame(
+        [("P1", "111111111"), ("P1", "111111111")],  # dup demo rows collapse
+        ["plan_id", "ssn"],
+    )
+    row = Q.build_demo_coverage_warning(matrix, demo).collect()[0]
+    assert (row.source, row.metric, row.n) == ("engine_b", "matrix_rows_missing_demo", 2)
+    # and via the combined frame
+    relius = spark.createDataFrame([("123456789", "7")], ["ssn", "dist_code_1"])
+    rows = {
+        (r.source, r.metric): r.n
+        for r in Q.build_warning_metrics(relius, matrix, demo).collect()
+    }
+    assert rows[("engine_b", "matrix_rows_missing_demo")] == 2
+
+
 def test_observe_warnings(spark):
     df = spark.createDataFrame(
         [("123456789", "7"), ("12", "LONGCODE")], ["ssn", "dist_code_1"]
