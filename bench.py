@@ -33,6 +33,8 @@ HEADLINE = [
     "analytics_events_monthly",
     "text_stats",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sessionization_events",
     "similarity_ann_lsh",
 ]
 

@@ -244,6 +244,91 @@ def minhash_near_dup(
     return out.select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
+#: default n-gram Jaccard threshold as an exact fraction (2/5 = 0.4).
+#: Kept integral so BOTH the prefix length and the final filter are pure
+#: integer arithmetic — a float literal would round differently as a
+#: DuckDB DECIMAL vs a Spark double and shift ceil() at exact multiples.
+JACCARD_T_NUM = 2
+JACCARD_T_DEN = 5
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a COUNT-BASED set-similarity
+    self-join (the MapReduce-native formulation — Vernica et al.
+    SIGMOD'10) — the MinHash-free exact path.
+
+    Shape: explode each doc's distinct shingle set into an inverted index,
+    self-join on the shingle, and ``groupBy(pair).count()`` — because
+    shingles are distinct per doc, each shared shingle contributes exactly
+    one row, so the count IS ``|A ∩ B|`` and ``|A ∪ B| = |A| + |B| − |A ∩
+    B|``. No array is carried past the explode, no verify join, and every
+    compare is cross-multiplied integers (never a float threshold).
+
+    The classic single-node alternative (PPJoin prefix filtering + an
+    ``array_intersect`` verify per candidate) was measured 6x slower here
+    at sf0.1 (22.3s vs ~3.5s): this corpus draws from a small vocabulary,
+    so prefix indexing barely prunes (~730k candidate pairs survive) and
+    per-pair array intersections dominate. The count-based join replaces
+    all of that with one shuffle-aggregate over narrow rows — the shape
+    that survives 100x. The LENGTH filter (``t·max(|A|,|B|) ≤ min`` — a
+    necessary condition for ``J ≥ t``) is pushed into the join to prune
+    pairs before the aggregate.
+
+    Scale notes: the index join shuffles on the shingle string; a
+    boilerplate-heavy corpus makes hot shingles — bounded by c^2 rows per
+    shingle and exactly what AQE skew-split handles. The pair aggregate
+    shuffles on (id_a, id_b) — uniform.
+    """
+    # Two measured traps avoided here (16s -> 0.5s for the index at sf0.1):
+    # - no `filter(size(sh) > 0)`: explode() already drops empty arrays,
+    #   and PushDownPredicate would inline the whole tokenize+shingle
+    #   subtree into the pushed predicate (re-tokenizing inside the
+    #   per-shingle slice lambda — O(n^2) per row, 12.3s vs 0.9s);
+    # - persist the ARRAY frame and explode from the cache: a Generate
+    #   whose generator input is the in-plan shingle expression evaluates
+    #   it outside whole-stage codegen (interpreted lambdas, 16.2s); from
+    #   the cached arrays the same explode is 0.14s. Both join sides also
+    #   reuse the one cached shingling pass.
+    sh = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
+        .persist()
+    )
+    index = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    left = index.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    right = index.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t needs t*max(na,nb) <= min(na,nb)
+            & (F.col("na") * t_den >= F.col("nb") * t_num)
+            & (F.col("nb") * t_den >= F.col("na") * t_num)
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("__i")
+    return (
+        inter.filter(F.col("__i") * t_den >= union * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i").cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
 def exact_jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))

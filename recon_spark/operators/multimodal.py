@@ -78,6 +78,75 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+FRAME_BYTES = 64
+N_SAMPLE_FRAMES = 3
+
+#: output schema of the frame-sampling stage (one row per sampled frame)
+FRAME_SCHEMA = "id long, frame_idx int, total_frames int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    n_frames: int = N_SAMPLE_FRAMES,
+) -> DataFrame:
+    """Frame sampling over opaque payloads — the video-ingestion shape:
+    one input row fans out to ``n_frames`` sampled frame rows.
+
+    Deterministic container stub (a real deployment swaps in ffmpeg/pyav
+    keyframe extraction here, exactly like the decode_* plug points): the
+    payload is treated as fixed-size ``frame_bytes`` frames and sampling
+    picks uniform stride indices ``j * (total-1) // (n_frames-1)``
+    (first/…/last, de-duplicated for short payloads — all floor division,
+    so the DuckDB oracle replays the index math exactly).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage, embarrassingly
+    parallel, output rows bounded by ``n_frames`` per input — the fan-out
+    is a constant factor, not a join. Frames stay opaque binary until a
+    downstream decode/feature stage needs them.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, totals, frames = [], [], [], []
+            for rid, p in zip(pdf["id"], pdf["payload"]):
+                b = bytes(p)
+                total = max(1, -(-len(b) // frame_bytes))  # ceil, min 1
+                if n_frames == 1 or total == 1:
+                    picks = [0]
+                else:
+                    picks = sorted(
+                        {j * (total - 1) // (n_frames - 1) for j in range(n_frames)}
+                    )
+                for idx in picks:
+                    ids.append(rid)
+                    idxs.append(idx)
+                    totals.append(total)
+                    frames.append(b[idx * frame_bytes : (idx + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "total_frames": totals, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_feature(feat, in_dim: int = FEATURE_DIM, out_dim: int = 4):
+    """Column-algebra average-pool of a feature array to ``out_dim`` —
+    the "resize" step of an image/feature pipeline, kept JVM-side (no
+    Python stage: pooling windows are compile-time slices, the fold is
+    ``F.aggregate`` in double)."""
+    outs = []
+    for j in range(out_dim):
+        lo, hi = j * in_dim // out_dim, (j + 1) * in_dim // out_dim
+        seg = F.slice(feat, lo + 1, hi - lo)
+        total = F.aggregate(
+            seg, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+        outs.append(total / F.lit(float(hi - lo)))
+    return F.array(*outs)
+
+
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Arrow-batched feature extraction over (id, payload, meta) rows.
 

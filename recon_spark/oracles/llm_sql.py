@@ -229,6 +229,28 @@ pairs AS (
 )
 SELECT id_a, id_b, est_jaccard, jaccard FROM pairs WHERE jaccard >= 0.4"""
 
+#: count-based set-similarity join (mirrors dedup.ngram_jaccard_pairs):
+#: shared-shingle count == |A∩B| because shingle sets are distinct; the
+#: length filter and both threshold compares are pure integer arithmetic,
+#: shared via the same JACCARD_T_NUM/DEN constants as the Spark side.
+NGRAM_JACCARD_SQL = f"""WITH {DOCS_AUG_CTE},
+shs0 AS (
+  SELECT doc_id AS id, {shingles('text')} AS sh FROM docs_aug
+),
+shs AS (SELECT id, sh FROM shs0 WHERE len(sh) > 0),
+idx AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM shs),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*) AS i
+  FROM idx a JOIN idx b USING (shingle)
+  WHERE a.id < b.id
+    AND a.n * {D.JACCARD_T_DEN} >= b.n * {D.JACCARD_T_NUM}
+    AND b.n * {D.JACCARD_T_DEN} >= a.n * {D.JACCARD_T_NUM}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+FROM inter
+WHERE i * {D.JACCARD_T_DEN} >= (na + nb - i) * {D.JACCARD_T_NUM}"""
+
 SIMHASH_SQL = f"""WITH {DOCS_AUG_CTE},
 hsx AS (
   SELECT doc_id, list_transform({tokens('text')}, t -> {hash32('t')}) AS hs
@@ -386,6 +408,58 @@ SELECT id, mime, n_bytes,
       x -> CAST(CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
     ';') AS feature_milli
 FROM f"""
+
+
+#: frame-sampling replay: the corpus is pure ASCII (see above), so the
+#: payload's fixed-64-byte frames are substr() slices and the uniform
+#: stride picks j*(total-1)//2 are pure integer arithmetic on both sides.
+_FB = 64  # multimodal.FRAME_BYTES
+
+MULTIMODAL_FRAMES_SQL = f"""WITH b AS (
+  SELECT doc_id AS id, text, length(text) AS n FROM documents
+),
+fr AS (
+  SELECT id, text, greatest(1, (n + {_FB - 1}) // {_FB}) AS total FROM b
+),
+picks AS (
+  SELECT id, total,
+    unnest(list_sort(list_distinct([0, (total - 1) // 2, total - 1]))) AS fi,
+    text
+  FROM fr
+)
+SELECT id,
+  CAST(fi AS INT) AS frame_idx,
+  CAST(total AS INT) AS total_frames,
+  CAST(length(substr(text, fi * {_FB} + 1, {_FB})) AS BIGINT) AS frame_len,
+  md5(substr(text, fi * {_FB} + 1, {_FB})) AS frame_md5
+FROM picks"""
+
+
+def _f32(e: str) -> str:
+    """Mirror the float32 round-trip the Spark array<float> schema applies."""
+    return f"CAST(CAST({e} AS FLOAT) AS DOUBLE)"
+
+
+#: average-pool 8 -> 4 of the extracted features (resize_feature mirror):
+#: inputs go through the float32 round-trip (the Spark feature column is
+#: array<float>); the pool itself stays double on both sides.
+_POOLED = ", ".join(
+    f"({_f32(f'feat[{2 * j + 1}]')} + {_f32(f'feat[{2 * j + 2}]')}) / CAST(2 AS DOUBLE)"
+    for j in range(4)
+)
+
+MULTIMODAL_RESIZED_SQL = f"""WITH b AS (
+  SELECT doc_id AS id, text, length(text) AS n FROM documents
+),
+f AS (
+  SELECT id, list_transform(range(0, 8), i -> {_STRIPE}) AS feat FROM b
+),
+r AS (SELECT id, [{_POOLED}] AS rf FROM f)
+SELECT id,
+  array_to_string(
+    list_transform(rf, x -> CAST(CAST(round(x * 1000) AS BIGINT) AS VARCHAR)),
+    ';') AS feature_milli
+FROM r"""
 
 
 # --- multi-probe LSH oracle --------------------------------------------------

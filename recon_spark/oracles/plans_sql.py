@@ -243,6 +243,34 @@ SELECT source, metric, n FROM m"""
 STREAM_DEDUP_SQL = """SELECT DISTINCT user_id, event_type
 FROM events WHERE ts IS NOT NULL"""
 
+#: gap-based sessionization replay: classic gaps-and-islands. Boundary
+#: semantics verified against Spark (test_session_boundary_is_strict): an
+#: event landing EXACTLY on the previous session's end (diff == gap)
+#: MERGES — Spark's merge condition is diff <= gap, inclusive.
+_SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+SESSIONIZE_SQL = f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT user_id, us, value,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) <= {_SESSION_GAP_US}
+         THEN 0 ELSE 1 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, us, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  CAST(min(us) AS BIGINT) AS session_start_us,
+  CAST(max(us) + {_SESSION_GAP_US} AS BIGINT) AS session_end_us,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
+FROM sess GROUP BY user_id, sid"""
+
 #: applyInPandasWithState running totals: each key's final emitted row
 #: equals the batch rollup. value_total is compared at fixed microsecond
 #: precision (micros = round(total * 1e6)) because a distributed double

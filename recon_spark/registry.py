@@ -507,6 +507,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup(docs_aug(spark, sf_dir), threshold=0.4)
 
 
+@register("dedup_ngram_jaccard", llm_sql.NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via prefix-filtered set-similarity
+    join — the hash-free exact counterpart to dedup_minhash_lsh (same
+    planted duplicates, same 0.4 threshold, no signature approximation)."""
+    return DD.ngram_jaccard_pairs(docs_aug(spark, sf_dir))
+
+
 @register("dedup_simhash_values", llm_sql.SIMHASH_SQL)
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.with_simhash(docs_aug(spark, sf_dir)).select("doc_id", "simhash")
@@ -605,6 +613,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id", "mime", "n_bytes", F.array_join(milli, ";").alias("feature_milli")
     )
+
+
+@register("sessionization_events", plans_sql.SESSIONIZE_SQL)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via F.session_window (batch form of the
+    streaming/sessions.py operator; oracle is a gaps-and-islands replay).
+    """
+    from .streaming import sessions
+
+    return sessions.sessionize(_load_table(spark, sf_dir, "events"))
+
+
+@register("multimodal_frame_sample", llm_sql.MULTIMODAL_FRAMES_SQL)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-ingestion shape): constant fan-out
+    mapInPandas stage; graded on frame geometry + content checksum so the
+    sampled bytes themselves are value-checked."""
+    docs = _load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.attach_binary(docs))
+    return frames.select(
+        "id",
+        "frame_idx",
+        "total_frames",
+        F.length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register("multimodal_features_resized", llm_sql.MULTIMODAL_RESIZED_SQL)
+def q_multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature resize (average-pool 8 -> 4) kept entirely JVM-side after
+    the one Arrow extraction stage; serialized in rounded milli-units."""
+    docs = _load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_binary(docs))
+    milli = F.transform(
+        multimodal.resize_feature(F.col("feature")),
+        lambda x: F.round(x * 1000).cast("long").cast("string"),
+    )
+    return feats.select("id", F.array_join(milli, ";").alias("feature_milli"))
 
 
 @register("streaming_dedup_events", plans_sql.STREAM_DEDUP_SQL)

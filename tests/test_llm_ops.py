@@ -152,6 +152,52 @@ def test_minhash_near_dup_survives_verification(spark):
     assert 0.4 <= out[0].jaccard < 1.0
 
 
+def test_ngram_jaccard_pairs_basic(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with extra trailing tokens"),
+            (3, "totally unrelated words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_jaccard_pairs(docs).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert 0.4 <= out[0].jaccard < 1.0
+
+
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix filtering must find EVERY pair with Jaccard >= t — compare
+    against an unfiltered all-pairs exact-Jaccard computation on a corpus
+    of overlapping sentences."""
+    words = "the quick brown fox jumps over a lazy dog near some old barn".split()
+    rows = [
+        (i, " ".join(words[i % 3 : i % 3 + 8]) + f" tail{i % 4} tok{i % 2}")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in DD.ngram_jaccard_pairs(docs).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("id"), T.shingles("text").alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = {
+        (r.id_a, r.id_b): r.j
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", DD.exact_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= 0.4)
+        .collect()
+    }
+    assert set(got) == set(brute)
+    for pair, j in brute.items():
+        assert got[pair] == pytest.approx(j)
+
+
 def test_simhash_identical_and_range(spark):
     rows = (
         spark.createDataFrame(
@@ -337,6 +383,33 @@ def test_extract_features_via_map_in_pandas(spark):
     }
     assert out[1].n_bytes == 8
     assert out[1].feature == [float(b) for b in b"abcdefgh"]
+
+
+def test_sample_frames_geometry(spark):
+    # 200-byte payload -> 4 frames of 64; picks {0, 1, 3}
+    text = "x" * 200
+    docs = spark.createDataFrame([(1, text), (2, "short")], "doc_id long, text string")
+    rows = sorted(
+        (r.id, r.frame_idx, r.total_frames, len(bytes(r.frame)))
+        for r in multimodal.sample_frames(multimodal.attach_binary(docs)).collect()
+    )
+    assert rows == [
+        (1, 0, 4, 64),
+        (1, 1, 4, 64),  # (total-1)//2 = 1
+        (1, 3, 4, 8),   # last frame is the 200-192 tail
+        (2, 0, 1, 5),   # short payload: single frame, de-duplicated picks
+    ]
+
+
+def test_resize_feature_pools_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in (0, 2, 4, 6, 8, 10, 12, 14)])],
+        "id long, feature array<float>",
+    )
+    out = df.select(
+        multimodal.resize_feature(F.col("feature")).alias("r")
+    ).collect()[0]
+    assert out.r == [1.0, 5.0, 9.0, 13.0]
 
 
 def test_decoders_are_stubs():

@@ -1,0 +1,65 @@
+"""Streaming sessionization: append-mode emission vs the batch rollup."""
+
+from pyspark.sql import functions as F
+
+from recon_spark.sources.tpch import load_events
+from recon_spark.streaming import sessions
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_sessions_are_prefix_of_batch(spark):
+    """availableNow + append emits exactly the sessions the final
+    watermark closed; every emitted row must match the batch rollup
+    cell-for-cell, and the withheld rows must all end within the
+    un-flushed tail (after the max event time watermark)."""
+    batch = {
+        (r.user_id, r.session_start_us): r
+        for r in sessions.sessionize(load_events(spark, SF_DIR)).collect()
+    }
+    streamed = {
+        (r.user_id, r.session_start_us): r
+        for r in sessions.run_to_memory(
+            spark, SF_DIR, name="t_sessions_stream"
+        ).collect()
+    }
+    assert 0 < len(streamed) <= len(batch)
+    for key, srow in streamed.items():
+        brow = batch[key]
+        assert (srow.session_end_us, srow.n, srow.value_total_micros) == (
+            brow.session_end_us,
+            brow.n,
+            brow.value_total_micros,
+        )
+    max_us = load_events(spark, SF_DIR).agg(
+        F.max(F.unix_micros("ts"))
+    ).collect()[0][0]
+    withheld = set(batch) - set(streamed)
+    for key in withheld:
+        # only sessions the watermark (== max event time) hasn't closed
+        assert batch[key].session_end_us > max_us
+
+
+def test_session_boundary_is_strict(spark):
+    """Pins Spark's boundary rule the oracle must mirror: an event exactly
+    `gap` after the previous one MERGES (<= is inclusive); one microsecond
+    beyond starts a new session."""
+    gap_us = 3_600 * 1_000_000
+    rows = [
+        (1, 0, 10.0),
+        (1, gap_us, 1.0),          # exactly on the boundary -> merges
+        (2, 0, 5.0),
+        (2, gap_us + 1, 2.0),      # 1us beyond -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, value double").select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "value"
+    )
+    out = {
+        (r.user_id, r.session_start_us): r
+        for r in sessions.sessionize(df, gap="1 hour").collect()
+    }
+    assert len(out) == 3
+    assert out[(1, 0)].n == 2
+    assert out[(1, 0)].session_end_us == gap_us + gap_us
+    assert out[(2, 0)].n == 1
+    assert out[(2, gap_us + 1)].n == 1
