@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sessionization_events",
+    "asof_click_purchase",
     "similarity_ann_lsh",
 ]
 

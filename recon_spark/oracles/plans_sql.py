@@ -271,6 +271,40 @@ SELECT user_id,
   CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
 FROM sess GROUP BY user_id, sid"""
 
+#: backward as-of join replay using DuckDB's NATIVE ASOF JOIN — the
+#: clearest possible parity statement: our union+forward-fill window must
+#: reproduce the engine primitive exactly (including the equal-timestamp
+#: rule: l.ts >= r.ts matches). Tolerance nulls matches out after the
+#: join, same as the Spark side.
+_ASOF_TOL_US = 30 * 86_400 * 1_000_000
+
+ASOF_CLICK_PURCHASE_SQL = f"""WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+j AS (
+  SELECT c.event_id, c.user_id,
+         epoch_us(c.ts) AS ts_us,
+         epoch_us(p.ts) AS m_ts_us,
+         p.value AS m_value
+  FROM c ASOF LEFT JOIN p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+ok AS (
+  SELECT *, (m_ts_us IS NOT NULL AND ts_us - m_ts_us <= {_ASOF_TOL_US}) AS within
+  FROM j
+)
+SELECT event_id, user_id,
+  CAST(ts_us AS BIGINT) AS ts_us,
+  CAST(CASE WHEN within THEN m_ts_us END AS BIGINT) AS purchase_ts_us,
+  CAST(CASE WHEN within THEN ts_us - m_ts_us END AS BIGINT) AS purchase_lag_us,
+  CAST(CASE WHEN within THEN CAST(CAST(m_value AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS BIGINT) AS purchase_value_micros
+FROM ok"""
+
 #: applyInPandasWithState running totals: each key's final emitted row
 #: equals the batch rollup. value_total is compared at fixed microsecond
 #: precision (micros = round(total * 1e6)) because a distributed double

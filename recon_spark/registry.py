@@ -615,6 +615,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("asof_click_purchase", plans_sql.ASOF_CLICK_PURCHASE_SQL)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): every click gets the
+    user's most recent purchase at-or-before it, within 30 days. Oracle
+    is DuckDB's native ASOF JOIN — primitive-level parity."""
+    from .operators import asof
+
+    ev = _load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join_backward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tolerance_us=30 * 86_400 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("matched_ts").alias("purchase_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("purchase_lag_us"),
+        (F.col("matched_value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("purchase_value_micros"),
+    )
+
+
 @register("sessionization_events", plans_sql.SESSIONIZE_SQL)
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap sessions via F.session_window (batch form of the
