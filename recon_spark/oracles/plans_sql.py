@@ -170,6 +170,34 @@ FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2"""
 
+#: A2 generalized further: ROLLUP grouping sets (month x type, month,
+#: grand total) — an aggregate shape the reference has nowhere (SURVEY
+#: §2.5 "no grouping sets/cube/rollup"); subtotal rows carry SQL-standard
+#: NULL group markers in both engines.
+EVENTS_ROLLUP_SQL = """SELECT
+  CAST(date_trunc('month', ts) AS DATE) AS month,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY ROLLUP(1, 2)"""
+
+#: per-type value distribution: exact interpolated percentiles (Spark
+#: `percentile` == DuckDB `quantile_cont`), serialized at micro
+#: precision so sub-1e-6 interpolation-arithmetic differences between
+#: the engines cannot surface.
+VALUE_PERCENTILES_SQL = """SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(min(value) * 1000000) AS BIGINT) AS min_micros,
+  CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_micros,
+  CAST(round(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_micros,
+  CAST(round(max(value) * 1000000) AS BIGINT) AS max_micros
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type"""
+
 #: 30-day tumbling window in microseconds
 _WIN_US = 30 * 86_400 * 1_000_000
 
@@ -304,6 +332,34 @@ SELECT event_id, user_id,
   CAST(CASE WHEN within THEN ts_us - m_ts_us END AS BIGINT) AS purchase_lag_us,
   CAST(CASE WHEN within THEN CAST(CAST(m_value AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS BIGINT) AS purchase_value_micros
 FROM ok"""
+
+#: bucketized range-join replay: the oracle states the semantics as the
+#: plain inequality join (DuckDB IEJoin handles oracle scale); the Spark
+#: side must reproduce it through the bucket-equi-join + residual-filter
+#: rewrite. 24h lookback, micros arithmetic throughout.
+_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+RANGE_LOOKBACK_SQL = f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vus
+  FROM events WHERE ts IS NOT NULL
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+agg AS (
+  SELECT c.event_id, count(*) AS n, sum(e.vus) AS v
+  FROM c JOIN e
+    ON c.user_id = e.user_id
+   AND e.us >= c.us - {_LOOKBACK_US}
+   AND e.us < c.us
+  GROUP BY c.event_id
+)
+SELECT c.event_id, c.user_id, CAST(c.us AS BIGINT) AS ts_us,
+  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_prior,
+  CAST(agg.v AS BIGINT) AS prior_value_micros
+FROM c LEFT JOIN agg USING (event_id)"""
 
 #: applyInPandasWithState running totals: each key's final emitted row
 #: equals the batch rollup. value_total is compared at fixed microsecond

@@ -429,6 +429,50 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("analytics_value_percentiles", plans_sql.VALUE_PERCENTILES_SQL)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value distribution (min/p50/p90/max). Spark's
+    `percentile` is the exact interpolated quantile — one sort-based
+    aggregate per group, not the approx sketch — mirrored by DuckDB's
+    quantile_cont. At true 100 TB scale the swap-in is
+    `percentile_approx` (t-digest); this query grades the exact path."""
+    ev = _load_table(spark, sf_dir, "events")
+    micros = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            micros(F.min("value")).alias("min_micros"),
+            micros(F.percentile("value", F.lit(0.5))).alias("p50_micros"),
+            micros(F.percentile("value", F.lit(0.9))).alias("p90_micros"),
+            micros(F.max("value")).alias("max_micros"),
+        )
+    )
+
+
+@register("analytics_events_rollup", plans_sql.EVENTS_ROLLUP_SQL)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over events: (month, type) + monthly subtotals
+    + grand total in ONE pass — Spark plans a single Expand + aggregate,
+    not three scans (beyond-reference: SURVEY §2.5 notes the reference
+    has no grouping sets)."""
+    ev = _load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .rollup(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+            ).alias("value_total_micros"),
+        )
+    )
+
+
 # --- QA layer (J5 join coverage, V7 warning metrics) -------------------------
 
 from .plans import quality  # noqa: E402
@@ -646,6 +690,30 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("matched_value").cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("purchase_value_micros"),
+    )
+
+
+@register("range_join_lookback", plans_sql.RANGE_LOOKBACK_SQL)
+def q_range_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/ranges.py): per click, count and
+    value-sum of the user's events in the prior 24h. The oracle states
+    the plain inequality join; Spark executes the bucket-equi-join
+    rewrite (a bare BETWEEN join would plan as BroadcastNestedLoop)."""
+    from .operators import ranges
+
+    ev = _load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    points = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("value_micros"),
+    )
+    anchors = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return ranges.lookback_agg(
+        anchors, points, on=["user_id"], value_micros_col="value_micros"
     )
 
 
