@@ -198,6 +198,39 @@ FROM events
 WHERE ts IS NOT NULL AND value IS NOT NULL
 GROUP BY event_type"""
 
+#: distinct-count aggregate (reference has no distinct-agg, SURVEY §2.5):
+#: per-type user reach + events-per-user ratio.
+USER_REACH_SQL = """SELECT
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY event_type"""
+
+#: stream-stream interval join replay: with availableNow over complete
+#: data, an INNER stream-stream join emits exactly the batch inequality
+#: join (watermarks bound state retention, not which matches emit).
+_SS_JOIN_US = 24 * 3600 * 1_000_000
+
+STREAM_JOIN_SQL = f"""WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us, value
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+  CAST(c.click_us AS BIGINT) AS click_us,
+  CAST(p.purchase_us AS BIGINT) AS purchase_us,
+  CAST(CAST(CAST(p.value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS BIGINT) AS purchase_value_micros
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.purchase_us >= c.click_us - {_SS_JOIN_US}
+ AND p.purchase_us < c.click_us"""
+
 #: 30-day tumbling window in microseconds
 _WIN_US = 30 * 86_400 * 1_000_000
 

@@ -429,6 +429,36 @@ def q_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("analytics_user_reach", plans_sql.USER_REACH_SQL)
+def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregate (the reference has no distinct-agg shape):
+    per-type user reach + events-per-user. Exact count_distinct grades;
+    the 100 TB swap-in is approx_count_distinct (HLL, no second shuffle),
+    asserted within 5% in test_llm_ops."""
+    ev = _load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            (F.count(F.lit(1)).cast("double") / F.count_distinct("user_id")).alias(
+                "events_per_user"
+            ),
+        )
+    )
+
+
+@register("streaming_click_purchase_join", plans_sql.STREAM_JOIN_SQL)
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py) run availableNow
+    into a memory sink; inner joins emit all matches over complete data,
+    so the oracle is the batch inequality join."""
+    from .streaming import joins
+
+    return joins.run_to_memory(spark, sf_dir, name="click_purchase_join_check")
+
+
 @register("analytics_value_percentiles", plans_sql.VALUE_PERCENTILES_SQL)
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value distribution (min/p50/p90/max). Spark's
