@@ -263,3 +263,74 @@ def with_text_stats(df, text_col: str = "text"):
         .withColumn("min_shingle_hash", F.array_min(F.transform(F.col("__sh"), F.md5)))
     )
     return out.drop("__toks", "__sh")
+
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf/len * (ln((N+1)/(df+1)) + 1)``, the sklearn smooth-idf form) —
+    the corpus-statistics operator of a text pipeline (keyword extraction,
+    quality weighting, dedup features).
+
+    Shape: ONE aggregated term-frequency frame drives everything — doc
+    lengths, document frequencies, and the corpus size all derive from
+    the persisted ``tf`` aggregate, so the corpus is tokenized exactly
+    once. The df table is vocab-cardinality (broadcast-size for real
+    vocabularies); N is a 1-row broadcast. Final top-k is a per-doc
+    window. ``N`` counts docs with >= 1 token (docs absent from ``tf``),
+    mirrored by the oracle.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc")).persist()
+    dl = tf.groupBy("id").agg(F.sum("tc").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "s",
+            (F.col("tc").cast("double") / F.col("n"))
+            * (
+                F.log((F.col("nd") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("s") * 1_000_000).cast("long").alias("tfidf_micros"),
+        )
+    )
+
+
+def repetition_stats(toks: Column) -> tuple[Column, Column]:
+    """Gopher-style repetition signals over a STAGED token-array column:
+    type-token ratio (distinct/total) and the mode token's frequency
+    share. O(tokens x distinct) per row in column algebra — fine for
+    document-sized rows; both NULL for empty docs.
+
+    PERF: like every array op in this module, ``toks`` must be a plain
+    column reference (see shingles_from_tokens).
+    """
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    ttr = F.when(n > 0, F.size(distinct).cast("double") / n)
+    top_share = F.when(n > 0, top.cast("double") / n)
+    return ttr, top_share

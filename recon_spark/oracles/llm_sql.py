@@ -182,6 +182,67 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
   list_min(list_transform({shingles('text')}, s -> md5(s))) AS min_shingle_hash
 FROM stats"""
 
+#: smoothed TF-IDF top-3 terms per doc; N counts docs with >= 1 token
+#: (exactly the ids present in the tf aggregate), same as the Spark side.
+#: Literal +1.0 decimals are exact-integer shifts, so the DECIMAL->DOUBLE
+#: promotion cannot drift.
+TFIDF_SQL = f"""WITH toks AS (
+  SELECT doc_id AS id, unnest({tokens('text')}) AS term FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+dl AS (SELECT id, CAST(sum(tc) AS BIGINT) AS n FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+nn AS (SELECT count(DISTINCT id) AS nd FROM tf),
+scored AS (
+  SELECT tf.id, tf.term,
+    (CAST(tc AS DOUBLE) / n) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0) AS s
+  FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN nn
+)
+SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
+       CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+#: repetition signals: type-token ratio + mode-token share, micros-scaled
+REPETITION_SQL = f"""WITH base AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1000000) END AS BIGINT) AS ttr_micros,
+  CAST(CASE WHEN len(toks) > 0 THEN
+    round(CAST(list_max(list_transform(list_distinct(toks),
+      d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / len(toks) * 1000000) END AS BIGINT) AS top_share_micros
+FROM base"""
+
+from ..operators import sampling as _SAMP  # noqa: E402
+
+#: deterministic 90/5/5 hash split — same md5 coin and uint32 integer
+#: edges as operators/sampling.py (constants imported, cannot drift).
+SPLIT_SQL = f"""SELECT doc_id,
+  CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
+       WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+#: stratified 1/10 sample per lang: hash order, exact integer-ceil quota.
+STRATIFIED_SAMPLE_SQL = f"""WITH b AS (
+  SELECT doc_id, lang,
+         {hash32("'sample:v1' || CAST(doc_id AS VARCHAR)")} AS hb
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         count(*) OVER (PARTITION BY lang) AS cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, lang FROM r
+WHERE rn <= (1 * cnt + 10 - 1) // 10"""
+
 DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
 fp AS (
   SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug

@@ -569,6 +569,53 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_repetition", llm_sql.REPETITION_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (type-token ratio, mode-token share) —
+    the Gopher-style repeated-content filter inputs."""
+    docs = _load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", T.tokens("text")
+    )
+    ttr, top_share = T.repetition_stats(F.col("__toks"))
+    micros = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        micros(ttr).alias("ttr_micros"),
+        micros(top_share).alias("top_share_micros"),
+    )
+
+
+@register("data_split_documents", llm_sql.SPLIT_SQL)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test hash split
+    (operators/sampling.py): md5-keyed, shuffle-free, growth-stable —
+    never rand()."""
+    from .operators import sampling
+
+    docs = _load_table(spark, sf_dir, "documents")
+    return sampling.with_split(docs).select("doc_id", "split")
+
+
+@register("data_sample_stratified", llm_sql.STRATIFIED_SAMPLE_SQL)
+def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified 10% sample per lang: hash-ordered rank vs an
+    integer-ceil quota — per-stratum sizes are deterministic, unlike
+    Bernoulli sampleBy."""
+    from .operators import sampling
+
+    docs = _load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "lang", 1, 10).select("doc_id", "lang")
+
+
+@register("text_tfidf_top_terms", llm_sql.TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF top-3 terms per document (operators/text.py):
+    corpus tokenized once into a persisted tf aggregate; df and N derive
+    from it (vocab-sized broadcast + 1-row broadcast)."""
+    return T.tfidf_top_terms(_load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_exact_documents", llm_sql.DEDUP_EXACT_SQL)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs_aug(spark, sf_dir).withColumn("fingerprint", T.fingerprint("text"))

@@ -1,0 +1,67 @@
+"""Deterministic split / stratified sample / tf-idf / repetition ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators import sampling
+from recon_spark.operators import text as T
+
+
+def test_split_is_deterministic_and_growth_stable(spark):
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id: r.split for r in sampling.with_split(docs).collect()}
+    s2 = {r.doc_id: r.split for r in sampling.with_split(docs).collect()}
+    assert s1 == s2
+    # adding docs never relabels existing ones
+    grown = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    s3 = {r.doc_id: r.split for r in sampling.with_split(grown).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # roughly 90/5/5
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert c["train"] > 400 and c["val"] > 5 and c["test"] > 5
+
+
+def test_stratified_sample_exact_quota(spark):
+    rows = [(i, "a" if i < 70 else "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(docs, "lang", 1, 10).collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in out)
+    assert c == {"a": 7, "b": 3}  # ceil(70/10), ceil(30/10)
+    # deterministic choice
+    again = sampling.stratified_sample(docs, "lang", 1, 10).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): r.term
+        for r in T.tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc-unique terms (idf ln(2)+1) outrank the corpus-wide one (idf 1)
+    assert out[(1, 1)] == "zebra" and out[(1, 2)] == "common"
+    assert out[(2, 1)] == "yak"
+    assert out[(3, 1)] == "common"
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    ).withColumn("__toks", T.tokens("text"))
+    ttr, top = T.repetition_stats(F.col("__toks"))
+    rows = {r.doc_id: r for r in docs.select("doc_id", ttr.alias("t"), top.alias("m")).collect()}
+    assert rows[1].t == pytest.approx(0.25) and rows[1].m == pytest.approx(1.0)
+    assert rows[2].t == pytest.approx(1.0) and rows[2].m == pytest.approx(0.25)
+    assert rows[3].t is None and rows[3].m is None
