@@ -81,3 +81,45 @@ def stratified_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__cnt", "__rn")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Eval-contamination scan: which test-split documents share any
+    k-token shingle with ANY train-split document — the check a training
+    pipeline runs before trusting its held-out metrics.
+
+    Returns (id, n_shared) for contaminated test docs (n_shared =
+    distinct overlapping shingles). Shape: one persisted
+    (id, split, shingles) frame; the train side collapses to a DISTINCT
+    shingle projection (vocab-bounded) before the equi-join, so the join
+    is index-sized, never |train| x |test|. Same bucketed-equi-join
+    scale story as the dedup family; the split reuses the md5 coin so
+    the whole check is deterministic end-to-end.
+    """
+    from . import text as T
+
+    base = with_split(docs, id_col, salt).withColumn("__toks", T.tokens(text_col))
+    sh = base.select(
+        F.col(id_col).alias("id"),
+        "split",
+        T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+    ).persist()
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    test_idx = sh.filter(F.col("split") == "test").select(
+        "id", F.explode("sh").alias("shingle")
+    )
+    return (
+        test_idx.join(train_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

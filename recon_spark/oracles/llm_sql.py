@@ -243,6 +243,26 @@ r AS (
 SELECT doc_id, lang FROM r
 WHERE rn <= (1 * cnt + 10 - 1) // 10"""
 
+#: eval-contamination scan: test docs sharing any 5-shingle with a train
+#: doc (split replayed from the same md5 edges).
+CONTAMINATION_SQL = f"""WITH labeled AS (
+  SELECT doc_id, text,
+    CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
+         WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+sh AS (SELECT doc_id AS id, split, {shingles('text', 5)} AS sh FROM labeled),
+train_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE split = 'train'
+),
+test_idx AS (
+  SELECT id, unnest(sh) AS shingle FROM sh WHERE split = 'test'
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+FROM test_idx JOIN train_sh USING (shingle)
+GROUP BY id"""
+
 DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
 fp AS (
   SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug

@@ -608,6 +608,18 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(docs, "lang", 1, 10).select("doc_id", "lang")
 
 
+@register("data_contamination_check", llm_sql.CONTAMINATION_SQL)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination scan composing the hash split with the shingle
+    index: test docs sharing any 5-token shingle with a train doc."""
+    from .operators import sampling
+
+    docs = _load_table(spark, sf_dir, "documents")
+    return sampling.contamination_check(docs).select(
+        "id", "n_shared"
+    )
+
+
 @register("text_tfidf_top_terms", llm_sql.TFIDF_SQL)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per document (operators/text.py):

@@ -36,6 +36,27 @@ def test_stratified_sample_exact_quota(spark):
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
 
 
+def test_contamination_check_flags_shared_shingles(spark):
+    """A test-split doc that shares a 5-shingle with a train doc is
+    flagged; unrelated test docs are not."""
+    # find ids landing in train/test under the real hash split
+    probe = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    labels = {r.doc_id: r.split for r in sampling.with_split(probe).collect()}
+    train_id = next(i for i, s in labels.items() if s == "train")
+    test_ids = [i for i, s in labels.items() if s == "test"]
+    assert len(test_ids) >= 2
+    leak = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_id, "train doc containing " + leak),
+        (test_ids[0], leak + " copied into a test doc"),
+        (test_ids[1], "completely different held out words entirely unrelated"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.n_shared for r in sampling.contamination_check(docs).collect()}
+    assert test_ids[0] in out and out[test_ids[0]] >= 1
+    assert test_ids[1] not in out
+
+
 def test_tfidf_ranks_distinctive_terms(spark):
     docs = spark.createDataFrame(
         [

@@ -30,6 +30,9 @@ AUDITED = [
     "dedup_ngram_jaccard",
     "sessionization_events",
     "multimodal_frame_sample",
+    "asof_click_purchase",
+    "range_join_lookback",
+    "text_tfidf_top_terms",
     "similarity_ann_lsh",
     "similarity_ann_lsh_multiprobe",
     "streaming_event_trend",
@@ -114,6 +117,21 @@ NOTES = {
         "Single Arrow-batched mapInPandas stage with constant (n_frames) "
         "fan-out per row; payloads stay opaque binary on either side of "
         "the stage."
+    ),
+    "asof_click_purchase": (
+        "Union + forward-fill window (distributed merge-scan): ONE "
+        "shuffle on user_id, zero join fan-out — the join+rank "
+        "composition would materialize unbounded rows on hot keys."
+    ),
+    "range_join_lookback": (
+        "Interval x point as bucket-equi-join + residual filter; a bare "
+        "BETWEEN join would plan BroadcastNestedLoop — this plan has "
+        "zero nested-loop joins (asserted below)."
+    ),
+    "text_tfidf_top_terms": (
+        "One tokenize pass into a persisted tf aggregate; df is "
+        "vocab-cardinality (broadcast), N a 1-row broadcast, top-k a "
+        "per-doc window."
     ),
     "streaming_event_trend": (
         "Tumbling 30d window + watermark under availableNow; state is "
