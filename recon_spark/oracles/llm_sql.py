@@ -205,6 +205,42 @@ FROM (
   FROM scored
 ) WHERE rank <= 3"""
 
+#: corpus mixing table: per (lang, source) doc/token tallies + token
+#: share of corpus — the numbers a data-mixture config is built from.
+MIXING_WEIGHTS_SQL = f"""WITH per AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len({tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+  CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros
+FROM per CROSS JOIN tot"""
+
+#: ntile quality binning (deterministic total order), aggregated to the
+#: 4 bin rows.
+QUALITY_BINS_SQL = f"""WITH scored AS (
+  SELECT doc_id,
+    CAST(3 - len({_QUALITY_FLAGS}) AS DOUBLE) / 3.0 AS q
+  FROM (
+    SELECT doc_id, text, {tokens('text')} AS toks,
+      CAST(len({tokens('text')}) AS BIGINT) AS n_tokens,
+      (CASE WHEN len({tokens('text')}) > 0 THEN
+        CAST(list_sum(list_transform({tokens('text')}, t -> length(t))) AS DOUBLE)
+        / len({tokens('text')}) END) AS mean_wl,
+      (CASE WHEN length(text) > 0 THEN
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text) END) AS sym_ratio
+    FROM documents
+  )
+),
+binned AS (
+  SELECT doc_id, q, ntile(4) OVER (ORDER BY q DESC, doc_id) AS bin FROM scored
+)
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(avg(q) * 1000000) AS BIGINT) AS avg_quality_micros
+FROM binned GROUP BY bin"""
+
 #: repetition signals: type-token ratio + mode-token share, micros-scaled
 REPETITION_SQL = f"""WITH base AS (
   SELECT doc_id, {tokens('text')} AS toks FROM documents

@@ -586,6 +586,49 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("data_mixing_weights", llm_sql.MIXING_WEIGHTS_SQL)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing table: per (lang, source) doc/token tallies and each
+    cell's token share — the input to a data-mixture sampling config.
+    One groupBy + a 1-row broadcast total."""
+    docs = _load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t") * 1_000_000)
+        .cast("long")
+        .alias("token_share_micros"),
+    )
+
+
+@register("data_quality_bins", llm_sql.QUALITY_BINS_SQL)
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quality binning over a deterministic total order,
+    aggregated per bin. The global ntile is a single-partition sort —
+    fine for config-sized outputs; the 100 TB swap-in is approx-quantile
+    cutpoints (percentile_approx) joined back as range predicates."""
+    from pyspark.sql import Window
+
+    docs = _load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", T.quality_score("text").alias("q"))
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("bin", F.ntile(4).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("q") * 1_000_000).cast("long").alias("avg_quality_micros"),
+        )
+    )
+
+
 @register("data_split_documents", llm_sql.SPLIT_SQL)
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test hash split
