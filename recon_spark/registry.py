@@ -42,14 +42,29 @@ def _issues_joined(df: DataFrame) -> DataFrame:
     return df.withColumn("validation_issues", F.array_join("validation_issues", ";"))
 
 
+#: analyzed-PLAN memo for clean_tables. DataFrames are immutable lazy
+#: plans, so handing the same objects to every query is semantics-free —
+#: what it saves is the driver-side plan construction + analysis of the
+#: four (large) cleaner expression trees, re-paid identically by every
+#: engine query otherwise (measured ~3.5s of engine_c's 7.3s wall at
+#: sf0.1 was plan build, not execution). NO data is persisted/cached.
+#: Keyed on the session, the sf dir, and the fixture-materialization
+#: token so a bench-time materialize_raw invalidates earlier plans.
+_CLEAN_PLAN_MEMO: dict[tuple[int, str, int], dict[str, DataFrame]] = {}
+
+
 def clean_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The four cleaned canonical tables from the fixture derivation."""
-    return {
-        "relius": cleaning.clean_relius(fixtures.relius_raw(spark, sf_dir)),
-        "matrix": cleaning.clean_matrix(fixtures.matrix_raw(spark, sf_dir)),
-        "demo": cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, sf_dir)),
-        "basis": cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, sf_dir)),
-    }
+    key = (id(spark), sf_dir, len(fixtures._RAW_OVERRIDE))
+    memo = _CLEAN_PLAN_MEMO.get(key)
+    if memo is None:
+        memo = _CLEAN_PLAN_MEMO[key] = {
+            "relius": cleaning.clean_relius(fixtures.relius_raw(spark, sf_dir)),
+            "matrix": cleaning.clean_matrix(fixtures.matrix_raw(spark, sf_dir)),
+            "demo": cleaning.clean_relius_demo(fixtures.relius_demo_raw(spark, sf_dir)),
+            "basis": cleaning.clean_roth_basis(fixtures.roth_basis_raw(spark, sf_dir)),
+        }
+    return memo
 
 
 # --- cleaners (P1/P2, F1/F8, D1-D3, C*, V*) ---------------------------------
