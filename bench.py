@@ -20,23 +20,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: representative slice of the registry: the four reconciliation engines,
-#: the corrections deliverable, analytics rollups, and the LLM-pipeline
-#: operators (text stats, MinHash-LSH near-dup, LSH ANN).
+#: the corrections deliverable, analytics rollups, the LLM-pipeline
+#: operators (text stats, MinHash-LSH near-dup, ANN recall over all
+#: three indexes), and the beyond-reference join/streaming/multimodal
+#: surface so every operator family has wall-time accountability.
 HEADLINE = [
     "clean_matrix",
     "engine_a_match_planid",
     "engine_b_age_taxcode",
     "engine_c_roth_taxable",
     "engine_d_ira_rollover",
-    "corrections_engine_a",
-    "analytics_trends_engine_a",
+    "corrections_all",
+    "analytics_trends_all",
     "analytics_events_monthly",
+    "analytics_value_percentiles",
+    "data_quality_bins",
     "text_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sessionization_events",
     "asof_click_purchase",
-    "similarity_ann_lsh",
+    "range_join_lookback",
+    "streaming_click_purchase_join",
+    "multimodal_features",
+    "similarity_recall",
 ]
 
 
@@ -92,6 +99,12 @@ def main() -> None:
             msg = str(exc).split("\n", 1)[0][:300]
             errors[name] = f"ERROR {type(exc).__name__}: {msg}"
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+        finally:
+            # operators that persist() intermediates (minhash shingles,
+            # tfidf tf, ngram prefixes) hand cache lifecycle to the
+            # caller; dropping blocks between queries keeps one query's
+            # cache from occupying executor memory during the next
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_wall_sec",

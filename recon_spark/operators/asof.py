@@ -56,9 +56,21 @@ def asof_join_backward(
     l = left.withColumn("__side", F.lit(1))
     tagged = l.unionByName(r, allowMissingColumns=True)
 
+    # Tie-break: multiple right rows sharing (key, ts) are ordered by
+    # their value columns ascending (nulls first), so the forward-fill's
+    # "last" row — the match — is the greatest non-null value tuple,
+    # deterministically, instead of partition-order luck. Callers needing
+    # a specific tie rule (e.g. oracle parity with an engine whose ASOF
+    # tie choice is unspecified) should still pre-dedup the right side
+    # per (key, ts) — column-wise last() can mix rows if the winning
+    # right row has NULLs in some value columns.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged.withColumns(

@@ -304,7 +304,14 @@ def tfidf_top_terms(
             ),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("term").asc())
+    # rank on the MICROS-ROUNDED score (the serialized value), not the
+    # raw double: ln() can differ by 1 ulp between libm implementations,
+    # and ranking on the raw double would let two near-equal (not equal)
+    # terms order differently across engines — the rounded key makes
+    # "which terms survive rank <= k" identical wherever the serialized
+    # scores are identical
+    s_micros = F.round(F.col("s") * 1_000_000).cast("long")
+    w = Window.partitionBy("id").orderBy(s_micros.desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -312,7 +319,7 @@ def tfidf_top_terms(
             F.col("id").alias(id_col),
             "term",
             F.col("rank").cast("int").alias("rank"),
-            F.round(F.col("s") * 1_000_000).cast("long").alias("tfidf_micros"),
+            s_micros.alias("tfidf_micros"),
         )
     )
 

@@ -36,8 +36,10 @@ def _combined(s1: str, s2: str) -> str:
 
 # --- Engine A: inherited-plan reconciliation (match_planid.py) ---------------
 
-ENGINE_A_CTES = f"""{PRELUDE},
-ea_r AS (SELECT * FROM relius_clean WHERE plan_id IN {_INHERITED}),
+#: engine-specific CTE chain WITHOUT the shared fixture/cleaner prelude —
+#: uniquely ``ea_``-prefixed so several engines can share one WITH clause
+#: (merged multi-engine oracles in plans_sql build PRELUDE + N tails).
+ENGINE_A_TAIL = f"""ea_r AS (SELECT * FROM relius_clean WHERE plan_id IN {_INHERITED}),
 ea_m AS (SELECT * FROM matrix_clean WHERE plan_id IN {_INHERITED}),
 ea_joined AS (
   SELECT
@@ -104,6 +106,8 @@ ea_out AS (
   FROM ea_corr
 )"""
 
+ENGINE_A_CTES = f"{PRELUDE},\n{ENGINE_A_TAIL}"
+
 ENGINE_A_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, exported_date, txn_date, date_lag_days,
   date_within_tolerance, merge_side, match_status, dist_category_relius,
@@ -124,8 +128,7 @@ _EB_ROTH = (
     " OR ends_with(upper(trim(coalesce(plan_id, ''))), 'R'))"
 )
 
-ENGINE_B_CTES = f"""{PRELUDE},
-eb_join AS (
+ENGINE_B_TAIL = f"""eb_join AS (
   SELECT m.*,
     d.dob, d.term_date, d.first_name, d.last_name,
     coalesce(m.participant_name,
@@ -201,6 +204,8 @@ eb_final AS (
   FROM eb_out
 )"""
 
+ENGINE_B_CTES = f"{PRELUDE},\n{ENGINE_B_TAIL}"
+
 ENGINE_B_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, txn_date, transaction_id, matrix_account, full_name,
   tax_code_1, tax_code_2, dob, term_date, dob_year, txn_year, term_year,
@@ -226,8 +231,7 @@ _IRA_PLAN = (
 _COMPACT = "replace(regexp_replace(upper(trim({0})), '\\s+', '', 'g'), '-', '')"
 _SPACE_LOWER = "lower(regexp_replace(trim({0}), '\\s+', ' ', 'g'))"
 
-ENGINE_D_CTES = f"""{PRELUDE},
-ed_scope AS (
+ENGINE_D_TAIL = f"""ed_scope AS (
   SELECT * FROM matrix_clean
   WHERE {_IRA_PLAN}
     AND {_SPACE_LOWER.format('txn_method')} = 'check distribution'
@@ -269,6 +273,8 @@ ed_final AS (
     ], x -> x IS NOT NULL), '; '), '') AS review_reason
   FROM ed_masks2
 )"""
+
+ENGINE_D_CTES = f"{PRELUDE},\n{ENGINE_D_TAIL}"
 
 ENGINE_D_SELECT = f"""SELECT
   plan_id, ssn, gross_amt, txn_date, transaction_id, matrix_account,
@@ -333,8 +339,7 @@ _EC_REASONS_LIST = ",\n      ".join(
     f"CASE WHEN {mask} THEN '{tok}' END" for mask, tok in _EC_REASON_PAIRS
 )
 
-ENGINE_C_CTES = f"""{PRELUDE},
-ec_scope AS (
+ENGINE_C_TAIL = f"""ec_scope AS (
   SELECT * FROM matrix_clean
   WHERE {_EC_ROTH} AND plan_id NOT IN {_INHERITED}
 ),
@@ -490,6 +495,15 @@ ec_final AS (
     CASE WHEN year_change_required THEN CAST(f_year AS BIGINT) END AS suggested_first_roth_tax_year
   FROM ec_status
 )"""
+
+ENGINE_C_CTES = f"{PRELUDE},\n{ENGINE_C_TAIL}"
+
+#: all four engines in ONE WITH clause (prefixes ea_/eb_/ec_/ed_ are
+#: disjoint) — the base for merged multi-engine analytics oracles.
+ALL_ENGINES_CTES = (
+    f"{PRELUDE},\n{ENGINE_A_TAIL},\n{ENGINE_B_TAIL},\n"
+    f"{ENGINE_C_TAIL},\n{ENGINE_D_TAIL}"
+)
 
 ENGINE_C_SELECT = f"""SELECT
   transaction_id, txn_date, ssn, participant_name, matrix_account, plan_id,

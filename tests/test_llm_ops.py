@@ -253,6 +253,39 @@ def test_brute_force_topk_ranks_by_cosine(spark):
     assert out[2].score == pytest.approx(-1.0)
 
 
+def test_brute_force_topk_blas_matches_fold(spark):
+    """The BLAS mapInPandas variant returns the identical ranked neighbor
+    list as the fold-based column-algebra path on the real test corpus
+    (scores agree to float tolerance; ranked IDs exactly)."""
+    from recon_spark.sources.tpch import load as load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    fold = SIM.brute_force_topk(emb, q, k=10).collect()
+    blas = SIM.brute_force_topk_blas(emb, q, k=10).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in fold] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in blas
+    ]
+    for a, b in zip(fold, blas):
+        assert b.score == pytest.approx(a.score, rel=1e-12)
+
+
+def test_brute_force_topk_blas_excludes_self_and_orders(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = SIM.brute_force_topk_blas(corpus, q, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].score == pytest.approx(1.0 / math.sqrt(1.01))
+
+
 def test_ann_lsh_scores_only_same_bucket(spark):
     dims = (0, 1)
     corpus = _vecs(
@@ -430,11 +463,11 @@ def test_streaming_trend_matches_batch(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     stream_rows = sorted(
-        (str(r.window_start), r.event_type, r.n, str(r.value_total))
+        (str(r.window_start), r.event_type, r.n, r.value_total_micros)
         for r in trends.run_to_memory(spark, sf_dir, name="t_stream_parity").collect()
     )
     batch_rows = sorted(
-        (str(r.window_start), r.event_type, r.n, str(r.value_total))
+        (str(r.window_start), r.event_type, r.n, r.value_total_micros)
         for r in trends.windowed_event_trend(load_events(spark, sf_dir)).collect()
     )
     assert stream_rows == batch_rows and len(stream_rows) > 0

@@ -22,9 +22,11 @@ AUDITED = [
     "engine_b_age_taxcode",
     "engine_c_roth_taxable",
     "engine_d_ira_rollover",
-    "corrections_engine_a",
-    "analytics_trends_engine_a",
+    "corrections_all",
+    "analytics_trends_all",
     "qa_join_coverage_engine_a",
+    "analytics_value_percentiles",
+    "data_quality_bins",
     "text_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -33,8 +35,7 @@ AUDITED = [
     "asof_click_purchase",
     "range_join_lookback",
     "text_tfidf_top_terms",
-    "similarity_ann_lsh",
-    "similarity_ann_lsh_multiprobe",
+    "similarity_recall",
     "streaming_event_trend",
 ]
 
@@ -69,12 +70,25 @@ NOTES = {
         "exchanges; the exchanges visible below belong to the shared "
         "cleaner prefix (fixture derivation join + dedup window)."
     ),
-    "corrections_engine_a": (
-        "Engine A plan + one filter + projection; no additional exchange."
+    "corrections_all": (
+        "Engine A + Engine C plans, one filter + projection each, unioned; "
+        "no exchange beyond the engines' own."
     ),
-    "analytics_trends_engine_a": (
-        "groupBy(month, reason) — partial (map-side) aggregation before one "
-        "shuffle on low-cardinality keys."
+    "analytics_trends_all": (
+        "groupBy(month, key) per engine — partial (map-side) aggregation "
+        "before one shuffle on low-cardinality keys, then a union."
+    ),
+    "analytics_value_percentiles": (
+        "Distributed EXACT percentiles (operators/ranking.py): value-"
+        "distribution aggregate + bucket-offset cumsum (bucket-count "
+        "frame only) + per-bucket rank windows — replaces the builtin "
+        "percentile() whose buffer holds a whole group per task."
+    ),
+    "data_quality_bins": (
+        "Distributed EXACT ntile (operators/ranking.py two-phase rank): "
+        "the only SinglePartition step is over the bucket-count frame; "
+        "rows are ranked in windows partitioned by (score, id-block) — "
+        "replaces the global ntile window's all-rows-one-task exchange."
     ),
     "qa_join_coverage_engine_a": (
         "Right side reduced to distinct keys before the join; single "
@@ -87,16 +101,13 @@ NOTES = {
         "buckets — never all-pairs. Hot boilerplate buckets are the skew "
         "case AQE skew-join splits."
     ),
-    "similarity_ann_lsh": (
-        "Random-hyperplane LSH buckets + within-bucket cosine; probe side "
-        "broadcast (queries are few), corpus side stays partitioned. "
-        "Exact-bucket variant: candidate generation only (recall ~0 "
-        "standalone) — the default ann_topk_lsh surface is multi-probe."
-    ),
-    "similarity_ann_lsh_multiprobe": (
-        "The DEFAULT LSH ANN surface: query side explodes by the constant "
-        "probe count (37 masks at radius 2), corpus side unchanged — same "
-        "single corpus shuffle on the bucket key, recall 0.42 vs 0.0."
+    "similarity_recall": (
+        "Grades all three ANN indexes against brute force in one plan: "
+        "exact-bucket LSH (candidate generator, recall ~0 standalone), "
+        "multi-probe LSH (constant 37-mask query explode, recall 0.42), "
+        "and IVF (broadcast centroids, in-cell equi-join, recall 0.94). "
+        "Every candidate generator is a bucketed equi-join; the truth set "
+        "is |queries| x k rows, broadcast."
     ),
     "dedup_ngram_jaccard": (
         "Count-based set-similarity join: one cached shingling pass, one "
