@@ -1,0 +1,122 @@
+"""Connected components over near-dup pair edges — cluster resolution.
+
+The dedup operators (``dedup.minhash_near_dup``, ``ngram_jaccard_pairs``,
+simhash band pairs) emit PAIR lists, but an actual corpus dedup needs a
+per-document decision: group the pairs into clusters and keep one
+canonical document per cluster.  Pair lists alone under-delete — if A~B
+and B~C but A!~C, keeping "one of each pair" keeps two of {A,B,C}; the
+transitive closure keeps exactly one.
+
+Algorithm: iterative min-label propagation with pointer jumping (the
+hash-join formulation of connected components used by large-scale dedup
+pipelines; cf. the alternating large-star/small-star algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+Each iteration is two shuffle joins over the (bounded) edge list and the
+label frame — no adjacency matrix, no driver-side graph.  Per iteration
+each node takes the min label over {itself} ∪ neighbors, then one
+pointer-jump round (label := label's label) halves path lengths, so
+convergence is O(log diameter) iterations; near-dup clusters have tiny
+diameters, so 2-4 iterations is typical.  The only driver-side work per
+iteration is a 1-row convergence probe.
+
+At 100 TB scale: edges are |near-dup pairs| (orders of magnitude smaller
+than the corpus), labels are 2 longs per touched node, every step is a
+key-partitioned shuffle join — the same shape GraphX/GraphFrames uses for
+its CC implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+    comp_out: str = "comp",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node reachable through ``pairs`` with the MIN node id of
+    its connected component (undirected).  Returns one row per distinct
+    node: ``(id_out, comp_out)``.  Nodes not present in any pair are not
+    returned (singletons are trivially their own component).
+
+    Deterministic: the component label is the smallest node id in the
+    component, independent of iteration order or partitioning.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # localCheckpoint (not persist): each loop round would otherwise GROW
+    # the driver-side logical plan — by convergence the plan is
+    # exponentially nested and Catalyst analysis dominates wall time.
+    # Checkpointing truncates lineage to the materialized partitions,
+    # exactly what GraphFrames does for its CC loop.  localCheckpoint is
+    # executor-local (no reliable FS needed); a lost executor at scale
+    # restarts the loop — acceptable for a convergent algorithm.
+    e = e.distinct().localCheckpoint()
+
+    lab = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    # labels only ever DECREASE (min over a set containing self), so
+    # sum(comp) strictly decreases until the fixpoint: a 1-row aggregate
+    # on the checkpointed frame is a sound convergence probe — no
+    # old-vs-new join needed.
+    prev_sum = lab.agg(F.sum("comp")).first()[0]
+
+    for _ in range(max_iter):
+        # gather: min label over {self} ∪ neighbors
+        msgs = e.join(lab.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "comp"
+        )
+        gathered = (
+            msgs.unionByName(lab).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp := comp's current label (path halving)
+        ptr = gathered.select(
+            F.col("id").alias("comp"), F.col("comp").alias("__jump")
+        )
+        lab = (
+            gathered.join(ptr, "comp", "left")
+            .select("id", F.coalesce("__jump", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return lab.select(F.col("id").alias(id_out), F.col("comp").alias(comp_out))
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "doc_id",
+) -> DataFrame:
+    """Near-dup cluster resolution: pairs → per-document keep/drop verdict.
+
+    Returns one row per document that appears in any pair:
+    ``(doc_id, cluster_id, cluster_size, keep)`` where ``cluster_id`` is
+    the min doc id of the transitive near-dup cluster, ``cluster_size``
+    its member count, and ``keep`` marks the canonical (min-id) member.
+    Documents in no pair are untouched by dedup and are not returned.
+    """
+    lab = connected_components(pairs, src=src, dst=dst)
+    sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lab.join(sizes, "comp")
+        .select(
+            F.col("id").alias(id_out),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("keep"),
+        )
+    )

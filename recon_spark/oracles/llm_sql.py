@@ -189,7 +189,7 @@ FROM stats"""
 TFIDF_SQL = f"""WITH toks AS (
   SELECT doc_id AS id, unnest({tokens('text')}) AS term FROM documents
 ),
-tf AS (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+tf AS MATERIALIZED (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
 dl AS (SELECT id, CAST(sum(tc) AS BIGINT) AS n FROM tf GROUP BY 1),
 dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
 nn AS (SELECT count(DISTINCT id) AS nd FROM tf),
@@ -292,7 +292,7 @@ CONTAMINATION_SQL = f"""WITH labeled AS (
          ELSE 'test' END AS split
   FROM documents
 ),
-sh AS (SELECT doc_id AS id, split, {shingles('text', 5)} AS sh FROM labeled),
+sh AS MATERIALIZED (SELECT doc_id AS id, split, {shingles('text', 5)} AS sh FROM labeled),
 train_sh AS (
   SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE split = 'train'
 ),
@@ -318,15 +318,15 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
 )
 
 MINHASH_LSH_SQL = f"""WITH {DOCS_AUG_CTE},
-shs AS (
+shs AS MATERIALIZED (
   SELECT doc_id AS id, {shingles('text')} AS sh FROM docs_aug
 ),
-withsh AS (
+withsh AS MATERIALIZED (
   SELECT id, sh, {minhash_signature_from('sh')} AS sig FROM shs
   WHERE {minhash_signature_from('sh')} IS NOT NULL
 ),
 sigs AS (SELECT id, sig FROM withsh),
-banded AS (
+banded AS MATERIALIZED (
 {_BAND_SELECTS}
 ),
 cand AS (
@@ -355,11 +355,11 @@ SELECT id_a, id_b, est_jaccard, jaccard FROM pairs WHERE jaccard >= 0.4"""
 #: length filter and both threshold compares are pure integer arithmetic,
 #: shared via the same JACCARD_T_NUM/DEN constants as the Spark side.
 NGRAM_JACCARD_SQL = f"""WITH {DOCS_AUG_CTE},
-shs0 AS (
+shs0 AS MATERIALIZED (
   SELECT doc_id AS id, {shingles('text')} AS sh FROM docs_aug
 ),
 shs AS (SELECT id, sh FROM shs0 WHERE len(sh) > 0),
-idx AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM shs),
+idx AS MATERIALIZED (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM shs),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*) AS i
   FROM idx a JOIN idx b USING (shingle)
@@ -383,14 +383,14 @@ _H = D.SIMHASH_BITS // 2
 _HMASK = (1 << _H) - 1
 
 SIMHASH_PAIRS_SQL = f"""WITH {DOCS_AUG_CTE},
-hsx AS (
+hsx AS MATERIALIZED (
   SELECT doc_id, list_transform({tokens('text')}, t -> {hash32('t')}) AS hs
   FROM docs_aug
 ),
 sims AS (
   SELECT doc_id AS id, {simhash_from('hs')} AS sh FROM hsx
 ),
-nn AS (SELECT id, sh FROM sims WHERE sh IS NOT NULL),
+nn AS MATERIALIZED (SELECT id, sh FROM sims WHERE sh IS NOT NULL),
 banded AS (
   SELECT id, sh, 0 AS band_idx, sh & {_HMASK} AS band_val FROM nn
   UNION ALL
@@ -643,3 +643,34 @@ FROM cand c
 LEFT JOIN truth t
   ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
 GROUP BY c.method"""
+
+
+# --- near-dup cluster resolution (connected components) ----------------------
+
+#: transitive closure of the MinHash near-dup pairs via a recursive CTE:
+#: every node's minimum reachable id is its cluster label — the same
+#: deterministic labeling the Spark min-label-propagation operator
+#: (operators/components.py) converges to, independent of iteration
+#: order.  Reuses MINHASH_LSH_SQL verbatim so the edge set is the
+#: already-graded pair list.
+DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE mh AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({MINHASH_LSH_SQL}) lsh
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM mh
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM mh
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp"""

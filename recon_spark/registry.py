@@ -856,6 +856,22 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup(docs_aug(spark, sf_dir), threshold=0.4)
 
 
+@register("dedup_cluster_resolution", llm_sql.DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: the MinHash pair list (already graded
+    by dedup_minhash_lsh) run through distributed connected components
+    (operators/components.py min-label propagation + pointer jumping) to
+    a per-document keep/drop verdict — pairs alone under-delete when
+    similarity is non-transitive (A~B, B~C, A!~C). Oracle: recursive-CTE
+    transitive closure over the same pairs."""
+    from .operators import components
+
+    pairs = DD.minhash_near_dup(docs_aug(spark, sf_dir), threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return components.resolve_clusters(pairs)
+
+
 @register("dedup_ngram_jaccard", llm_sql.NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup via prefix-filtered set-similarity
@@ -1112,6 +1128,7 @@ _GRADING_ORDER = [
     "multimodal_features_resized",
     "similarity_ann_ivf",
     "similarity_recall",
+    "dedup_cluster_resolution",
     "embedding_near_dup",
     "multimodal_features",
     # reference surface (green in r4, re-graded every round)

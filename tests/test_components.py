@@ -1,0 +1,92 @@
+"""Connected components / cluster resolution (operators/components.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators import components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges or [(None, None)], "id_a long, id_b long")
+    if not edges:
+        df = df.filter(F.lit(False))
+    lab = components.connected_components(df)
+    return {r["id"]: r["comp"] for r in lab.collect()}
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labeling
+    out = {}
+    for x in parent:
+        r = find(x)
+        out[x] = r
+    # find() with min-merge keeps the min id as root
+    return out
+
+
+def test_chain_collapses_to_min(spark):
+    # a 12-node chain: propagation alone needs 11 rounds; pointer jumping
+    # must converge well inside max_iter
+    edges = [(i, i + 1) for i in range(1, 12)]
+    lab = _cc(spark, edges)
+    assert lab == {i: 1 for i in range(1, 13)}
+
+
+def test_two_components_and_star(spark):
+    edges = [(10, 11), (11, 12), (20, 21), (22, 20), (23, 20)]
+    lab = _cc(spark, edges)
+    assert lab == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_empty_edges(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [
+        (a, b)
+        for _ in range(150)
+        for a, b in [sorted(rng.sample(nodes, 2))]
+    ]
+    expected = _union_find(edges)
+    assert _cc(spark, edges) == expected
+
+
+def test_resolve_clusters_shape(spark):
+    edges = [(1, 2), (2, 3), (8, 9)]
+    out = components.resolve_clusters(
+        spark.createDataFrame(edges, "id_a long, id_b long")
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 8, 9}
+    assert rows[3]["cluster_id"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[8]["keep"] and rows[9]["cluster_size"] == 2
+
+
+def test_no_cartesian_or_single_partition_sort(spark):
+    """Plan hygiene: the label iteration is joins + partial aggs — no
+    cartesian product, no global single-partition sort."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    plan = components.resolve_clusters(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
