@@ -400,6 +400,12 @@ def q_corrections_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliverables as one frame with an ``engine`` discriminator (same
     12-column template both sides — the reference writes both through one
     correction-template path)."""
+    # NOTE on sharing: both branches read the cleaned matrix, and
+    # materializing it once (persist or eager localCheckpoint) was
+    # measured SLOWER at sf0.1 than letting each branch push its
+    # engine-specific predicates below the cleaning window into the
+    # parquet scan (17.0s vs 11.7s): the branches touch disjoint
+    # plan-id slices, so pushdown prunes more work than sharing saves.
     return (
         q_corrections_a(spark, sf_dir)
         .withColumn("engine", F.lit("engine_a"))
@@ -414,7 +420,9 @@ def q_corrections_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _engine_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All four engine output frames (merged analytics queries union over
-    these; plans are lazy, so an unused engine costs nothing)."""
+    these; plans are lazy, so an unused engine costs nothing; sharing the
+    cleaned matrix via persist/localCheckpoint was measured slower than
+    per-branch predicate pushdown — see q_corrections_all note)."""
     t = clean_tables(spark, sf_dir)
     return {
         "engine_a": match_planid.reconcile_relius_matrix(t["relius"], t["matrix"]),

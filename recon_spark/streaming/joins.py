@@ -74,13 +74,22 @@ def click_purchase_join(
 
 
 def run_to_memory(
-    spark: SparkSession, sf_dir: str, *, name: str = "click_purchase_join"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    name: str = "click_purchase_join",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute the stream-stream join with an availableNow trigger into a
     memory sink (both sides read the same events file stream, filtered to
-    their type). Returns the joined matches as a batch frame."""
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    try:
+    their type). Returns the joined matches as a batch frame.
+    ``shuffle_partitions`` scopes the state-partition count for the
+    bounded replay (see streaming/replay.py); None keeps the session's."""
+    from .replay import REPLAY_SHUFFLE_PARTITIONS, replay_conf
+
+    if shuffle_partitions is None:
+        shuffle_partitions = REPLAY_SHUFFLE_PARTITIONS
+    with replay_conf(spark, shuffle_partitions):
         ev = events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
         q = (
             click_purchase_join(
@@ -94,6 +103,4 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)

@@ -59,6 +59,7 @@ def run_to_memory(
     name: str = "event_sessions",
     gap: str = DEFAULT_GAP,
     watermark: str = "0 seconds",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute streaming sessionization (availableNow, append mode into a
     memory sink) and return the emitted sessions as a batch frame.
@@ -70,8 +71,11 @@ def run_to_memory(
     rollup (tested in test_streaming_sessions); a live deployment keeps
     emitting them as the watermark advances past each session's end.
     """
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    try:
+    from .replay import REPLAY_SHUFFLE_PARTITIONS, replay_conf
+
+    if shuffle_partitions is None:
+        shuffle_partitions = REPLAY_SHUFFLE_PARTITIONS
+    with replay_conf(spark, shuffle_partitions):
         q = (
             sessionize(
                 events_stream(spark, sf_dir).withWatermark("ts", watermark), gap
@@ -83,6 +87,4 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)

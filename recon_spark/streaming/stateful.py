@@ -98,8 +98,9 @@ def running_totals(events: DataFrame) -> DataFrame:
 
 
 def _run_query(spark: SparkSession, sf_dir: str, build, name: str) -> DataFrame:
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    try:
+    from .replay import REPLAY_SHUFFLE_PARTITIONS, replay_conf
+
+    with replay_conf(spark, REPLAY_SHUFFLE_PARTITIONS):
         q = (
             build(events_stream(spark, sf_dir))
             .writeStream.format("memory")
@@ -109,8 +110,6 @@ def _run_query(spark: SparkSession, sf_dir: str, build, name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)
 
 

@@ -86,12 +86,18 @@ def windowed_event_trend(
 def run_to_memory(
     spark: SparkSession, sf_dir: str, *, name: str = "event_trends",
     window: str = "30 days",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute the streaming trend with an availableNow trigger into a
     memory sink (bounded run over current files; used by tests and local
-    validation). Returns the result as a batch DataFrame."""
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    try:
+    validation). Returns the result as a batch DataFrame.
+    ``shuffle_partitions`` scopes the replay's state-partition count
+    (streaming/replay.py); None keeps the session setting."""
+    from .replay import REPLAY_SHUFFLE_PARTITIONS, replay_conf
+
+    if shuffle_partitions is None:
+        shuffle_partitions = REPLAY_SHUFFLE_PARTITIONS
+    with replay_conf(spark, shuffle_partitions):
         q = (
             windowed_event_trend(events_stream(spark, sf_dir), window=window)
             .writeStream.format("memory")
@@ -101,6 +107,4 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)
