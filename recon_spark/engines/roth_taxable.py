@@ -98,7 +98,13 @@ def run_roth_taxable_analysis(
     df = matrix_clean.filter(
         N.date_filter_mask("txn_date", date_start=date_start, date_end=date_end, months=months)
     )
-    df = df.withColumn("plan_id", N.norm_plan_id("plan_id"))
+    # Contract: ``matrix_clean`` is a CLEANED frame, whose plan_id already
+    # went through norm_plan_id (operators/cleaning.py). The reference
+    # re-normalizes defensively (roth_taxable_analysis.py:117), but
+    # norm_plan_id is idempotent (tested), and rewriting the column here
+    # would replace it with a derived expression — destroying the
+    # (plan_id, ssn) partitioning the cleaner's dedup exchange
+    # established, which the A1 window below reuses shuffle-free.
     df = df.filter(
         N.is_roth_plan("plan_id") & ~F.col("plan_id").isin(INHERITED_PLAN_IDS)
     )

@@ -96,10 +96,27 @@ def _dedup_keep_first(df: DataFrame, keys: list[str]) -> DataFrame:
     # is deterministic across partitionings and matches the DuckDB oracle's
     # identical ORDER BY (src_order alone is a per-block constant — ties
     # would get an arbitrary winner).
-    w = Window.partitionBy(*keys).orderBy(F.col("src_order").asc(), F.col("src_seq").asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    #
+    # Partitioning is the (plan_id, ssn) PREFIX of the match keys, with the
+    # remaining key columns leading the sort so equal full keys are adjacent
+    # and a null-safe lag compare keeps each run's first row — selection-
+    # identical to row_number()=1 over the full key, but the exchange is on
+    # (plan_id, ssn), which every downstream consumer clusters on: Engine
+    # A's 3-key full-outer SMJ and Engine C's participant window both
+    # reuse it (hash partitioning on a SUBSET of the join/window keys
+    # satisfies the superset clustering requirement), so at 100 TB the
+    # cleaned table is shuffled exactly once.
+    prefix = ["plan_id", "ssn"]
+    rest = [k for k in keys if k not in prefix]
+    w = Window.partitionBy(*prefix).orderBy(
+        *[F.col(k).asc_nulls_first() for k in rest],
+        F.col("src_order").asc(),
+        F.col("src_seq").asc(),
     )
+    cur = F.struct(*[F.col(k) for k in rest])
+    prev = F.lag(cur).over(w)
+    keep = prev.isNull() | ~prev.eqNullSafe(cur)
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
 
 
 def clean_relius(

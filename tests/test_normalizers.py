@@ -227,3 +227,17 @@ def test_date_filter_mask(spark):
 
 def test_date_filter_mask_noop_when_unconfigured(spark):
     assert one(spark, N.date_filter_mask("d"), d=None) is True
+
+
+# --- idempotence: engines may skip re-normalizing cleaned columns ---------------
+
+def test_norm_plan_id_idempotent(spark):
+    """Engine C relies on norm_plan_id(norm_plan_id(x)) == norm_plan_id(x)
+    to skip the reference's defensive re-normalization of the cleaned
+    column (re-deriving it would destroy the (plan_id, ssn) partitioning
+    the cleaner's dedup exchange established)."""
+    cases = ["  600001ira ", "0300001", "600002XY", "plan-17", "", None, "  "]
+    for x in cases:
+        once = one(spark, N.norm_plan_id("x"), x=x)
+        twice = one(spark, N.norm_plan_id(N.norm_plan_id("x")), x=x)
+        assert once == twice, (x, once, twice)
