@@ -228,10 +228,14 @@ def with_text_stats(df, text_col: str = "text"):
 
     Adds: n_tokens, n_chars, punct_ratio, mean_word_len, stopword_ratio,
     lang_guess, quality_flags (array), quality_score, fingerprint,
-    min_shingle_hash. Narrow (no shuffle); one scan -> project chain.
+    min_shingle_hash, ttr, top_token_share (the Gopher-style repetition
+    signals, folded in since round 5 so the whole per-document battery is
+    one pass over one staged token array). Narrow (no shuffle); one scan
+    -> project chain.
     """
     toks = F.col("__toks")
     sw_words = LANG_STOPWORDS["en"]
+    ttr, top_share = repetition_stats(toks)
     out = (
         df.withColumn("__toks", tokens(text_col))
         .withColumn("__sh", shingles_from_tokens(toks))
@@ -261,6 +265,8 @@ def with_text_stats(df, text_col: str = "text"):
         )
         .withColumn("fingerprint", fingerprint(text_col))
         .withColumn("min_shingle_hash", F.array_min(F.transform(F.col("__sh"), F.md5)))
+        .withColumn("ttr", ttr)
+        .withColumn("top_token_share", top_share)
     )
     return out.drop("__toks", "__sh")
 

@@ -179,7 +179,12 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
   coalesce(array_to_string({_QUALITY_FLAGS}, ';'), '') AS quality_flags,
   CAST(3 - len({_QUALITY_FLAGS}) AS DOUBLE) / 3.0 AS quality_score,
   {fingerprint('text')} AS fingerprint,
-  list_min(list_transform({shingles('text')}, s -> md5(s))) AS min_shingle_hash
+  list_min(list_transform({shingles('text')}, s -> md5(s))) AS min_shingle_hash,
+  CAST(CASE WHEN n_tokens > 0 THEN
+    round(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS ttr_micros,
+  CAST(CASE WHEN n_tokens > 0 THEN
+    round(CAST(list_max(list_transform(list_distinct(toks),
+      d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS top_share_micros
 FROM stats"""
 
 #: smoothed TF-IDF top-3 terms per doc; N counts docs with >= 1 token

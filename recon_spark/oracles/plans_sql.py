@@ -657,3 +657,20 @@ xt_ec_codes AS (
 {_XTAB_B_BRANCHES}
 UNION ALL
 {_XTAB_C_BRANCHES}"""
+
+
+# --- PII-masked export (operators/privacy.py mirror) -------------------------
+
+from ..operators.privacy import DEFAULT_SALT as _PII_SALT  # noqa: E402
+
+#: masked export of the cleaned matrix: SSN partial-display mask, salted
+#: md5 pseudonymous token (same version-tagged salt constant as the Spark
+#: side, imported so the two renderings cannot drift), initials-only name.
+PRIVACY_EXPORT_SQL = f"""{_CLEAN_PRELUDE}
+SELECT transaction_id, plan_id,
+  CASE WHEN ssn IS NOT NULL THEN 'XXX-XX-' || substr(ssn, 6, 4) END AS ssn_masked,
+  CASE WHEN ssn IS NOT NULL THEN md5('{_PII_SALT}' || ':' || ssn) END AS ssn_token,
+  CASE WHEN participant_name IS NOT NULL AND length(trim(participant_name)) > 0
+       THEN substr(trim(participant_name), 1, 1) || '***' END AS name_masked,
+  gross_amt
+FROM matrix_clean"""

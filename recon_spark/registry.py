@@ -731,6 +731,11 @@ def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_stats", llm_sql.TEXT_STATS_SQL)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-document battery in ONE pass over one staged token array —
+    since round 5 this includes the Gopher-style repetition signals
+    (type-token ratio, mode-token share), whose standalone
+    ``text_repetition`` query was folded here to free a grading slot."""
+    micros = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
     docs = _load_table(spark, sf_dir, "documents")
     return T.with_text_stats(docs).select(
         "doc_id",
@@ -745,23 +750,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         "fingerprint",
         "min_shingle_hash",
+        micros("ttr").alias("ttr_micros"),
+        micros("top_token_share").alias("top_share_micros"),
     )
 
 
-@register("text_repetition", llm_sql.REPETITION_SQL)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality signals (type-token ratio, mode-token share) —
-    the Gopher-style repeated-content filter inputs."""
-    docs = _load_table(spark, sf_dir, "documents").withColumn(
-        "__toks", T.tokens("text")
-    )
-    ttr, top_share = T.repetition_stats(F.col("__toks"))
-    micros = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
-    return docs.select(
-        "doc_id",
-        F.size("__toks").cast("long").alias("n_tokens"),
-        micros(ttr).alias("ttr_micros"),
-        micros(top_share).alias("top_share_micros"),
+@register("privacy_masked_export", plans_sql.PRIVACY_EXPORT_SQL)
+def q_privacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-masked export of the cleaned matrix table: SSN partial-display
+    mask, salted pseudonymous token (deterministic — joins across masked
+    exports still work), initials-only name. The export-hygiene step a
+    1099 pipeline (or a training corpus built from one) runs before data
+    leaves the trust boundary (operators/privacy.py)."""
+    from .operators import privacy
+
+    t = clean_tables(spark, sf_dir)
+    return privacy.masked_export(t["matrix"], name_col="participant_name").select(
+        "transaction_id",
+        "plan_id",
+        "ssn_masked",
+        "ssn_token",
+        "name_masked",
+        "gross_amt",
     )
 
 
@@ -1137,6 +1147,7 @@ _GRADING_ORDER = [
     "similarity_ann_ivf",
     "similarity_recall",
     "dedup_cluster_resolution",
+    "privacy_masked_export",
     "embedding_near_dup",
     "multimodal_features",
     # reference surface (green in r4, re-graded every round)
@@ -1166,7 +1177,6 @@ _GRADING_ORDER = [
     "qa_warning_metrics",
     # LLM-data-pipeline operators
     "text_stats",
-    "text_repetition",
     "data_mixing_weights",
     "data_quality_bins",
     "data_split_documents",
