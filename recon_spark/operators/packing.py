@@ -1,0 +1,93 @@
+"""Sequence packing — concat-and-chunk token binning for training batches.
+
+LLM pretraining consumes fixed-length token sequences; the standard prep
+step concatenates documents in a deterministic order and chunks the
+stream at ``budget`` tokens (GPT-style "packing").  The operator assigns
+every document its position in that stream: the bin (sequence index) its
+first token lands in and the offset within that bin.  A document may
+straddle bins — consumers chunk at the recorded boundaries — so the
+assignment is pure arithmetic over the token-count PREFIX SUM in the
+packing order.
+
+Determinism + scale shape:
+
+* Packing order is ``(md5 hash, doc_id)`` — reproducible across runs,
+  engines, partitionings (never ``rand()``), same coin as
+  :mod:`recon_spark.operators.sampling`, and an implicit shuffle of the
+  corpus (adjacent docs are unrelated — what training wants).
+* The prefix sum is the two-phase bucket-rank shape of
+  :mod:`recon_spark.operators.ranking`: the hash's top bits coarsen the
+  order into buckets; per-bucket token totals cumulative-sum on a
+  metadata-sized frame (the ONLY global step); rows get
+  ``bucket offset + within-bucket running sum`` from a window
+  partitioned by bucket.  No single-task global sort anywhere
+  (plan-asserted in tests/test_packing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+from .sampling import hash_bucket
+
+PACK_SALT = "pack:v1"
+
+#: hash_bucket is uint32; keep the top 8 bits -> 256 coarse buckets, a
+#: monotonic coarsening of the (hash, doc_id) packing order
+BUCKET_SHIFT = 24
+
+#: default tokens per packed training sequence
+DEFAULT_BUDGET = 2048
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    salt: str = PACK_SALT,
+) -> DataFrame:
+    """Assign each document ``(bin_id, bin_offset)`` in the deterministic
+    concat-and-chunk stream of its group (``group_cols`` — e.g. the
+    train/val/test split — pack independently; empty tuple = one global
+    stream).  Output columns: ``group_cols..., id_col, n_tokens, bin_id,
+    bin_offset``."""
+    g = list(group_cols)
+    hb = hash_bucket(id_col, salt)
+    base = docs.select(
+        *g,
+        id_col,
+        T.token_count(text_col).alias("n_tokens"),
+        hb.alias("__hb"),
+    ).withColumn("__bk", F.shiftright("__hb", BUCKET_SHIFT))
+
+    totals = base.groupBy(*g, "__bk").agg(F.sum("n_tokens").alias("__bn"))
+    w_b = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("__bk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        *g, "__bk", (F.sum("__bn").over(w_b) - F.col("__bn")).alias("__off")
+    )
+
+    w_in = (
+        Window.partitionBy(*g, "__bk")
+        .orderBy(F.col("__hb").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.col("__off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    return (
+        base.join(F.broadcast(offsets), [*g, "__bk"])
+        .withColumn("__prev", prev)
+        .select(
+            *g,
+            id_col,
+            "n_tokens",
+            F.expr(f"__prev DIV {budget}").alias("bin_id"),
+            (F.col("__prev") % budget).alias("bin_offset"),
+        )
+    )

@@ -679,3 +679,28 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS keep
 FROM comp"""
+
+
+# --- sequence packing (concat-and-chunk) -------------------------------------
+
+from ..operators import packing as _PACK  # noqa: E402
+
+#: per-split deterministic packing stream: token-count prefix sum in
+#: (md5 hash, doc_id) order, chunked at the token budget. The split CASE
+#: and both salts are the same constants as the Spark side. The prefix
+#: sum is cast to BIGINT before the div/mod because DuckDB sums BIGINT
+#: into HUGEINT.
+PACK_SQL = f"""WITH b AS (
+  SELECT doc_id,
+    CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
+         WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(len({tokens('text')}) AS BIGINT) AS n,
+    {hash32(f"'{_PACK.PACK_SALT}' || CAST(doc_id AS VARCHAR)")} AS hb
+  FROM documents
+)
+SELECT split, doc_id, n AS n_tokens,
+  CAST(sum(n) OVER w - n AS BIGINT) // {_PACK.DEFAULT_BUDGET} AS bin_id,
+  CAST(sum(n) OVER w - n AS BIGINT) % {_PACK.DEFAULT_BUDGET} AS bin_offset
+FROM b
+WINDOW w AS (PARTITION BY split ORDER BY hb, doc_id ROWS UNBOUNDED PRECEDING)"""

@@ -820,7 +820,22 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("data_split_documents", llm_sql.SPLIT_SQL)
+@register("data_pack_sequences", llm_sql.PACK_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch prep: deterministic 90/5/5 hash split composed with
+    per-split concat-and-chunk sequence packing (operators/packing.py
+    two-phase distributed prefix sum, 2048-token budget). Subsumes the
+    round-4 data_split_documents query — the split label is still graded
+    per document, plus each doc's (bin_id, bin_offset) in its split's
+    packing stream."""
+    from .operators import packing, sampling
+
+    docs = _load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        sampling.with_split(docs), group_cols=("split",)
+    )
+
+
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test hash split
     (operators/sampling.py): md5-keyed, shuffle-free, growth-stable —
@@ -1148,6 +1163,7 @@ _GRADING_ORDER = [
     "similarity_recall",
     "dedup_cluster_resolution",
     "privacy_masked_export",
+    "data_pack_sequences",
     "embedding_near_dup",
     "multimodal_features",
     # reference surface (green in r4, re-graded every round)
@@ -1179,7 +1195,6 @@ _GRADING_ORDER = [
     "text_stats",
     "data_mixing_weights",
     "data_quality_bins",
-    "data_split_documents",
     "data_sample_stratified",
     "data_contamination_check",
     "text_tfidf_top_terms",
