@@ -36,8 +36,11 @@ HEADLINE = [
     "analytics_value_percentiles",
     "data_quality_bins",
     "text_stats",
+    "privacy_masked_export",
+    "data_pack_sequences",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_cluster_resolution",
     "sessionization_events",
     "asof_click_purchase",
     "range_join_lookback",
