@@ -520,6 +520,19 @@ _STRIPE = (
     "ELSE 0.0 END"
 )
 
+def _f32(e: str) -> str:
+    """Mirror the float32 round-trip the Spark array<float> schema applies."""
+    return f"CAST(CAST({e} AS FLOAT) AS DOUBLE)"
+
+
+#: average-pool 8 -> 4 of the extracted features (resize_feature mirror):
+#: inputs go through the float32 round-trip (the Spark feature column is
+#: array<float>); the pool itself stays double on both sides.
+_POOLED = ", ".join(
+    f"({_f32(f'feat[{2 * j + 1}]')} + {_f32(f'feat[{2 * j + 2}]')}) / CAST(2 AS DOUBLE)"
+    for j in range(4)
+)
+
 MULTIMODAL_FEATURES_SQL = f"""WITH b AS (
   SELECT doc_id AS id, text, length(text) AS n FROM documents
 ),
@@ -532,7 +545,11 @@ SELECT id, mime, n_bytes,
   array_to_string(
     list_transform(feat,
       x -> CAST(CAST(round(CAST(CAST(x AS FLOAT) AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
-    ';') AS feature_milli
+    ';') AS feature_milli,
+  array_to_string(
+    list_transform([{_POOLED}],
+      x -> CAST(CAST(round(x * 1000) AS BIGINT) AS VARCHAR)),
+    ';') AS resized_milli
 FROM f"""
 
 
@@ -561,31 +578,8 @@ SELECT id,
 FROM picks"""
 
 
-def _f32(e: str) -> str:
-    """Mirror the float32 round-trip the Spark array<float> schema applies."""
-    return f"CAST(CAST({e} AS FLOAT) AS DOUBLE)"
-
-
-#: average-pool 8 -> 4 of the extracted features (resize_feature mirror):
-#: inputs go through the float32 round-trip (the Spark feature column is
-#: array<float>); the pool itself stays double on both sides.
-_POOLED = ", ".join(
-    f"({_f32(f'feat[{2 * j + 1}]')} + {_f32(f'feat[{2 * j + 2}]')}) / CAST(2 AS DOUBLE)"
-    for j in range(4)
-)
-
-MULTIMODAL_RESIZED_SQL = f"""WITH b AS (
-  SELECT doc_id AS id, text, length(text) AS n FROM documents
-),
-f AS (
-  SELECT id, list_transform(range(0, 8), i -> {_STRIPE}) AS feat FROM b
-),
-r AS (SELECT id, [{_POOLED}] AS rf FROM f)
-SELECT id,
-  array_to_string(
-    list_transform(rf, x -> CAST(CAST(round(x * 1000) AS BIGINT) AS VARCHAR)),
-    ';') AS feature_milli
-FROM r"""
+#: (the standalone MULTIMODAL_RESIZED_SQL was folded into
+#: MULTIMODAL_FEATURES_SQL in round 5 — see resized_milli above)
 
 
 # --- multi-probe LSH oracle --------------------------------------------------

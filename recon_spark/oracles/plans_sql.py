@@ -674,3 +674,45 @@ SELECT transaction_id, plan_id,
        THEN substr(trim(participant_name), 1, 1) || '***' END AS name_masked,
   gross_amt
 FROM matrix_clean"""
+
+
+# --- ordered event funnel (operators/funnel.py mirror) -----------------------
+
+from ..operators.funnel import DEFAULT_FUNNEL_STEPS as _FUNNEL_STEPS  # noqa: E402
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_type FROM events"
+        " WHERE ts IS NOT NULL AND event_type IS NOT NULL)",
+        f"s0 AS (SELECT user_id, min(ts) AS t0 FROM ev"
+        f" WHERE event_type = '{steps[0]}' GROUP BY 1)",
+    ]
+    for i, step in enumerate(steps[1:], 1):
+        ctes.append(
+            f"s{i} AS (SELECT s{i-1}.user_id,"
+            f" min(CASE WHEN e.ts >= s{i-1}.t{i-1} THEN e.ts END) AS t{i}"
+            f" FROM s{i-1} LEFT JOIN ev e ON e.user_id = s{i-1}.user_id"
+            f" AND e.event_type = '{step}' GROUP BY 1)"
+        )
+    ctes.append(
+        "c AS (SELECT "
+        + ", ".join(f"(SELECT count(t{i}) FROM s{i}) AS n{i}" for i in range(len(steps)))
+        + ")"
+    )
+    rows = [
+        f"SELECT 0 AS step_idx, '{steps[0]}' AS step, n0 AS n_users,"
+        " CAST(1000000 AS BIGINT) AS conversion_micros FROM c"
+    ]
+    for i, step in enumerate(steps[1:], 1):
+        rows.append(
+            f"SELECT {i}, '{step}', n{i}, CASE WHEN n{i-1} > 0 THEN"
+            f" CAST(round(CAST(n{i} AS DOUBLE) / n{i-1} * 1000000) AS BIGINT) END FROM c"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
+
+
+#: ordered funnel over events (unbounded window, min-reach-time
+#: semantics): same step list as the Spark side, imported so the two
+#: renderings cannot drift.
+FUNNEL_SQL = _funnel_sql(_FUNNEL_STEPS)

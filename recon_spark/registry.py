@@ -986,8 +986,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         lambda x: F.round(x.cast("double") * 1000).cast("long").cast("string"),
     )
+    # resized features folded in since round 5 (was the standalone
+    # multimodal_features_resized query): the average-pool is pure column
+    # algebra over the already-extracted feature, so both serializations
+    # ride the same single Arrow stage
+    resized_milli = F.transform(
+        multimodal.resize_feature(F.col("feature")),
+        lambda x: F.round(x * 1000).cast("long").cast("string"),
+    )
     return feats.select(
-        "id", "mime", "n_bytes", F.array_join(milli, ";").alias("feature_milli")
+        "id",
+        "mime",
+        "n_bytes",
+        F.array_join(milli, ";").alias("feature_milli"),
+        F.array_join(resized_milli, ";").alias("resized_milli"),
     )
 
 
@@ -1081,17 +1093,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features_resized", llm_sql.MULTIMODAL_RESIZED_SQL)
-def q_multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature resize (average-pool 8 -> 4) kept entirely JVM-side after
-    the one Arrow extraction stage; serialized in rounded milli-units."""
-    docs = _load_table(spark, sf_dir, "documents")
-    feats = multimodal.extract_features(multimodal.attach_binary(docs))
-    milli = F.transform(
-        multimodal.resize_feature(F.col("feature")),
-        lambda x: F.round(x * 1000).cast("long").cast("string"),
-    )
-    return feats.select("id", F.array_join(milli, ";").alias("feature_milli"))
+@register("analytics_event_funnel", plans_sql.FUNNEL_SQL)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel (operators/funnel.py):
+    per-user min-reach-time chain, one exchange per step branch with the
+    user_id partitioning reused through every join/groupBy. The
+    reference's KPI layer has no sequential-conversion counterpart."""
+    from .operators import funnel
+
+    ev = _load_table(spark, sf_dir, "events")
+    return funnel.funnel_summary(ev, funnel.DEFAULT_FUNNEL_STEPS)
 
 
 @register("streaming_dedup_events", plans_sql.STREAM_DEDUP_SQL)
@@ -1158,7 +1169,7 @@ _GRADING_ORDER = [
     "range_join_lookback",
     "sessionization_events",
     "multimodal_frame_sample",
-    "multimodal_features_resized",
+    "analytics_event_funnel",
     "similarity_ann_ivf",
     "similarity_recall",
     "dedup_cluster_resolution",
