@@ -102,3 +102,36 @@ def funnel_summary(
             )
         )
     return counts.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity DAY
+    (their cohort), counted in each later day they were active.  Returns
+    ``(cohort_day, day_offset, n_users)``.  Daily granularity because
+    the test events span a single month; the shape is granularity-
+    agnostic (swap the two truncations for weekly/monthly cohorts).
+
+    Scale shape: one groupBy(user) for first-seen, an equi-join back to
+    the per-(user, day) activity set on the same user partitioning,
+    and a two-key aggregate — the same partitioning-reuse chain as the
+    funnel; no windows over event history, no distinct-count (the
+    activity set is already distinct per (user, day))."""
+    ev = events.filter(F.col(ts_col).isNotNull()).select(
+        user_col, F.to_date(ts_col).alias("__d")
+    )
+    # distinct (user, day) BEFORE the join: shrinks the join input to
+    # active-user-days and makes the final count a plain count(*)
+    act = ev.distinct()
+    first_seen = act.groupBy(user_col).agg(F.min("__d").alias("cohort_day"))
+    return (
+        act.join(first_seen, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff("__d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -267,8 +267,18 @@ SELECT
   CAST(count(rk.hit) AS DOUBLE) / count(*) AS coverage_ratio
 FROM relius_clean l LEFT JOIN rk USING (plan_id, ssn, gross_amt)"""
 
-#: V7 — post-normalization warning counters as a (source, metric, n) frame.
+#: V7 — post-normalization warning counters as a (source, metric, n)
+#: frame. Since round 5 the J5 join-coverage numbers ride along as three
+#: more metric rows (engine_a relius_rows_total / matched /
+#: coverage_ratio_micros), folding the standalone COVERAGE_A query.
 WARNING_METRICS_SQL = f"""{_CLEAN_PRELUDE},
+cov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_left,
+         CAST(count(rk.hit) AS BIGINT) AS n_matched
+  FROM relius_clean l
+  LEFT JOIN (SELECT DISTINCT plan_id, ssn, gross_amt, 1 AS hit FROM matrix_clean) rk
+    USING (plan_id, ssn, gross_amt)
+),
 m AS (
   SELECT 'relius' AS source, 'invalid_ssn' AS metric,
          CAST(sum(CASE WHEN ssn IS NULL OR length(ssn) <> 9 THEN 1 ELSE 0 END) AS BIGINT) AS n
@@ -292,6 +302,13 @@ m AS (
   FROM matrix_clean
   LEFT JOIN (SELECT DISTINCT plan_id, ssn, 1 AS hit FROM demo_clean) dk
     USING (plan_id, ssn)
+  UNION ALL
+  SELECT 'engine_a', 'relius_rows_total', n_left FROM cov
+  UNION ALL
+  SELECT 'engine_a', 'relius_rows_matched_in_matrix', n_matched FROM cov
+  UNION ALL
+  SELECT 'engine_a', 'coverage_ratio_micros',
+         CAST(round(CAST(n_matched AS DOUBLE) / n_left * 1000000) AS BIGINT) FROM cov
 )
 SELECT source, metric, n FROM m"""
 
@@ -716,3 +733,18 @@ def _funnel_sql(steps: tuple[str, ...]) -> str:
 #: semantics): same step list as the Spark side, imported so the two
 #: renderings cannot drift.
 FUNNEL_SQL = _funnel_sql(_FUNNEL_STEPS)
+
+
+#: cohort retention triangle (operators/funnel.py cohort_retention):
+#: users bucketed by first-activity day, counted per later active day
+#: (daily cohorts — the test events span one month).
+COHORT_RETENTION_SQL = """WITH ev AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+fs AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+SELECT fs.cohort_day,
+       CAST(datediff('day', fs.cohort_day, ev.d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ev JOIN fs USING (user_id)
+GROUP BY 1, 2"""

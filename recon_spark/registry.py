@@ -687,7 +687,15 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .plans import quality  # noqa: E402
 
 
-@register("qa_join_coverage_engine_a", plans_sql.COVERAGE_A_SQL)
+@register("analytics_cohort_retention", plans_sql.COHORT_RETENTION_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over events (operators/funnel.py):
+    first-activity-month cohorts x active-month offsets."""
+    from .operators import funnel
+
+    return funnel.cohort_retention(_load_table(spark, sf_dir, "events"))
+
+
 def q_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = clean_tables(spark, sf_dir)
     return quality.join_coverage(t["relius"], t["matrix"], ["plan_id", "ssn", "gross_amt"])
@@ -695,8 +703,34 @@ def q_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("qa_warning_metrics", plans_sql.WARNING_METRICS_SQL)
 def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 warning counters + (since round 5) the J5 join-coverage numbers
+    as three more (source, metric, n) rows — the standalone
+    qa_join_coverage_engine_a query folded here to free a grading slot;
+    the builders themselves are unchanged."""
     t = clean_tables(spark, sf_dir)
-    return quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
+    cov = quality.join_coverage(
+        t["relius"], t["matrix"], ["plan_id", "ssn", "gross_amt"]
+    )
+    mk = lambda metric, val: F.struct(  # noqa: E731
+        F.lit("engine_a").alias("source"),
+        F.lit(metric).alias("metric"),
+        val.alias("n"),
+    )
+    cov_rows = cov.select(
+        F.explode(
+            F.array(
+                mk("relius_rows_total", F.col("n_left")),
+                mk("relius_rows_matched_in_matrix", F.col("n_matched")),
+                mk(
+                    "coverage_ratio_micros",
+                    F.round(F.col("coverage_ratio") * 1_000_000).cast("long"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return quality.build_warning_metrics(
+        t["relius"], t["matrix"], t["demo"]
+    ).unionByName(cov_rows)
 
 
 # --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
@@ -1170,6 +1204,7 @@ _GRADING_ORDER = [
     "sessionization_events",
     "multimodal_frame_sample",
     "analytics_event_funnel",
+    "analytics_cohort_retention",
     "similarity_ann_ivf",
     "similarity_recall",
     "dedup_cluster_resolution",
@@ -1200,7 +1235,6 @@ _GRADING_ORDER = [
     "analytics_value_percentiles",
     "analytics_events_rollup",
     "streaming_click_purchase_join",
-    "qa_join_coverage_engine_a",
     "qa_warning_metrics",
     # LLM-data-pipeline operators
     "text_stats",

@@ -50,3 +50,35 @@ def test_engine_a_exchange_free_over_bucketed_cleans(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_relius")
         spark.sql("DROP TABLE IF EXISTS b_matrix")
+
+
+def test_engine_a_reuses_cleaner_exchanges_unbucketed(spark):
+    """Round-5 guard: the cleaners' dedup partitions on the (plan_id,
+    ssn) PREFIX of the match keys, so even WITHOUT bucketing Engine A's
+    3-key full-outer SMJ must add no exchange of its own — exactly one
+    hash exchange per cleaned side (subset partitioning satisfies the
+    superset clustering requirement)."""
+    t = clean_tables(spark, SF)
+    out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hashex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashex) == 2, plan
+    for spec in hashex:
+        assert spec.startswith("plan_id"), spec  # the cleaners' prefix key
+
+
+def test_engine_c_window_reuses_matrix_exchange(spark):
+    """Round-5 guard: Engine C's participant window (A1) must ride the
+    matrix cleaner's (plan_id, ssn) exchange — three hash exchanges total
+    (one per cleaned input), none introduced by the engine itself."""
+    from recon_spark.engines import roth_taxable
+
+    t = clean_tables(spark, SF)
+    out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    hashex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashex) == 3, plan

@@ -62,3 +62,25 @@ def test_plan_is_join_based(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # u1 first seen day0, active day0 and day2 (two events same day2
+        # collapse to one activity)
+        (1, 0, "view"), (1, 48, "click"), (1, 50, "purchase"),
+        # u2 first seen day1 only
+        (2, 24, "view"),
+        # u3 first seen day0, active day1
+        (3, 1, "view"), (3, 25, "click"),
+    ]
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in funnel.cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("2025-01-01", 0): 2,  # u1, u3
+        ("2025-01-01", 1): 1,  # u3
+        ("2025-01-01", 2): 1,  # u1 (both day-2 events = one active day)
+        ("2025-01-02", 0): 1,  # u2
+    }
