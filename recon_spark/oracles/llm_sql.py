@@ -250,28 +250,7 @@ SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
   CAST(round(avg(q) * 1000000) AS BIGINT) AS avg_quality_micros
 FROM binned GROUP BY bin"""
 
-#: repetition signals: type-token ratio + mode-token share, micros-scaled
-REPETITION_SQL = f"""WITH base AS (
-  SELECT doc_id, {tokens('text')} AS toks FROM documents
-)
-SELECT doc_id,
-  CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(CASE WHEN len(toks) > 0 THEN
-    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1000000) END AS BIGINT) AS ttr_micros,
-  CAST(CASE WHEN len(toks) > 0 THEN
-    round(CAST(list_max(list_transform(list_distinct(toks),
-      d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / len(toks) * 1000000) END AS BIGINT) AS top_share_micros
-FROM base"""
-
 from ..operators import sampling as _SAMP  # noqa: E402
-
-#: deterministic 90/5/5 hash split — same md5 coin and uint32 integer
-#: edges as operators/sampling.py (constants imported, cannot drift).
-SPLIT_SQL = f"""SELECT doc_id,
-  CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
-       WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
-       ELSE 'test' END AS split
-FROM documents"""
 
 #: stratified 1/10 sample per lang: hash order, exact integer-ceil quota.
 STRATIFIED_SAMPLE_SQL = f"""WITH b AS (

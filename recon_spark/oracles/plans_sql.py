@@ -257,16 +257,6 @@ GROUP BY 1, 2, 3"""
 
 from .cleaning_sql import PRELUDE as _CLEAN_PRELUDE  # noqa: E402
 
-#: J5 — relius rows whose (plan_id, ssn, gross_amt) key exists in matrix
-#: (right side reduced to the D5 distinct-key projection first).
-COVERAGE_A_SQL = f"""{_CLEAN_PRELUDE},
-rk AS (SELECT DISTINCT plan_id, ssn, gross_amt, 1 AS hit FROM matrix_clean)
-SELECT
-  CAST(count(*) AS BIGINT) AS n_left,
-  CAST(count(rk.hit) AS BIGINT) AS n_matched,
-  CAST(count(rk.hit) AS DOUBLE) / count(*) AS coverage_ratio
-FROM relius_clean l LEFT JOIN rk USING (plan_id, ssn, gross_amt)"""
-
 #: V7 — post-normalization warning counters as a (source, metric, n)
 #: frame. Since round 5 the J5 join-coverage numbers ride along as three
 #: more metric rows (engine_a relius_rows_total / matched /

@@ -24,7 +24,7 @@ AUDITED = [
     "engine_d_ira_rollover",
     "corrections_all",
     "analytics_trends_all",
-    "qa_join_coverage_engine_a",
+    "qa_warning_metrics",
     "analytics_value_percentiles",
     "data_quality_bins",
     "text_stats",
@@ -40,6 +40,8 @@ AUDITED = [
     "dedup_cluster_resolution",
     "privacy_masked_export",
     "data_pack_sequences",
+    "analytics_event_funnel",
+    "analytics_cohort_retention",
 ]
 
 #: hand-written 100 TB notes surfaced next to each measured plan
@@ -101,9 +103,10 @@ NOTES = {
         "rows are ranked in windows partitioned by (score, id-block) — "
         "replaces the global ntile window's all-rows-one-task exchange."
     ),
-    "qa_join_coverage_engine_a": (
-        "Right side reduced to distinct keys before the join; single "
-        "1-row aggregate with map-side partials."
+    "qa_warning_metrics": (
+        "All counters are map-side-partial aggregates; the folded J5 "
+        "coverage rows reduce the right side to distinct keys before "
+        "their join. One (source, metric, n) frame to alert on."
     ),
     "text_stats": "Pure narrow map over documents; no shuffle.",
     "dedup_minhash_lsh": (
@@ -171,6 +174,16 @@ NOTES = {
         "Masking/pseudonymization is a pure scan->project over the "
         "cleaned table — the only exchange is the cleaner's own dedup; "
         "a 100 TB masked export adds zero shuffles."
+    ),
+    "analytics_event_funnel": (
+        "Per-step equi-join + per-user aggregate chain, every frame "
+        "hash-partitioned on user_id (one exchange per step-event "
+        "branch, reused through the chain); summary is a 1-row melt."
+    ),
+    "analytics_cohort_retention": (
+        "distinct (user, day) -> first-seen aggregate -> join on the "
+        "reused user partitioning -> two-key count; no event-history "
+        "windows, no distinct-count aggregate."
     ),
     "data_pack_sequences": (
         "Concat-and-chunk packing via the two-phase prefix sum: bucket "
