@@ -33,6 +33,8 @@ HEADLINE = [
     "corrections_all",
     "analytics_trends_all",
     "analytics_events_monthly",
+    "analytics_event_funnel",
+    "analytics_cohort_retention",
     "analytics_value_percentiles",
     "data_quality_bins",
     "text_stats",
