@@ -53,14 +53,23 @@ def norm_plan_id(col: Column | str) -> Column:
 
 # --- C3: date parse with NULL on failure (src/core/normalizers.py:114-124) --
 
-def to_date_safe(col: Column | str) -> Column:
-    """``pd.to_datetime(errors='coerce').dt.date`` equivalent.
+#: ISO-shaped gate shared verbatim with the DuckDB mirror (Java + RE2
+#: common syntax). Outside the gate both engines return NULL by
+#: construction; inside it, both ISO parsers agree (and both try-NULL
+#: invalid calendar dates). Without the gate the engines' lenient
+#: parsers diverge on junk — Spark's try_to_timestamp reads a bare
+#: '12345' as year 12345 while DuckDB rejects it (found by
+#: tests/test_differential_fuzz.py).
+DATE_GATE_RE = r"^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}([ T].*)?$"
 
-    ``try_to_timestamp`` handles both date-only and datetime strings without
-    raising under ANSI mode; invalid text -> NULL.
+
+def to_date_safe(col: Column | str) -> Column:
+    """``pd.to_datetime(errors='coerce').dt.date`` equivalent for
+    ISO-shaped input (the canonical rendering of every date column in
+    this engine); anything else -> NULL, identically in both engines.
     """
-    c = _c(col)
-    return F.try_to_timestamp(c.cast("string")).cast("date")
+    s = F.trim(_c(col).cast("string"))
+    return F.when(s.rlike(DATE_GATE_RE), F.try_to_timestamp(s)).cast("date")
 
 
 # --- C4: year extract (src/core/normalizers.py:152-156) ---------------------
@@ -91,8 +100,13 @@ def to_double_safe(col: Column | str) -> Column:
 
 
 def to_long_safe(col: Column | str) -> Column:
-    """Numeric coerce then truncate to integer, NULL-preserving (Int64)."""
-    return _c(col).cast("string").try_cast("double").cast("long")
+    """Numeric coerce then truncate-toward-zero to integer, NULL-
+    preserving (Int64). try_cast (not cast) on the narrowing step so
+    infinities and out-of-long-range doubles become NULL — the plain
+    cast SATURATES to Long.MaxValue under non-ANSI mode, which the
+    DuckDB mirror (TRY_CAST(trunc(..))) cannot reproduce (found by
+    tests/test_differential_fuzz.py)."""
+    return _c(col).cast("string").try_cast("double").try_cast("long")
 
 
 # --- C8: text normalize (src/core/normalizers.py:197-214) -------------------

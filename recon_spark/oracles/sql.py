@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from ..functions import normalizers as _N
+
 
 def lit(v: str | None) -> str:
     if v is None:
@@ -49,7 +51,13 @@ def norm_plan_id(col: str) -> str:
 
 
 def to_date_safe(col: str) -> str:
-    return f"CAST(TRY_CAST({s(col)} AS TIMESTAMP) AS DATE)"
+    # ISO gate shared with normalizers.to_date_safe (see DATE_GATE_RE
+    # there): outside it both engines NULL by construction
+    t = f"trim({s(col)})"
+    return (
+        f"CAST(CASE WHEN regexp_matches({t}, '{_N.DATE_GATE_RE}')"
+        f" THEN TRY_CAST({t} AS TIMESTAMP) END AS DATE)"
+    )
 
 
 def to_double_safe(col: str) -> str:
@@ -57,7 +65,11 @@ def to_double_safe(col: str) -> str:
 
 
 def to_long_safe(col: str) -> str:
-    return f"CAST(TRY_CAST({s(col)} AS DOUBLE) AS BIGINT)"
+    # trunc-toward-zero + TRY on the narrowing step == Spark's
+    # try_cast(double) -> try_cast(long) (inf / out-of-range -> NULL,
+    # fractions truncate; DuckDB's bare CAST would round half-even and
+    # ERROR on inf)
+    return f"TRY_CAST(trunc(TRY_CAST({s(col)} AS DOUBLE)) AS BIGINT)"
 
 
 def norm_text(col: str, *, upper: bool = False) -> str:
