@@ -1,0 +1,86 @@
+"""End-to-end training-corpus construction — the composition the
+individual LLM-data operators exist for, as one plan:
+
+    quality filter -> exact dedup -> near-dup cluster drop ->
+    deterministic split -> sequence packing
+
+Every stage is one of the individually-graded operators (text battery,
+fingerprint dedup, MinHash-LSH + connected components, md5 split,
+concat-and-chunk packing), so the composition inherits their oracles and
+scale shapes; this module adds only the wiring and a per-stage audit
+trail.  At 100 TB the stages are: narrow scan->project (stats), one
+shuffle on the fingerprint, the banded LSH joins over survivors, a
+shuffle-free split projection, and the packing prefix sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import components, dedup, packing, sampling
+from ..operators import text as T
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = packing.DEFAULT_BUDGET,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Full corpus-prep pipeline. Returns one row per SURVIVING document:
+    ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
+    split's stream).  Drop decisions: any quality flag; non-first doc per
+    exact fingerprint; non-canonical member of a near-dup cluster."""
+    stats = T.with_text_stats(docs, text_col)
+    clean = stats.filter(F.size("quality_flags") == 0)
+
+    survivors = dedup.exact_dedup(clean, F.col("fingerprint"), [id_col])
+
+    pairs = dedup.minhash_near_dup(
+        survivors, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    ).select("id_a", "id_b")
+    drops = components.resolve_clusters(pairs).filter(~F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = survivors.join(drops, id_col, "left_anti")
+
+    split = sampling.with_split(kept, id_col=id_col)
+    return packing.pack_sequences(
+        split, budget=budget, id_col=id_col, text_col=text_col, group_cols=("split",)
+    )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Stage-by-stage survivor counts: ``(stage, n)`` — the audit trail a
+    data-prep run logs (each count is a cheap aggregate over the same
+    lazy plans; nothing is collected driver-side until the caller acts)."""
+    stats = T.with_text_stats(docs, text_col)
+    clean = stats.filter(F.size("quality_flags") == 0)
+    survivors = dedup.exact_dedup(clean, F.col("fingerprint"), [id_col])
+    pairs = dedup.minhash_near_dup(
+        survivors, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    ).select("id_a", "id_b")
+    drops = components.resolve_clusters(pairs).filter(~F.col("keep"))
+    kept = survivors.join(
+        drops.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+    def row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n")
+        )
+
+    return (
+        row("input", docs)
+        .unionByName(row("quality_pass", clean))
+        .unionByName(row("exact_unique", survivors))
+        .unionByName(row("near_dup_dropped", drops))
+        .unionByName(row("final", kept))
+    )

@@ -1,0 +1,61 @@
+"""End-to-end corpus construction (plans/corpus.py): the graded operators
+composed into one pipeline must stay mutually consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recon_spark.plans import corpus
+
+
+def _docs(spark):
+    rows = []
+    for i in range(120):
+        body = f"alpha beta gamma delta epsilon zeta doc{i} token{i % 40} " * 3
+        rows.append((i, body))
+    # planted exact duplicate pair and near-duplicate pair
+    rows.append((900, rows[5][1]))
+    rows.append((901, rows[7][1] + " tiny appended tail"))
+    # quality rejects: too few tokens / symbol soup
+    rows.append((910, "x"))
+    rows.append((911, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_consistency(spark):
+    docs = _docs(spark)
+    report = {r["stage"]: r["n"] for r in corpus.corpus_report(docs).collect()}
+    out = corpus.build_training_corpus(docs, budget=64).collect()
+
+    assert report["input"] == 124
+    assert report["quality_pass"] == 122  # two quality rejects
+    assert report["exact_unique"] == 121  # doc 900 is an exact copy
+    assert report["near_dup_dropped"] >= 1  # doc 901 at least
+    assert report["final"] == report["exact_unique"] - report["near_dup_dropped"]
+    assert len(out) == report["final"]
+
+    # dropped docs are really gone; canonical (min-id) members survive
+    ids = {r["doc_id"] for r in out}
+    assert 5 in ids and 900 not in ids
+    assert 7 in ids and 901 not in ids
+    assert 910 not in ids and 911 not in ids
+
+    # packing invariants hold per split
+    for split in {r["split"] for r in out}:
+        rows = sorted(
+            (r for r in out if r["split"] == split),
+            key=lambda r: (r["bin_id"], r["bin_offset"]),
+        )
+        pos = 0
+        for r in rows:
+            assert r["bin_id"] * 64 + r["bin_offset"] == pos
+            pos += r["n_tokens"]
+
+
+def test_no_quality_reject_reaches_packing(spark):
+    docs = _docs(spark)
+    out = corpus.build_training_corpus(docs, budget=64)
+    joined = out.join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    assert joined.filter(F.col("len") < 5).count() == 0
