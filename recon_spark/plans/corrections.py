@@ -50,9 +50,18 @@ _SUGGESTION_COLS = [
 def build_correction_df(
     matches: DataFrame,
     allowed_actions: Iterable[str] | None = ("UPDATE_1099", "INVESTIGATE"),
+    sort: bool = True,
 ) -> DataFrame:
     """F11 + P3: select actionable rows and project to the correction
-    template (build_correction_file.py:125-305)."""
+    template (build_correction_file.py:125-305).
+
+    ``sort=False`` drops the D4 presentation sort: a global ``orderBy``
+    is a range-partitioned exchange whose partitioner SAMPLES the child
+    plan first, re-executing everything above the previous shuffle — at
+    deliverable (.xlsx) scale that is fine, but an instrumented or
+    100 TB write should skip it (Observation metrics above the last
+    exchange double-count under the sampling pass, and the sort itself
+    is presentational)."""
     cols = set(matches.columns)
 
     needs = F.col("match_status").isin("match_needs_correction", "match_needs_review")
@@ -108,7 +117,7 @@ def build_correction_df(
         else N.combined_tax_code("suggested_tax_code_1", "suggested_tax_code_2")
     )
 
-    return out.select(
+    projected = out.select(
         F.col("transaction_id").alias("Transaction Id"),
         F.col("txn_date").alias("Transaction Date"),
         F.col("ssn").alias("Participant SSN"),
@@ -121,7 +130,12 @@ def build_correction_df(
         first_year.alias("New First Year contrib"),
         F.col("correction_reason").alias("Reason"),
         F.col("action").alias("Action"),
-    ).orderBy("Matrix Account", "Participant SSN", "Transaction Date")
+    )
+    if sort:
+        projected = projected.orderBy(
+            "Matrix Account", "Participant SSN", "Transaction Date"
+        )
+    return projected
 
 
 def split_corrections_by_action(corrections: DataFrame) -> dict[str, DataFrame]:
