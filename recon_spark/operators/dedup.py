@@ -158,22 +158,26 @@ def minhash_lsh_candidates(
         "band_idx",
         "band_hash",
     )
-    pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
             lambda x: x,
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (agree.cast("double") / F.lit(len(range(n_hashes)))).alias("est_jaccard"),
+    # est_jaccard is computed BEFORE the pair dedup so the dropDuplicates
+    # shuffle moves (id_a, id_b, double) instead of two n_hashes-int
+    # signature arrays per row — ~50x narrower shuffle rows, identical
+    # result (duplicate pairs carry identical signatures, so the score is
+    # the same whichever copy survives)
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(n_hashes)).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -222,16 +226,18 @@ def minhash_near_dup(
             lambda x: x,
         )
     )
+    # score before the pair dedup: the dropDuplicates shuffle then moves
+    # (id_a, id_b, double) rows, not two signature arrays (see
+    # minhash_lsh_candidates)
     candidates = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             (agree.cast("double") / F.lit(n_hashes)).alias("est_jaccard"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     out = (
         candidates.join(
