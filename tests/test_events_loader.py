@@ -59,3 +59,18 @@ def test_load_events_conf_restored(spark, tmp_path):
     before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     load_events(spark, sf_dir).count()
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == before
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_streaming_trend_both_storage_layouts(spark, tmp_path, unit):
+    """The STREAM-side schema probe (streaming.trends.events_stream) must
+    branch on the stored ts dtype exactly like the batch loader — the
+    round-3 driver failure was the streaming path assuming one layout."""
+    from recon_spark.streaming import trends
+
+    sf_dir = _write_events(str(tmp_path), unit)
+    out = trends.run_to_memory(spark, sf_dir, name=f"trend_layout_{unit}")
+    rows = {(r.event_type, r.n, r.value_total_micros) for r in out.collect()}
+    assert rows == {("click", 1, 1_500_000), ("view", 1, 2_500_000)}
+    # replay_conf must restore the nanos conf after the bounded run
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
