@@ -49,7 +49,26 @@ HEADLINE = [
     "streaming_click_purchase_join",
     "multimodal_features",
     "similarity_recall",
+    # non-registry extras (benched, not oracle-graded): the Arrow/BLAS
+    # twin of the graded fold-based brute-force top-k, so both dot-product
+    # execution strategies carry a wall-time number
+    "similarity_topk_blas",
 ]
+
+
+def _q_topk_blas(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import similarity
+    from recon_spark.sources.tpch import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_blas(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+
+
+EXTRA_QUERIES = {"similarity_topk_blas": _q_topk_blas}
 
 
 def main() -> None:
@@ -98,7 +117,8 @@ def main() -> None:
     for name in HEADLINE:
         t0 = time.time()
         try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             msg = str(exc).split("\n", 1)[0][:300]
