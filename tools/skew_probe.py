@@ -65,6 +65,13 @@ def build_skewed(spark, sf_dir: str, out_dir: str) -> str:
         .otherwise(F.col("user_id"))
         .alias("user_id"),
         "value",
+        # high-entropy payload so shuffle BYTES track row counts: with a
+        # compressible payload (constant key + low-cardinality values)
+        # the 12M-row hot partition lz4-compresses to ~2-4 MB and AQE's
+        # skew detection — which reads COMPRESSED map-output sizes —
+        # never fires while the sort still pays per-row CPU (measured;
+        # see SCALING.md)
+        F.xxhash64("event_id", F.col("rep")).alias("pad"),
     )
     path = os.path.join(out_dir, "events_skewed.parquet")
     amplified.write.mode("overwrite").parquet(path)
@@ -81,10 +88,15 @@ def workload(events, users, shape: str, strategy: str):
     ).alias("v")
     if shape == "join_global":
         # global agg: no distribution requirement above the join
-        return joined.agg(F.count(F.lit(1)).alias("n"), v_micros)
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"), v_micros, F.max("pad").alias("p")
+        )
     # keyed agg: requires hash(user_id) distribution above the join
     return joined.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"), v_micros, F.max("segment").alias("seg")
+        F.count(F.lit(1)).alias("n"),
+        v_micros,
+        F.max("segment").alias("seg"),
+        F.max("pad").alias("p"),
     )
 
 
