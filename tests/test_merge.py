@@ -158,3 +158,114 @@ def test_merge_upsert_oracle_parity(spark, tmp_path):
         merge.merge_upsert(base, upd, ["transaction_id"]), "transaction_id"
     )
     assert got == [tuple(r) for r in expect]
+
+
+def test_merge_upsert_randomized_vs_reference(spark):
+    """300 random keys with nulls, deletes, inserts: merge_upsert equals
+    a plain-Python dict-based MERGE reference exactly."""
+    import random
+
+    rng = random.Random(20250214)
+    base_rows = [
+        (f"K{i}", rng.choice(["7", "G", None]), round(rng.uniform(1, 999), 2), rng.choice(["A", "B"]))
+        for i in range(300)
+    ]
+    upd_rows = []
+    for i in range(150, 450):  # half overlap, half inserts
+        if rng.random() < 0.3:
+            upd_rows.append((f"K{i}", None, None, True))  # delete
+        else:
+            upd_rows.append(
+                (f"K{i}", rng.choice(["4", None]), round(rng.uniform(1, 999), 2), False)
+            )
+    base = spark.createDataFrame(
+        base_rows, "k string, code string, amt double, status string"
+    )
+    upd = spark.createDataFrame(
+        upd_rows, "k string, code string, amt double, is_void boolean"
+    )
+    got = sorted(
+        tuple(r)
+        for r in merge.merge_upsert(base, upd, ["k"], delete_col="is_void").collect()
+    )
+
+    b = {r[0]: r for r in base_rows}
+    u = {r[0]: r for r in upd_rows}
+    expect = []
+    for k in set(b) | set(u):
+        if k in u and u[k][3]:          # delete wins (matched or not)
+            continue
+        if k in u and k in b:           # update: overwrite code/amt, keep status
+            expect.append((k, u[k][1], u[k][2], b[k][3]))
+        elif k in u:                    # insert: status unknown
+            expect.append((k, u[k][1], u[k][2], None))
+        else:
+            expect.append(b[k])
+    assert got == sorted(expect)
+
+
+def test_scd2_apply_randomized_vs_reference(spark):
+    """200 random keys x random version chains x 0-3 updates (including
+    back-dated and same-day ones): scd2_apply equals a plain-Python
+    reference that replays the interval algebra."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20250214)
+    d0 = dt.date(2026, 1, 1)
+    hist_rows, upd_rows = [], []
+    for i in range(200):
+        k = f"K{i}"
+        n_vers = rng.randint(1, 3)
+        starts = sorted(rng.sample(range(0, 200), n_vers))
+        for j, s in enumerate(starts):
+            vf = d0 + dt.timedelta(days=s)
+            vt = (
+                d0 + dt.timedelta(days=starts[j + 1]) if j + 1 < n_vers else None
+            )
+            hist_rows.append((k, f"c{j}", float(100 + j), vf, vt, vt is None))
+        for _ in range(rng.choice([0, 0, 1, 1, 2, 3])):
+            upd_rows.append(
+                (
+                    k,
+                    rng.choice(["x", "y"]),
+                    round(rng.uniform(1, 9), 2),
+                    d0 + dt.timedelta(days=rng.randint(0, 400)),
+                )
+            )
+    hist = spark.createDataFrame(
+        hist_rows,
+        "k string, code string, amt double, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        upd_rows, "k string, code string, amt double, eff date"
+    )
+    got = sorted(
+        tuple(r) for r in merge.scd2_apply(hist, upd, ["k"], "eff").collect()
+    )
+
+    from collections import defaultdict
+
+    by_key_hist = defaultdict(list)
+    for r in hist_rows:
+        by_key_hist[r[0]].append(r)
+    by_key_upd = defaultdict(list)
+    for r in upd_rows:
+        by_key_upd[r[0]].append(r)
+    expect = []
+    for k, rows in by_key_hist.items():
+        ups = by_key_upd.get(k)
+        if not ups:
+            expect.extend(rows)  # untouched: byte-identical passthrough
+            continue
+        closed = [r for r in rows if r[4] is not None]
+        expect.extend((r[0], r[1], r[2], r[3], r[4], False) for r in closed)
+        # recompute the open+new segment: union sorted by (valid_from,
+        # src) where existing open row sorts before same-day updates
+        seg = [(r[3], 0, r[1], r[2]) for r in rows if r[4] is None]
+        seg += [(u[3], 1, u[1], u[2]) for u in ups]
+        seg.sort(key=lambda t: (t[0], t[1]))
+        for j, (vf, _, code, amt) in enumerate(seg):
+            vt = seg[j + 1][0] if j + 1 < len(seg) else None
+            expect.append((k, code, amt, vf, vt, vt is None))
+    assert got == sorted(expect)
