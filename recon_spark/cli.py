@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--months", default="all", help="month names/numbers, comma-separated, or 'all'")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--no-business-rules", action="store_true")
+    p.add_argument(
+        "--manifest", default=None, metavar="PATH",
+        help="write a run-manifest JSON (per-stage row counts, validity "
+        "tallies, action mix) collected via df.observe — no extra jobs. "
+        "Disables the global output sort (its range-sampling pass would "
+        "double-count upstream metrics); files are sorted within "
+        "partitions instead.",
+    )
     return p
 
 
@@ -67,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
     from .sources.sinks import write_correction_file
 
     spark = get_spark("recon_spark_cli", cpus=args.cpus)
+
+    from .plans import manifest as manifest_mod
+
+    mf = manifest_mod.RunManifest(f"cli-engine-{args.engine}") if args.manifest else None
+
+    def obs(df, name, **metrics):
+        return mf.stage(df, name, **metrics) if mf else df
 
     date_filter = DateFilterConfig(
         date_start=args.date_start,
@@ -88,12 +103,19 @@ def main(argv: list[str] | None = None) -> int:
             return sample_fn(spark, args.sf_dir)
         return loader(spark, path, fmt=fmt_for(path))
 
-    matrix = cleaning.clean_matrix(
-        raw(args.matrix, load.load_matrix, fixtures.matrix_raw)
+    vm = manifest_mod.validity_metrics if mf else (lambda: {})
+    matrix = obs(
+        cleaning.clean_matrix(raw(args.matrix, load.load_matrix, fixtures.matrix_raw)),
+        "matrix_clean",
+        **vm(),
     )
     if args.engine == "a":
-        relius = cleaning.clean_relius(
-            raw(args.relius, load.load_relius, fixtures.relius_raw)
+        relius = obs(
+            cleaning.clean_relius(
+                raw(args.relius, load.load_relius, fixtures.relius_raw)
+            ),
+            "relius_clean",
+            **vm(),
         )
         matched = match_planid.reconcile_relius_matrix(
             relius,
@@ -103,23 +125,57 @@ def main(argv: list[str] | None = None) -> int:
             date_filter=date_filter,
         )
     elif args.engine == "b":
-        demo = cleaning.clean_relius_demo(
-            raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+        demo = obs(
+            cleaning.clean_relius_demo(
+                raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+            ),
+            "demo_clean",
+            **vm(),
         )
         matched = age_taxcode.run_age_taxcode_analysis(matrix, demo, date_filter=date_filter)
     elif args.engine == "c":
-        demo = cleaning.clean_relius_demo(
-            raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+        demo = obs(
+            cleaning.clean_relius_demo(
+                raw(args.demo, load.load_relius_demo, fixtures.relius_demo_raw)
+            ),
+            "demo_clean",
+            **vm(),
         )
-        basis = cleaning.clean_roth_basis(
-            raw(args.roth_basis, load.load_roth_basis, fixtures.roth_basis_raw)
+        basis = obs(
+            cleaning.clean_roth_basis(
+                raw(args.roth_basis, load.load_roth_basis, fixtures.roth_basis_raw)
+            ),
+            "basis_clean",
+            **vm(),
         )
         matched = roth_taxable.run_roth_taxable_analysis(
             matrix, demo, basis, date_filter=date_filter
         )
     else:
         matched = ira_rollover.run_ira_rollover_analysis(matrix, date_filter=date_filter)
-    corrections = build_correction_df(matched)
+    from pyspark.sql import functions as F
+
+    engine_metrics = (
+        {"n_actionable": F.sum(F.col("action").isNotNull().cast("long"))}
+        if "action" in matched.columns
+        else {}
+    )
+    matched = obs(matched, "engine_output", **engine_metrics)
+    if mf:
+        # the D4 global sort's range-sampling pass would re-execute every
+        # stage above the last shuffle and double all observed counts;
+        # keep files readable via a within-partition sort instead
+        corrections = build_correction_df(matched, sort=False).sortWithinPartitions(
+            "Matrix Account", "Participant SSN", "Transaction Date"
+        )
+        corrections = obs(
+            corrections,
+            "corrections",
+            n_update_1099=F.sum((F.col("Action") == "UPDATE_1099").cast("long")),
+            n_investigate=F.sum((F.col("Action") == "INVESTIGATE").cast("long")),
+        )
+    else:
+        corrections = build_correction_df(matched)
     # cache: the count action and the partitioned write both consume it
     corrections = corrections.persist()
     total = corrections.count()
@@ -127,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
 
     print(f"Corrections written to: {path}")
     print(f"Total corrections: {total}")
+    if mf:
+        import json
+
+        report = mf.report()
+        with open(args.manifest, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"Run manifest written to: {args.manifest}")
     return 0
 
 

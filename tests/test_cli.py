@@ -43,3 +43,24 @@ def test_cli_engine_selection(spark, tmp_path, capsys):
         out = capsys.readouterr().out
         assert "Total corrections:" in out
         assert int(out.strip().rsplit(" ", 1)[-1]) > 0
+
+
+def test_cli_manifest_audit_trail(spark, tmp_path, capsys):
+    """--manifest writes the Observation-collected audit JSON whose
+    corrections count equals the printed deliverable total."""
+    import json
+
+    mf_path = str(tmp_path / "manifest.json")
+    rc = cli.main(
+        ["--sf-dir", SF, "--out", str(tmp_path / "corr_mf"),
+         "--manifest", mf_path, "--cpus", "8"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    total = int([l for l in out.splitlines() if "Total corrections" in l][0].rsplit(" ", 1)[-1])
+    report = json.load(open(mf_path))
+    stages = report["stages"]
+    assert all(s["collected"] for s in stages.values())
+    assert stages["corrections"]["n_rows"] == total
+    assert stages["corrections"]["n_update_1099"] + stages["corrections"]["n_investigate"] >= total
+    assert stages["relius_clean"]["n_rows"] > 0 and "invalid_ssn" in stages["relius_clean"]
