@@ -93,3 +93,58 @@ def test_normalizer_matches_duckdb(spark, name, spark_col, duck_expr):
 
     diffs = {i: (got[i], want[i], cases[i]) for i in got if got[i] != want[i]}
     assert not diffs, f"{name}: {len(diffs)} mismatches, e.g. {list(diffs.items())[:5]}"
+
+
+#: two-column builders: (name, Spark builder over (x, y), DuckDB expr)
+_PAIRS_2 = [
+    ("full_name", lambda: N.full_name("x", "y"), Q.full_name("x", "y")),
+    (
+        "combined_tax_code",
+        lambda: N.combined_tax_code("x", "y"),
+        Q.combined_tax_code("x", "y"),
+    ),
+]
+
+_PAIRS_1_EXTRA = [
+    ("norm_compact_upper", lambda: N.norm_compact_upper("x"), Q.norm_compact_upper("x")),
+    ("norm_space_lower", lambda: N.norm_space_lower("x"), Q.norm_space_lower("x")),
+    ("code_1099r_valid", lambda: V_code_valid(), Q.code_1099r_valid("x")),
+]
+
+
+def V_code_valid():
+    from recon_spark.functions import validators as V
+
+    return V.code_1099r_valid("x")
+
+
+@pytest.mark.parametrize(
+    "name,spark_col,duck_expr", _PAIRS_1_EXTRA, ids=[p[0] for p in _PAIRS_1_EXTRA]
+)
+def test_extra_normalizer_matches_duckdb(spark, name, spark_col, duck_expr):
+    test_normalizer_matches_duckdb(spark, name, spark_col, duck_expr)
+
+
+@pytest.mark.parametrize(
+    "name,spark_col,duck_expr", _PAIRS_2, ids=[p[0] for p in _PAIRS_2]
+)
+def test_two_arg_normalizer_matches_duckdb(spark, name, spark_col, duck_expr):
+    cases = _cases()
+    rnd = random.Random(99)
+    ys = list(cases)
+    rnd.shuffle(ys)
+    df = spark.createDataFrame(
+        [(i, c, y) for i, (c, y) in enumerate(zip(cases, ys))],
+        "i long, x string, y string",
+    )
+    got = {r["i"]: _norm(r["out"]) for r in df.select("i", spark_col().alias("out")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x VARCHAR, y VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, c, y) for i, (c, y) in enumerate(zip(cases, ys))],
+    )
+    want = {i: _norm(v) for i, v in con.execute(f"SELECT i, {duck_expr} FROM t").fetchall()}
+    diffs = {i: (got[i], want[i], (cases[i], ys[i])) for i in got if got[i] != want[i]}
+    assert not diffs, f"{name}: {len(diffs)} mismatches, e.g. {list(diffs.items())[:5]}"
