@@ -347,3 +347,59 @@ def repetition_stats(toks: Column) -> tuple[Column, Column]:
     ttr = F.when(n > 0, F.size(distinct).cast("double") / n)
     top_share = F.when(n > 0, top.cast("double") / n)
     return ttr, top_share
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """RAG-style overlapping token-window chunking: one row per
+    (document, window) with ``chunk_id``, the token span
+    ``[tok_start, tok_end)``, the chunk's token count, and the re-joined
+    chunk text. Windows start every ``chunk_tokens - overlap`` tokens,
+    so consecutive chunks share exactly ``overlap`` tokens (the standard
+    retrieval-index prep; complements ``packing.pack_sequences``, which
+    concatenates docs for TRAINING batches rather than splitting them
+    for retrieval).
+
+    Scale shape: pure column algebra — one tokenize pass, one
+    ``posexplode(sequence(...))`` fan-out of ~n_tokens/stride rows per
+    doc, no UDFs, no shuffle (chunking is per-row); the output inherits
+    the input's partitioning. Empty/whitespace-only docs produce no
+    rows, and a window starting inside the previous chunk's overlap tail
+    (which would contain no new tokens) is never emitted — every chunk
+    past the first contributes at least one token beyond its overlap.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    with_toks = (
+        docs.withColumn("__toks", tokens(text_col))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    # last useful start: the largest k*stride strictly below n - overlap
+    # (a later start's window holds only already-covered overlap tokens)
+    last_start = F.greatest(F.col("__n") - overlap - 1, F.lit(0))
+    exploded = with_toks.select(
+        F.col(id_col),
+        "__toks",
+        "__n",
+        F.posexplode(
+            F.sequence(F.lit(0), last_start, F.lit(stride))
+        ).alias("chunk_id", "tok_start"),
+    )
+    n_chunk = F.least(F.lit(chunk_tokens), F.col("__n") - F.col("tok_start"))
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        (F.col("tok_start") + n_chunk).cast("long").alias("tok_end"),
+        n_chunk.cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("tok_start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

@@ -512,3 +512,68 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # coarse quantization with nprobe=2 of 8 cells should keep useful recall
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from recon_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: 2 chunks
+            (2, "a b c"),                                # short: 1 chunk
+            (3, "   "),                                  # empty: no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(docs, chunk_tokens=6, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    # the start-8 window would hold only already-covered overlap tokens
+    # and is not emitted; 0-6 and 4-10 cover all ten tokens
+    assert [(r.tok_start, r.tok_end, r.n_tokens) for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [
+        (0, 6, 6), (4, 10, 6)
+    ]
+    c0, c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # consecutive full chunks share exactly `overlap` tokens
+    assert c0.chunk_text.split()[-2:] == c1.chunk_text.split()[:2]
+    assert by_doc[2][0].chunk_text == "a b c"
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Reconstruction invariant on real corpus data: stitching chunks
+    back (dropping each chunk's leading overlap) reproduces the exact
+    token stream of every document."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    chunks = T.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    stitched = (
+        chunks.withColumn(
+            "piece",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.array_join(F.slice(F.split(F.col("chunk_text"), " "), 9, 32), " ")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(T.tokens("text"), " ").alias("orig")
+    ).filter(F.col("orig") != "")
+    joined = orig.join(stitched, "doc_id")
+    bad = joined.filter(F.col("orig") != F.col("rebuilt")).count()
+    assert bad == 0 and joined.count() == orig.count()
