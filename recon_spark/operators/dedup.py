@@ -2,6 +2,12 @@
 (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard
 verification.
 
+Cache lifecycle: the LSH operators ``persist()`` their signature/shingle
+frames (both sides of the band self-join read them); ownership passes to
+the CALLER — clear with ``spark.catalog.clearCache()`` after the
+consuming action, as ``bench.py`` / ``tools/check_correctness.py`` do
+between queries.
+
 Scale design (100 TB):
 
 - **Exact dedup** is a single ``row_number`` window over the fingerprint

@@ -8,6 +8,12 @@ Python workers, predicate/column pruning reach the parquet scan.
 
 The DuckDB mirrors live in :mod:`recon_spark.oracles.llm_sql` and are
 generated from the same constants, so the two renderings cannot drift.
+
+Cache lifecycle: operators that ``persist()`` an intermediate frame
+(``tfidf_top_terms``'s tf aggregate) hand ownership to the CALLER — call
+``spark.catalog.clearCache()`` (or unpersist the returned plan's cached
+ancestor) once the consuming action finishes, as ``bench.py`` and
+``tools/check_correctness.py`` do between queries.
 """
 
 from __future__ import annotations
