@@ -125,3 +125,52 @@ def write_excel(df: DataFrame, path: str | Path, *, sheet_name: str = "data") ->
         ]
         write_xlsx(path, [str(c) for c in pdf.columns], rows, sheet_name=name)
     return str(path)
+
+
+def compact(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    sort_cols: list[str] | None = None,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    right-sized files, optionally range-clustered on ``sort_cols``.
+
+    The small-files problem is the classic failure mode of incremental
+    writes at scale (a streaming ``foreachBatch`` sink or daily appends
+    leave thousands of KB-sized files; every downstream scan pays a task
+    and a metadata round-trip per file). This op sizes the output from
+    the ACTUAL input bytes — ``ceil(input_bytes / target_file_mb)``
+    files — rather than a guessed partition count, and uses
+    ``repartitionByRange`` when ``sort_cols`` is given so each output
+    file covers a contiguous key range (min/max footer stats then let
+    downstream key-range filters skip whole files, the poor man's
+    Z-order for a single sort axis).
+
+    Returns the number of files written. One shuffle; safe to run
+    repeatedly (idempotent overwrite of ``dst``).
+    """
+    import math
+
+    df = spark.read.format(fmt).load(src)
+    input_bytes = sum(
+        f.stat().st_size
+        for f in Path(src).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(input_bytes / (target_file_mb * 1024 * 1024)))
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").format(fmt).save(dst)
+    return sum(
+        1
+        for f in Path(dst).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+        and not f.name.endswith(".crc")
+    )

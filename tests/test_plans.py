@@ -202,3 +202,39 @@ def test_taxable_delta_distribution(spark):
     )
     rows = {r.delta_cents: r.n for r in build_taxable_delta_distribution(df).collect()}
     assert rows == {-10000: 2, -100: 1}
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """200 tiny files -> few right-sized files; content identical; range
+    clustering leaves per-file disjoint key ranges (file-skipping stats)."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.sources import sinks
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    spark.range(0, 20_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(200).write.parquet(src)
+
+    n = sinks.compact(spark, src, dst, sort_cols=["id"], target_file_mb=1)
+    import pathlib
+
+    src_files = [f for f in pathlib.Path(src).rglob("*.parquet")]
+    dst_files = [f for f in pathlib.Path(dst).rglob("*.parquet")]
+    assert len(src_files) == 200 and len(dst_files) == n and n < 20
+
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == 20_000
+    assert before.exceptAll(after).count() == 0
+
+    # range clustering: per-file [min, max] id spans do not overlap
+    spans = sorted(
+        tuple(r)
+        for r in after.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .select("lo", "hi")
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
