@@ -19,12 +19,16 @@ engine-portable — the DuckDB oracle mirrors the same fold), entirely in
 column algebra; a Pandas-UDF/BLAS variant is the drop-in upgrade when
 numpy-scale batching matters more than JVM-side execution.
 
-Negative result worth keeping (round 4): Rademacher random-hyperplane
+Negative results worth keeping: (round 4) Rademacher random-hyperplane
 buckets (md5-seeded ±1 projections, the "textbook" sign-LSH) were
 prototyped and measured 0.32 recall@10 at sf0.01 vs 0.42 for the
 coordinate-hyperplane multi-probe below — this corpus clusters along
-coordinate axes, and mixing dimensions destroys that alignment. Measure
-before swapping hash families.
+coordinate axes, and mixing dimensions destroys that alignment.
+(round 5) data-driven dim selection (top-8 by variance, and by a
+zero-straddle balance score) measured 0.32/0.34 vs 0.33 for the fixed
+default on a 50-query probe — multi-probe recall here is limited by the
+8-bit budget, not dim choice; IVF (0.94 recall) is the quality path.
+Measure before swapping hash families.
 """
 
 from __future__ import annotations
