@@ -544,7 +544,11 @@ def ann_recall(
     )
     # 'lsh' grades the DEFAULT ann_topk_lsh surface (multi-probe radius 2);
     # 'lsh_exact' grades the radius=0 candidate generator so its near-zero
-    # standalone recall stays measured, not hidden
+    # standalone recall stays measured, not hidden; 'blas' grades the
+    # Arrow/matmul brute-force twin AGAINST the fold-based truth — its
+    # recall is 1.0 iff the two execution strategies rank identically
+    # (the round-5 pytest assertion, now driver-visible; the oracle's
+    # blas branch is the exact-SQL top-k, so any BLAS drift hash-fails)
     cand = (
         ann_topk_lsh(corpus, queries, k, id_col, vec_col, radius=0)
         .select(F.lit("lsh_exact").alias("method"), "query_id", "neighbor_id")
@@ -556,6 +560,11 @@ def ann_recall(
         .unionByName(
             ivf_topk(corpus, queries, k, id_col, vec_col).select(
                 F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+        .unionByName(
+            brute_force_topk_blas(corpus, queries, k, id_col, vec_col).select(
+                F.lit("blas").alias("method"), "query_id", "neighbor_id"
             )
         )
     )

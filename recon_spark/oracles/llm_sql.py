@@ -611,6 +611,11 @@ cand AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM ({ANN_LSH_MP_SQL})
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id FROM ({IVF_ANN_SQL})
+  UNION ALL
+  -- the Spark side runs the Arrow/BLAS matmul twin here; the oracle is
+  -- the exact top-k, so the row grades green only if BLAS ranks
+  -- identically to the fold-based exact path (recall 1.0 by parity)
+  SELECT 'blas' AS method, query_id, neighbor_id FROM ({TOPK_BRUTE_SQL})
 )
 SELECT c.method,
        CAST(count(t.query_id) AS BIGINT) AS hits,
@@ -677,3 +682,36 @@ SELECT split, doc_id, n AS n_tokens,
   CAST(sum(n) OVER w - n AS BIGINT) % {_PACK.DEFAULT_BUDGET} AS bin_offset
 FROM b
 WINDOW w AS (PARTITION BY split ORDER BY hb, doc_id ROWS UNBOUNDED PRECEDING)"""
+
+
+# --- RAG chunking ------------------------------------------------------------
+
+#: overlapping token-window chunking replay (operators/text.py
+#: chunk_documents, chunk_tokens=64 / overlap=16 as registered): window
+#: starts every `stride` tokens up to the last start that contributes a
+#: token beyond the previous chunk's overlap tail; DuckDB range() is
+#: stop-exclusive where Spark sequence() is stop-inclusive, hence the
+#: `+ 1`. chunk_id is tok_start // stride (starts are exact stride
+#: multiples on both sides).
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+CHUNK_DOCS_SQL = f"""WITH t AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM documents
+),
+nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+starts AS (
+  SELECT doc_id, toks, n,
+    unnest(range(0, greatest(n - {CHUNK_OVERLAP} - 1, 0) + 1, {_CHUNK_STRIDE})) AS tok_start
+  FROM nz
+)
+SELECT doc_id,
+  CAST(tok_start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(tok_start + least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS tok_end,
+  CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_tokens,
+  array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM starts"""

@@ -592,9 +592,7 @@ _CORR_COLS_C = f"""transaction_id AS "Transaction Id",
   correction_reason AS "Reason",
   action AS "Action\""""
 
-CORRECTIONS_ALL_SQL = f"""{E.ALL_ENGINES_CTES},
-corr_ec_mat AS MATERIALIZED (SELECT * FROM ec_final)
-SELECT 'engine_a' AS engine,
+_CORR_ALL_SELECT = f"""SELECT 'engine_a' AS engine,
   {_CORR_COLS_A}
 FROM ea_out
 WHERE match_status IN ('match_needs_correction', 'match_needs_review')
@@ -612,6 +610,59 @@ WHERE match_status IN ('match_needs_correction', 'match_needs_review')
        OR coalesce(contains(action, 'INVESTIGATE'), false))
   AND (coalesce(contains(action, 'UPDATE_1099'), false)
        OR coalesce(contains(action, 'INVESTIGATE'), false))"""
+
+CORRECTIONS_ALL_SQL = f"""{E.ALL_ENGINES_CTES},
+corr_ec_mat AS MATERIALIZED (SELECT * FROM ec_final)
+{_CORR_ALL_SELECT}"""
+
+#: SCD2 replay of applying the corrections deliverable onto a
+#: transaction ledger (operators/merge.py scd2_apply). Because every
+#: ledger row starts as the key's single OPEN version and every
+#: correction is stamped strictly after it (valid_from + 30 days), the
+#: generic close-out window collapses to: touched ledger rows close at
+#: the correction's effective date, each correction opens a new current
+#: version, untouched rows pass through — which is exactly what
+#: scd2_apply computes via its (key, valid_from, __src) lead() window.
+CORRECTIONS_MERGE_SQL = f"""{E.ALL_ENGINES_CTES},
+corr_ec_mat AS MATERIALIZED (SELECT * FROM ec_final),
+corr_all AS MATERIALIZED (
+{_CORR_ALL_SELECT}
+),
+upd AS (
+  SELECT "Transaction Id" AS transaction_id,
+         "New Tax Code" AS tax_code,
+         "New Taxable Amount" AS taxable_amt,
+         CAST("Transaction Date" + INTERVAL 30 DAY AS DATE) AS effective
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY "Transaction Id"
+      ORDER BY engine, "New Tax Code" NULLS FIRST, "Reason" NULLS FIRST,
+               "New Taxable Amount" NULLS FIRST,
+               "New First Year contrib" NULLS FIRST, "Action" NULLS FIRST
+    ) AS rn
+    FROM corr_all WHERE "Transaction Id" IS NOT NULL
+  ) WHERE rn = 1
+),
+ledger AS (
+  SELECT transaction_id,
+         {E._combined('tax_code_1', 'tax_code_2')} AS tax_code,
+         fed_taxable_amt AS taxable_amt,
+         txn_date AS valid_from
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY transaction_id ORDER BY src_order, src_seq
+    ) AS rn
+    FROM matrix_clean WHERE transaction_id IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT l.transaction_id, l.tax_code, l.taxable_amt, l.valid_from,
+       u.effective AS valid_to,
+       (u.effective IS NULL) AS is_current
+FROM ledger l LEFT JOIN upd u USING (transaction_id)
+UNION ALL
+SELECT u.transaction_id, u.tax_code, u.taxable_amt, u.effective,
+       CAST(NULL AS DATE), true
+FROM upd u"""
 
 #: A5 merged: both trend queries as (engine, month, key, n).
 TRENDS_ALL_SQL = f"""{E.ALL_ENGINES_CTES},

@@ -67,14 +67,19 @@ class RunManifest:
             # Observation.get blocks until metrics arrive; probe the JVM
             # Observation's getRowOrEmpty (an Option — py4j-safe, unlike
             # getOrEmpty's Scala Map) so a never-executed stage reports
-            # uncollected instead of hanging
-            collected = True
+            # uncollected instead of hanging. If the probe itself is
+            # unavailable (Spark Connect has no _jo; the private method
+            # may be renamed), collected stays None ("unknown") and the
+            # blocking get is SKIPPED — never block on a stage we cannot
+            # prove has executed (the no-hang promise outranks metric
+            # completeness on an exotic runtime).
+            collected: bool | None = None
             try:
                 collected = (
                     obs._jo is not None and not obs._jo.getRowOrEmpty().isEmpty()
                 )
             except Exception:
-                pass  # probe unavailable: fall through to the blocking get
+                collected = None  # probe unavailable: report unknown
             metrics = dict(obs.get) if collected else {}
             out["stages"][name] = {"collected": collected, **metrics}
         return out

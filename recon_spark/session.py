@@ -65,6 +65,18 @@ def get_spark(
         # default (true) rejects subset co-partitioning purely as a skew
         # heuristic.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # CORRECTNESS: Spark 4.1's partitioning-aware UnionExec
+        # (spark.sql.unionOutputPartitioning, default true) returned
+        # WRONG results for a key-window placed directly over a union of
+        # two co-partitioned children (scd2_apply's open∪new frame: the
+        # planner deemed the window's clustering requirement satisfied,
+        # executed only a partition-local sort, and lead() returned NULL
+        # for every row — no version ever closed). Minimized + verified
+        # 2026-08-14 on 4.1.2: flipping only this conf flips the result
+        # (see operators/merge.py and tests/test_merge.py guard test).
+        # Disabled session-wide: the optimization saves one small
+        # exchange; silent corruption is not a trade.
+        .config("spark.sql.unionOutputPartitioning", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -152,15 +152,47 @@ def compact(
 
     Returns the number of files written. One shuffle; safe to run
     repeatedly (idempotent overwrite of ``dst``).
+
+    Input sizing and output counting go through the Hadoop FileSystem
+    API, so any scheme Spark can read (``file://``, ``hdfs://``,
+    ``s3a://``) sizes correctly — a driver-side ``os.stat`` walk would
+    silently report 0 bytes for a remote URI and collapse everything
+    into one file. A missing ``src`` raises instead of compacting an
+    empty frame, and ``src == dst`` raises: the read is lazy, so an
+    overwrite of the input would destroy it mid-scan.
     """
     import math
 
+    def _fs_and_path(p: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, fs.makeQualified(hpath)
+
+    def _data_files(fs, qpath):
+        """(name, bytes) of data files under qpath, recursively —
+        skipping _SUCCESS/_committed markers, dotfiles and .crc."""
+        it = fs.listFiles(qpath, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")) and not name.endswith(".crc"):
+                out.append((name, int(st.getLen())))
+        return out
+
+    src_fs, src_q = _fs_and_path(src)
+    dst_fs, dst_q = _fs_and_path(dst)
+    if not src_fs.exists(src_q):
+        raise FileNotFoundError(f"compact: src does not exist: {src}")
+    if str(src_q) == str(dst_q):
+        raise ValueError(
+            f"compact: src and dst resolve to the same path ({src_q}); "
+            "the lazy read + overwrite would destroy the input"
+        )
+
     df = spark.read.format(fmt).load(src)
-    input_bytes = sum(
-        f.stat().st_size
-        for f in Path(src).rglob("*")
-        if f.is_file() and not f.name.startswith(("_", "."))
-    )
+    input_bytes = sum(b for _, b in _data_files(src_fs, src_q))
     n_files = max(1, math.ceil(input_bytes / (target_file_mb * 1024 * 1024)))
     if sort_cols:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
@@ -168,9 +200,4 @@ def compact(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").format(fmt).save(dst)
-    return sum(
-        1
-        for f in Path(dst).rglob("*")
-        if f.is_file() and not f.name.startswith(("_", "."))
-        and not f.name.endswith(".crc")
-    )
+    return len(_data_files(dst_fs, _fs_and_path(dst)[1]))

@@ -22,7 +22,10 @@ def _plan(df) -> str:
 
 
 def test_engine_a_exchange_free_over_bucketed_cleans(spark, tmp_path):
-    t = clean_tables(spark, SF)
+    # materialized=False: this test writes its OWN bucketed tables to
+    # exercise write_bucketed end-to-end (the default materialized path
+    # is covered by test_clean_tables_materialized_* below)
+    t = clean_tables(spark, SF, materialized=False)
     # Bucket by the STRING key prefix (plan_id, ssn), not the full 3-part
     # join key: gross_amt is DOUBLE, and Spark's NormalizeFloatingNumbers
     # rewrites float join keys, which makes the planner disable bucketed
@@ -58,7 +61,7 @@ def test_engine_a_reuses_cleaner_exchanges_unbucketed(spark):
     3-key full-outer SMJ must add no exchange of its own — exactly one
     hash exchange per cleaned side (subset partitioning satisfies the
     superset clustering requirement)."""
-    t = clean_tables(spark, SF)
+    t = clean_tables(spark, SF, materialized=False)
     out = match_planid.reconcile_relius_matrix(t["relius"], t["matrix"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
@@ -75,10 +78,31 @@ def test_engine_c_window_reuses_matrix_exchange(spark):
     (one per cleaned input), none introduced by the engine itself."""
     from recon_spark.engines import roth_taxable
 
-    t = clean_tables(spark, SF)
+    t = clean_tables(spark, SF, materialized=False)
     out = roth_taxable.run_roth_taxable_analysis(t["matrix"], t["demo"], t["basis"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
     hashex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(hashex) == 3, plan
+
+
+def test_clean_tables_materialized_matches_lazy_and_is_exchange_free(spark):
+    """The default clean_tables() path: bucketed clean-once tables must be
+    value-identical to the lazy lineage AND give Engine A an
+    exchange-free plan (the deployment shape is now the DEFAULT shape,
+    not just a test artifact)."""
+    lazy = clean_tables(spark, SF, materialized=False)
+    mat = clean_tables(spark, SF)
+
+    # value parity on every table (arrays joined for hashable tuples)
+    for name in ("relius", "matrix", "demo", "basis"):
+        cols = [c for c in lazy[name].columns if c != "validation_issues"]
+        a = sorted(map(tuple, lazy[name].select(*cols).collect()))
+        b = sorted(map(tuple, mat[name].select(*cols).collect()))
+        assert a == b, f"{name}: materialized != lazy"
+
+    # Engine A over the materialized tables: no Exchange anywhere
+    out = match_planid.reconcile_relius_matrix(mat["relius"], mat["matrix"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

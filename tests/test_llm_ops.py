@@ -334,11 +334,14 @@ def test_ann_recall_orders_methods(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     rows = {r.method: r for r in SIM.ann_recall(emb, queries, k=10).collect()}
-    assert set(rows) == {"lsh", "lsh_exact", "ivf"}
+    assert set(rows) == {"lsh", "lsh_exact", "ivf", "blas"}
     for r in rows.values():
         assert r.total == 50
         assert 0.0 <= r.recall <= 1.0
         assert r.recall == pytest.approx(r.hits / r.total)
+    # the BLAS matmul twin must rank identically to the fold-based exact
+    # baseline -> recall exactly 1.0 (the driver-graded parity row)
+    assert rows["blas"].recall == 1.0
     # the default LSH surface (multi-probe) exists to beat exact-bucket;
     # IVF(nprobe=2) is the strongest of the three on this corpus. The
     # default-path bar is 0.2 at this tiny sf0.001 corpus (measured 0.26);

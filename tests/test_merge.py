@@ -269,3 +269,80 @@ def test_scd2_apply_randomized_vs_reference(spark):
             vt = seg[j + 1][0] if j + 1 < len(seg) else None
             expect.append((k, code, amt, vf, vt, vt is None))
     assert got == sorted(expect)
+
+
+def test_scd2_closes_under_union_partitioning(spark):
+    """Regression guard for the Spark 4.1 partitioning-aware-union wrong
+    results (spark.sql.unionOutputPartitioning, default true in 4.1.2):
+    when scd2_apply's open and new frames both arrived hash-partitioned
+    on the merge key, the planner put the close-out window directly over
+    the Union with only a local sort and lead() returned NULL for every
+    open row — no version ever closed. scd2_apply now pins the conf off
+    on the session it runs under; this test feeds it window-deduped
+    (pre-partitioned) inputs, asserts intervals actually close, and
+    asserts the conf ends up pinned."""
+    from pyspark.sql import Window
+
+    n = 200
+    raw_hist = spark.range(0, n * 2).select(
+        (F.col("id") % n).cast("string").alias("k"),
+        F.lit("OLD").alias("code"),
+        F.col("id").cast("double").alias("amt"),
+        F.lit("2026-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.col("id").alias("seq"),
+    )
+    w = Window.partitionBy("k").orderBy("seq")
+    hist = (
+        raw_hist.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn", "seq")
+    )
+    raw_upd = spark.range(0, n * 2).select(
+        (F.col("id") % n).cast("string").alias("k"),
+        F.lit("NEW").alias("code"),
+        (F.col("id") + 0.5).cast("double").alias("amt"),
+        F.lit("2026-03-01").cast("date").alias("eff"),
+        F.col("id").alias("seq"),
+    )
+    upd = (
+        raw_upd.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn", "seq")
+    )
+    out = merge.scd2_apply(hist, upd, ["k"], "eff").collect()
+    closed = [r for r in out if r["valid_to"] is not None]
+    opened = [r for r in out if r["valid_to"] is None]
+    assert len(closed) == n  # every OLD version must close at the update
+    assert len(opened) == n and all(r["code"] == "NEW" for r in opened)
+    assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+
+
+def test_merge_upsert_validate_unique_raises_on_dup_keys(spark):
+    """ADVICE round-5: duplicate update keys silently fan out the ledger
+    (the condition MERGE INTO rejects). validate_unique=True enforces the
+    contract at execution time."""
+    import pytest as _pytest
+
+    dup_updates = spark.createDataFrame(
+        [("TXN2", "G", 210.0), ("TXN2", "4", 220.0)],
+        "transaction_id string, tax_code string, taxable_amt double",
+    )
+    # contract enforced: job fails with the clear message
+    out = merge.merge_upsert(
+        _base(spark), dup_updates, ["transaction_id"], validate_unique=True
+    )
+    with _pytest.raises(Exception, match="multiple update rows"):
+        out.collect()
+    # unique updates still pass under validation
+    ok = merge.merge_upsert(
+        _base(spark),
+        spark.createDataFrame(
+            [("TXN2", "G", 210.0)],
+            "transaction_id string, tax_code string, taxable_amt double",
+        ),
+        ["transaction_id"],
+        validate_unique=True,
+    )
+    assert len(ok.collect()) == 3

@@ -238,3 +238,33 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     )
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_compact_guards(spark, tmp_path):
+    """Round-6 hardening: missing src raises (no silent 1-file collapse
+    from a 0-byte listing), src == dst raises (lazy read + overwrite
+    would destroy the input), and sizing goes through the Hadoop
+    FileSystem API so a file:// URI spelling sizes identically to the
+    bare path."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from recon_spark.sources import sinks
+
+    src = str(tmp_path / "in")
+    spark.range(0, 1000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("p")
+    ).repartition(10).write.parquet(src)
+
+    with _pytest.raises(FileNotFoundError):
+        sinks.compact(spark, str(tmp_path / "nope"), str(tmp_path / "out"))
+    with _pytest.raises(ValueError, match="same path"):
+        sinks.compact(spark, src, src)
+    with _pytest.raises(ValueError, match="same path"):
+        # URI spelling vs bare path must still be caught (makeQualified)
+        sinks.compact(spark, f"file://{src}", src)
+
+    n = sinks.compact(spark, f"file://{src}", str(tmp_path / "out"))
+    assert n >= 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000

@@ -1,0 +1,56 @@
+"""Registry queries that hold no driver grading slot but must stay
+value-correct: dedup_simhash_pairs lost its slot in round 6 (the near-dup
+family is graded three other ways), so this test replays the driver's
+compare — Spark query vs DuckDB oracle SQL on the same parquet — locally.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_simhash_pairs_matches_oracle(spark, duck):
+    from recon_spark.oracles import llm_sql
+    from recon_spark.registry import q_simhash_pairs
+
+    got = sorted(map(tuple, q_simhash_pairs(spark, SF).collect()))
+    want = sorted(map(tuple, duck.execute(llm_sql.SIMHASH_PAIRS_SQL).fetchall()))
+    assert got == want
+    assert len(got) > 0  # planted near-dups must surface
+
+
+def test_topk_bruteforce_matches_oracle(spark, duck):
+    """Score column compared at micro precision: the DuckDB fold mirrors
+    Spark's left-to-right accumulation order, but the driver-grade-exact
+    check lives in similarity_recall; this guard only needs to catch
+    real ranking/score drift."""
+    from recon_spark.oracles import llm_sql
+    from recon_spark.registry import q_topk_brute
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r["rank"], round(r.score * 1e6))
+        for r in q_topk_brute(spark, SF).collect()
+    )
+    want = sorted(
+        (q, n, rk, round(s * 1e6))
+        for q, n, rk, s in duck.execute(llm_sql.TOPK_BRUTE_SQL).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
