@@ -18,7 +18,7 @@ ancestor) once the consuming action finishes, as ``bench.py`` and
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalizers import _c
@@ -340,7 +340,11 @@ def repetition_stats(toks: Column) -> tuple[Column, Column]:
     """Gopher-style repetition signals over a STAGED token-array column:
     type-token ratio (distinct/total) and the mode token's frequency
     share. O(tokens x distinct) per row in column algebra — fine for
-    document-sized rows; both NULL for empty docs.
+    document-sized rows (a web corpus); a BOOK-length document makes a
+    single row's expression evaluation quadratic — for such corpora use
+    :func:`repetition_stats_exploded`, the linear shuffle-based twin
+    (value-identical on non-empty docs, asserted in tests/test_corpus.py).
+    Both signals NULL for empty docs.
 
     PERF: like every array op in this module, ``toks`` must be a plain
     column reference (see shingles_from_tokens).
@@ -353,6 +357,39 @@ def repetition_stats(toks: Column) -> tuple[Column, Column]:
     ttr = F.when(n > 0, F.size(distinct).cast("double") / n)
     top_share = F.when(n > 0, top.cast("double") / n)
     return ttr, top_share
+
+
+def repetition_stats_exploded(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shuffle-based twin of :func:`repetition_stats` for long-document
+    corpora: ``(id, ttr, top_token_share)``, one row per non-empty doc.
+
+    The column-algebra form evaluates O(tokens x distinct) WORK PER ROW
+    inside one task — quadratic for a book-length document. This variant
+    is linear: explode -> count per (doc, token) -> roll up per doc. Two
+    shuffles, both map-side combining, and per-task memory is bounded by
+    the aggregation hash map rather than any single document's token
+    array, so one pathological document can never stall a task.
+
+    Differences from the column form, by construction: empty/whitespace
+    docs produce NO row here (vs a row with NULL signals), and the
+    output is an aggregate frame to join back rather than two appended
+    columns. Values are identical on every non-empty doc
+    (tests/test_corpus.py asserts exact parity at sf0.001).
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    per = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__distinct"),
+        F.sum("__c").alias("__total"),
+        F.max("__c").alias("__top"),
+    )
+    return agg.select(
+        id_col,
+        (F.col("__distinct").cast("double") / F.col("__total")).alias("ttr"),
+        (F.col("__top").cast("double") / F.col("__total")).alias("top_token_share"),
+    )
 
 
 def chunk_documents(

@@ -42,6 +42,8 @@ AUDITED = [
     "data_pack_sequences",
     "analytics_event_funnel",
     "analytics_cohort_retention",
+    "corrections_merge_apply",
+    "text_chunk_documents",
 ]
 
 #: hand-written 100 TB notes surfaced next to each measured plan
@@ -84,12 +86,20 @@ NOTES = {
         "cleaner prefix (fixture derivation join + dedup window)."
     ),
     "corrections_all": (
-        "Engine A + Engine C plans, one filter + projection each, unioned; "
-        "no exchange beyond the engines' own."
+        "Since round 6 both branches read the MATERIALIZED engine outputs "
+        "(parquet scan + filter + projection each, unioned) — the round-5 "
+        "zero-reuse defect (each branch re-ran the full engine lineage; "
+        "16.5s) is gone, and the single final D4 range sort samples a "
+        "deliverable-sized scan instead of re-executing joins. 16.5s -> "
+        "~5s at sf0.1 (the number still includes the first-consumer "
+        "engine execution + write)."
     ),
     "analytics_trends_all": (
         "groupBy(month, key) per engine — partial (map-side) aggregation "
-        "before one shuffle on low-cardinality keys, then a union."
+        "before one shuffle on low-cardinality keys, then a union. Since "
+        "round 6 the inputs are the materialized engine outputs, so the "
+        "whole query is two output-sized scans + two small shuffles "
+        "(8.8s -> ~1s at sf0.1)."
     ),
     "analytics_value_percentiles": (
         "Distributed EXACT percentiles (operators/ranking.py): value-"
@@ -121,7 +131,10 @@ NOTES = {
         "multi-probe LSH (constant 37-mask query explode, recall 0.42), "
         "and IVF (broadcast centroids, in-cell equi-join, recall 0.94). "
         "Every candidate generator is a bucketed equi-join; the truth set "
-        "is |queries| x k rows, broadcast."
+        "is |queries| x k rows, broadcast. Round 6 adds the 'blas' parity "
+        "row: the Arrow/matmul brute-force twin joined against the same "
+        "truth — recall 1.0 iff both execution strategies rank "
+        "identically (the oracle's blas branch is the exact SQL top-k)."
     ),
     "dedup_ngram_jaccard": (
         "Count-based set-similarity join: one cached shingling pass, one "
@@ -275,6 +288,22 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(AUDITED)} plans)")
+
+
+NOTES["corrections_merge_apply"] = (
+    "SCD2 apply of the corrections deliverable onto a matrix-derived "
+    "ledger (operators/merge.py): semi/anti joins on the corrections-"
+    "sized key set + ONE lead() window over only the affected keys' "
+    "open+new rows. The window's input union is explicitly exchanged on "
+    "the merge key — see the unionOutputPartitioning correctness note in "
+    "session.py (Spark 4.1 planned this window exchange-free over the "
+    "co-partitioned union and returned wrong results)."
+)
+NOTES["text_chunk_documents"] = (
+    "Pure posexplode fan-out over a staged token array — no shuffle, no "
+    "UDF; output inherits input partitioning. ~n_tokens/stride rows per "
+    "document."
+)
 
 
 if __name__ == "__main__":
