@@ -1,0 +1,150 @@
+"""Z-order (Morton) multi-dimensional clustering for file skipping.
+
+``sources.sinks.compact`` range-clusters on ONE sort axis: per-file
+min/max footer stats then let a filter on that axis skip whole files,
+but a filter on any OTHER column still scans everything. Z-ordering
+interleaves the bits of several columns' quantized ranks into one sort
+key, so each output file covers a small hyper-rectangle of the combined
+key space — filters on ANY of the z-dimensions skip most files (the
+technique behind Delta/Databricks ``OPTIMIZE ZORDER BY`` and Iceberg's
+z-order rewrite; this is a from-scratch column-algebra rendering, no
+table format required).
+
+Spark-first shape, all JVM expressions:
+
+1. **Quantize** each dimension to ``bits`` levels. Numeric columns use
+   linear min/max scaling (ONE tiny aggregate collected to the driver —
+   2 values per column); any column type can instead supply
+   equi-depth boundaries from ``approxQuantile`` via
+   ``quantize='quantile'``, which is skew-resistant (the boundary list,
+   2^bits doubles per column, rides the plan as a literal array and
+   ``array_position``-style binary search is O(bits) per row via
+   ``F.width_bucket``).
+2. **Interleave** bits with shift/mask column expressions — for d
+   dimensions and b bits, d*b deterministic bit ops per row, whole-stage
+   codegen friendly, no UDF.
+3. **Layout**: ``repartitionByRange`` on the z-value (one range
+   exchange; the sampler runs on the z column only) +
+   ``sortWithinPartitions`` so parquet writes runs of adjacent z-cells
+   per file; min/max stats per file then bound every z-dimension.
+
+Scale notes: the only driver-side data is the per-column stats (2 or
+2^bits values); everything else is one shuffle. Skew in a linear-scaled
+dimension degrades skipping (most rows share few cells) but never
+correctness — use quantile mode for heavy-tailed columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "write_zordered", "file_span_stats"]
+
+
+def _quantized(df: DataFrame, cols: Sequence[str], bits: int, quantize: str):
+    """Per-column quantizer expressions mapping each value into
+    [0, 2^bits); NULLs map to cell 0 (they cluster together, which is
+    what a NULL-filter wants anyway)."""
+    levels = (1 << bits) - 1
+    exprs: list[Column] = []
+    if quantize == "minmax":
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).first()
+        for i, c in enumerate(cols):
+            mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+            if mn is None or mx is None or mx == mn:
+                exprs.append(F.lit(0).cast("long"))
+                continue
+            scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            q = F.floor(scaled * levels).cast("long")
+            exprs.append(
+                F.coalesce(F.greatest(F.least(q, F.lit(levels)), F.lit(0)), F.lit(0))
+            )
+    elif quantize == "quantile":
+        n_edges = (1 << bits) - 1
+        probs = [(k + 1) / (n_edges + 1) for k in range(n_edges)]
+        for c in cols:
+            edges = df.approxQuantile(c, probs, 0.001)
+            # strictly increasing edges for width_bucket's contract
+            uniq: list[float] = []
+            for e in edges:
+                if not uniq or e > uniq[-1]:
+                    uniq.append(e)
+            if not uniq:
+                exprs.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(float(e)) for e in uniq])
+            # number of boundaries <= x  ==  equi-depth cell index
+            cell = F.size(F.filter(arr, lambda e: e <= F.col(c).cast("double")))
+            exprs.append(F.coalesce(cell.cast("long"), F.lit(0)))
+    else:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    return exprs
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    quantize: str = "minmax",
+) -> Column:
+    """The Morton interleave of ``cols`` as a LONG column expression.
+
+    Bit i of dimension d lands at position ``i * n_dims + d`` (LSB
+    first), so truncating high bits of the z-value truncates every
+    dimension equally — the property that makes z-ranges map to
+    hyper-rectangles. Total bits = ``bits * len(cols)`` must fit a
+    signed long (<= 62)."""
+    cols = list(cols)
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*dims = {bits * len(cols)} exceeds a signed long")
+    qs = _quantized(df, cols, bits, quantize)
+    parts: list[Column] = []
+    for d, q in enumerate(qs):
+        for i in range(bits):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, i * len(cols) + d))
+    return reduce(lambda a, b: a.bitwiseOR(b), parts).alias("zvalue")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 8,
+    n_files: int = 16,
+    quantize: str = "minmax",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` z-clustered on ``cols`` into ~``n_files`` files whose
+    per-file min/max stats bound every z-dimension (verified in
+    tests/test_zorder.py by measuring per-file spans on each dimension
+    against a single-axis range layout)."""
+    z = zorder_value(df, cols, bits=bits, quantize=quantize)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
+def file_span_stats(df_with_file: DataFrame, dim: str) -> DataFrame:
+    """Per-file (min, max, span) of ``dim`` — the footer stats a reader's
+    file-skipping uses. Input must carry ``__file`` (input_file_name)."""
+    return (
+        df_with_file.groupBy("__file")
+        .agg(
+            F.min(dim).cast("double").alias("lo"),
+            F.max(dim).cast("double").alias("hi"),
+        )
+        .select("__file", "lo", "hi", (F.col("hi") - F.col("lo")).alias("span"))
+    )
