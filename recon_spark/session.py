@@ -72,8 +72,12 @@ def get_spark(
         # planner deemed the window's clustering requirement satisfied,
         # executed only a partition-local sort, and lead() returned NULL
         # for every row — no version ever closed). Minimized + verified
-        # 2026-08-14 on 4.1.2: flipping only this conf flips the result
-        # (see operators/merge.py and tests/test_merge.py guard test).
+        # 2026-08-14 on 4.1.2: flipping only this conf flips the result.
+        # Standalone reproducer: tools/union_partitioning_repro.py (the
+        # minimal trigger needs a BUCKETED source table + two join
+        # branches reusing one window exchange); regression guard:
+        # tests/test_merge.py, and operators/merge.py pins this conf
+        # defensively for sessions not built here.
         # Disabled session-wide: the optimization saves one small
         # exchange; silent corruption is not a trade.
         .config("spark.sql.unionOutputPartitioning", "false")
