@@ -31,6 +31,7 @@ HEADLINE = [
     "engine_c_roth_taxable",
     "engine_d_ira_rollover",
     "corrections_all",
+    "corrections_merge_apply",
     "analytics_trends_all",
     "analytics_events_monthly",
     "analytics_event_funnel",
@@ -38,6 +39,7 @@ HEADLINE = [
     "analytics_value_percentiles",
     "data_quality_bins",
     "text_stats",
+    "text_chunk_documents",
     "privacy_masked_export",
     "data_pack_sequences",
     "dedup_minhash_lsh",
