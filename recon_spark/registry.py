@@ -553,14 +553,16 @@ def q_corrections_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- analytics (A2-A7) -------------------------------------------------------
 
 
-#: analyzed-plan memo for the four engine outputs, same key scheme and
-#: same rationale as _CLEAN_PLAN_MEMO: DataFrames are immutable lazy
-#: plans, so sharing the objects across queries is semantics-free, and
-#: it saves re-ANALYZING the wide engine expression trees once per
-#: consuming query (corrections + six merged analytics queries each
-#: rebuilt them before round 6 — measured seconds of driver time per
-#: query at sf0.1, pure plan construction).
-_ENGINE_OUT_MEMO: dict[tuple[str, str, int], dict[str, DataFrame]] = {}
+#: analyzed-plan memo, PER ENGINE, same key scheme and same rationale as
+#: _CLEAN_PLAN_MEMO: DataFrames are immutable lazy plans, so sharing the
+#: objects across queries is semantics-free, and it saves re-ANALYZING
+#: the wide engine expression trees once per consuming query
+#: (corrections + six merged analytics queries each rebuilt them before
+#: round 6 — measured seconds of driver time per query at sf0.1, pure
+#: plan construction). Keyed per engine so q_engine_a doesn't pay plan
+#: analysis for B/C/D (measured +2.2s on engine_a when the memo built
+#: all four eagerly).
+_ENGINE_PLAN_MEMO: dict[tuple[str, str, int, str], DataFrame] = {}
 
 #: parquet materialization memo for the engine outputs — the
 #: "reconcile once, analyze many" tier above the clean-once tables.
@@ -571,27 +573,32 @@ _ENGINE_TABLE_MEMO: dict[tuple[str, str, int], dict[str, DataFrame]] = {}
 #: couple of cheap aggregates — materializing them buys nothing).
 _MATERIALIZED_ENGINES = ("engine_a", "engine_c")
 
+_ENGINE_NAMES = ("engine_a", "engine_b", "engine_c", "engine_d")
 
-def _lazy_engine_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir, len(fixtures._RAW_OVERRIDE))
-    memo = _ENGINE_OUT_MEMO.get(key)
-    if memo is None:
+
+def _lazy_engine_output(spark: SparkSession, sf_dir: str, eng: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, len(fixtures._RAW_OVERRIDE), eng)
+    df = _ENGINE_PLAN_MEMO.get(key)
+    if df is None:
         t = clean_tables(spark, sf_dir)
-        memo = _ENGINE_OUT_MEMO[key] = {
-            "engine_a": match_planid.reconcile_relius_matrix(t["relius"], t["matrix"]),
-            "engine_b": age_taxcode.run_age_taxcode_analysis(t["matrix"], t["demo"]),
-            "engine_c": roth_taxable.run_roth_taxable_analysis(
+        builders = {
+            "engine_a": lambda: match_planid.reconcile_relius_matrix(
+                t["relius"], t["matrix"]
+            ),
+            "engine_b": lambda: age_taxcode.run_age_taxcode_analysis(
+                t["matrix"], t["demo"]
+            ),
+            "engine_c": lambda: roth_taxable.run_roth_taxable_analysis(
                 t["matrix"], t["demo"], t["basis"]
             ),
-            "engine_d": ira_rollover.run_ira_rollover_analysis(t["matrix"]),
+            "engine_d": lambda: ira_rollover.run_ira_rollover_analysis(t["matrix"]),
         }
-    return memo
+        df = _ENGINE_PLAN_MEMO[key] = builders[eng]()
+    return df
 
 
-def _engine_outputs(
-    spark: SparkSession, sf_dir: str, *, materialized: bool = True
-) -> dict[str, DataFrame]:
-    """The four engine output frames.
+class _EngineOutputs:
+    """Lazy per-engine view over the engine outputs.
 
     ``materialized=True`` (default for the downstream consumers): the
     Engine A and Engine C outputs — read by corrections + six merged
@@ -607,24 +614,46 @@ def _engine_outputs(
 
     ``materialized=False``: lazy analyzed plans (the engine queries
     themselves use this, so their bench numbers remain honest full-
-    lineage measurements).
+    lineage measurements) — and only the ACCESSED engine's plan is
+    built.
     """
-    lazy = _lazy_engine_outputs(spark, sf_dir)
-    if not materialized:
-        return lazy
-    key = (spark.sparkContext.applicationId, sf_dir, len(fixtures._RAW_OVERRIDE))
-    memo = _ENGINE_TABLE_MEMO.get(key)
-    if memo is None:
-        import tempfile
 
-        base_dir = tempfile.mkdtemp(prefix="recon_engines_")
-        memo = dict(lazy)
-        for eng in _MATERIALIZED_ENGINES:
-            path = f"{base_dir}/{eng}"
-            lazy[eng].write.mode("overwrite").parquet(path)
-            memo[eng] = spark.read.parquet(path)
-        _ENGINE_TABLE_MEMO[key] = memo
-    return memo
+    def __init__(self, spark: SparkSession, sf_dir: str, materialized: bool):
+        self._spark, self._sf_dir, self._materialized = spark, sf_dir, materialized
+
+    def __getitem__(self, eng: str) -> DataFrame:
+        if self._materialized and eng in _MATERIALIZED_ENGINES:
+            return self._tables()[eng]
+        return _lazy_engine_output(self._spark, self._sf_dir, eng)
+
+    def items(self):
+        return [(eng, self[eng]) for eng in _ENGINE_NAMES]
+
+    def _tables(self) -> dict[str, DataFrame]:
+        spark, sf_dir = self._spark, self._sf_dir
+        key = (spark.sparkContext.applicationId, sf_dir, len(fixtures._RAW_OVERRIDE))
+        memo = _ENGINE_TABLE_MEMO.get(key)
+        if memo is None:
+            import tempfile
+
+            base_dir = tempfile.mkdtemp(prefix="recon_engines_")
+            memo = {}
+            for eng in _MATERIALIZED_ENGINES:
+                path = f"{base_dir}/{eng}"
+                _lazy_engine_output(spark, sf_dir, eng).write.mode(
+                    "overwrite"
+                ).parquet(path)
+                memo[eng] = spark.read.parquet(path)
+            _ENGINE_TABLE_MEMO[key] = memo
+        return memo
+
+
+def _engine_outputs(
+    spark: SparkSession, sf_dir: str, *, materialized: bool = True
+) -> _EngineOutputs:
+    """The four engine output frames as a lazy per-engine mapping (see
+    :class:`_EngineOutputs` for the materialization contract)."""
+    return _EngineOutputs(spark, sf_dir, materialized)
 
 
 def _union_tagged(parts: list[DataFrame]) -> DataFrame:
