@@ -91,3 +91,54 @@ def pack_sequences(
             (F.col("__prev") % budget).alias("bin_offset"),
         )
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-minimizing batch assignment for padded (non-packed)
+    training/inference: rank every document in the global
+    ``(n_tokens ASC, id ASC)`` order and cut the ranked stream into
+    consecutive ``batch_size``-document batches, so each batch holds
+    similar-length documents and its padded cost
+    ``batch_size * max(len in batch)`` stays close to the token sum
+    (the standard "length bucketing" / "sorted batching" trick; packing
+    is for pretraining streams, THIS is for padded SFT/inference
+    batches).
+
+    Returns ``(id, n_tokens, batch_id)`` with ``batch_id`` dense from 0
+    in length order.
+
+    Scale shape — the same two-phase bucket rank as everything in
+    :mod:`recon_spark.operators.ranking`: token counts have a bounded
+    domain, so ``n_tokens`` itself is the coarse bucket; per-bucket
+    counts cumulative-sum on a metadata-sized frame (the ONLY global
+    step) and rows get ``bucket offset + within-bucket row_number`` from
+    a window partitioned by ``n_tokens`` — never a single-task sort of
+    the corpus. Value-identical to the naive
+    ``row_number() OVER (ORDER BY n_tokens, id)`` spelling (asserted in
+    tests/test_packing.py).
+    """
+    rows = docs.select(
+        F.col(id_col), F.size(T.tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    counts = rows.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__bn"))
+    w_cum = Window.orderBy(F.col("n_tokens").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "n_tokens", (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off")
+    )
+    w_in = Window.partitionBy("n_tokens").orderBy(F.col(id_col).asc())
+    return (
+        rows.join(F.broadcast(offsets), "n_tokens")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_in) - 1)
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"__rank DIV {batch_size}").cast("long").alias("batch_id"),
+        )
+    )

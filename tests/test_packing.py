@@ -81,3 +81,69 @@ def test_no_single_partition_exchange(spark):
     assert row_windows, "row-level window missing"
     for l in row_windows:
         assert "SinglePartition" not in l
+
+
+def test_length_bucketed_batches_match_naive_and_cut_padding(spark):
+    """Distributed length bucketing: batch assignment must equal the
+    single-window ORDER BY (n_tokens, id) spelling exactly, and padded
+    cost must beat hash-ordered batching by a wide margin on a corpus
+    with varied lengths."""
+    from pyspark.sql import Window
+    from recon_spark.operators.packing import length_bucketed_batches
+    from recon_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    B = 16
+    got = length_bucketed_batches(docs, B)
+
+    # exact parity with the naive global-window spelling
+    naive = (
+        docs.select(
+            "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(Window.orderBy("n_tokens", "doc_id")) - 1) / B)
+            .cast("long"),
+        )
+    )
+    a = sorted(map(tuple, got.select("doc_id", "n_tokens", "batch_id").collect()))
+    b = sorted(map(tuple, naive.select("doc_id", "n_tokens", "batch_id").collect()))
+    assert a == b and len(a) > 0
+
+    def padded_cost(df):
+        per = df.groupBy("batch_id").agg(
+            (F.max("n_tokens") * F.count(F.lit(1))).alias("padded"),
+            F.sum("n_tokens").alias("used"),
+        )
+        r = per.agg(F.sum("padded").alias("p"), F.sum("used").alias("u")).first()
+        return r.p, r.u
+
+    # baseline: corpus-order-agnostic batching (hash order)
+    base = (
+        docs.select(
+            "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "batch_id",
+            (
+                (F.row_number().over(
+                    Window.orderBy(F.md5(F.col("doc_id").cast("string")))
+                ) - 1) / B
+            ).cast("long"),
+        )
+    )
+    p_sorted, used = padded_cost(got)
+    p_hash, _ = padded_cost(base)
+    waste_sorted = (p_sorted - used) / used
+    waste_hash = (p_hash - used) / used
+    assert waste_sorted < waste_hash / 3, (waste_sorted, waste_hash)
+
+    # every batch except the last holds exactly B docs
+    sizes = sorted(
+        (r.batch_id, r.n) for r in got.groupBy("batch_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert all(n == B for _, n in sizes[:-1])
