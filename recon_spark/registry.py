@@ -1510,7 +1510,28 @@ assert set(_GRADING_ORDER) == set(_STAGED), (
     f"unknown={sorted(set(_GRADING_ORDER) - set(_STAGED))}"
 )
 
-QUERIES: dict[str, QueryFn] = {n: _STAGED[n][0] for n in _GRADING_ORDER}
+def _with_session_hygiene(fn: QueryFn) -> QueryFn:
+    """Pin correctness-critical runtime confs on the CALLER's session
+    before building the query plan. The grading driver owns its own
+    SparkSession (queries receive it as an argument), so session-factory
+    defaults in :mod:`recon_spark.session` do not reach it — and
+    ``spark.sql.unionOutputPartitioning`` left at the Spark 4.1 default
+    returns WRONG window-over-union results (minimized reproducer:
+    tools/union_partitioning_repro.py; the conf only disables an
+    optimization, so pinning it is always safe)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+QUERIES: dict[str, QueryFn] = {
+    n: _with_session_hygiene(_STAGED[n][0]) for n in _GRADING_ORDER
+}
 ORACLES: dict[str, str] = {
     n: _STAGED[n][1] for n in _GRADING_ORDER if _STAGED[n][1] is not None
 }

@@ -54,3 +54,18 @@ def test_topk_bruteforce_matches_oracle(spark, duck):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_graded_queries_pin_union_partitioning_off(spark):
+    """The grading driver supplies its OWN session (with Spark 4.1
+    defaults), so every registered query must pin the wrong-results conf
+    off itself — see tools/union_partitioning_repro.py."""
+    from recon_spark.registry import QUERIES
+
+    spark.conf.set("spark.sql.unionOutputPartitioning", "true")
+    try:
+        df = QUERIES["clean_roth_basis"](spark, SF)
+        assert spark.conf.get("spark.sql.unionOutputPartitioning") == "false"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")
