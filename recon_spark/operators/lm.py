@@ -1,0 +1,143 @@
+"""Count-based bigram language model + perplexity scoring — the
+CCNet-style quality-filtering signal (Wenzek et al. 2020 filter web text
+by LM perplexity; KenLM there, a Laplace-smoothed bigram model here —
+same pipeline shape, swappable scorer).
+
+Why it belongs in a training-data engine: length/punctuation heuristics
+(operators/text.py quality_score) catch degenerate documents; perplexity
+against an in-domain reference corpus catches FLUENT-looking junk
+(keyword stuffing, token soup, wrong-domain text) that heuristics pass.
+Scoring is relative to a reference corpus the caller chooses (e.g. the
+'train' split of a curated seed).
+
+Model: ``p(w2 | w1) = (c(w1 w2) + a) / (c(w1) + a * V)`` with Laplace
+``a`` and vocabulary size ``V`` (+1 for the unseen-token class). Every
+quantity is a count, so training is two groupBys and scoring is two
+LEFT equi-joins — fully distributed, no UDFs, deterministic, and
+engine-portable (an independent implementation reproduces the exact
+doubles).
+
+Scale shape:
+
+- **Train**: one tokenize pass; bigram and unigram count tables shuffle
+  on their (hashable, high-cardinality) token keys — classic word-count.
+  Model size is O(observed bigrams), NOT O(V^2): unseen bigrams are
+  handled at scoring time by the smoothing arithmetic on the join miss.
+- **Score**: explode each document's bigrams (2 tokens per row), LEFT
+  JOIN the two count tables, per-document aggregate of log-probs. The
+  count tables are corpus-vocabulary-sized; at web scale they may not
+  broadcast — both joins are plain equi-joins, so Spark degrades to
+  shuffle joins gracefully (AQE decides), and hot function-word keys
+  are the standard skew-split case.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+#: sentence-start pseudo-token (cannot collide: real tokens never hold a
+#: non-alphanumeric character after tokenize)
+BOS = "<s>"
+
+DEFAULT_ALPHA = 0.5
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) per document bigram, BOS-prefixed, empty docs drop."""
+    toks = F.col("__toks")
+    staged = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__with_bos", F.concat(F.array(F.lit(BOS)), toks))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks)), "
+        "i -> struct(element_at(__with_bos, i) as w1, element_at(__with_bos, i + 1) as w2))"
+    )
+    return staged.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """Count tables for the reference corpus: ``bigrams (w1, w2, c2)``,
+    ``unigrams (w1, c1)`` (context counts, BOS included), and ``vocab``
+    (1 row: V = distinct next-tokens + 1 unseen class). Plain frames —
+    persist/write them once per reference corpus and score many."""
+    bg = _bigrams(ref_docs, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg((F.count_distinct("w2") + 1).alias("v"))
+    return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Per-document bigram perplexity against the reference model:
+    ``(id, n_scored, logprob, perplexity)`` where ``perplexity =
+    exp(-logprob / n_scored)``. Lower = more in-domain. Unseen contexts
+    (``w1`` absent from the reference) fall back to the maximally
+    smoothed ``p = 1/V``; unseen continuations get the Laplace mass.
+    Empty documents produce no row (no tokens to score)."""
+    bg = _bigrams(docs, id_col, text_col)
+    joined = (
+        bg.join(F.broadcast(lm["vocab"]))
+        .join(lm["bigrams"], ["w1", "w2"], "left")
+        .join(lm["unigrams"], ["w1"], "left")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(float(alpha)) * F.col("v").cast("double")
+        )
+    )
+    return (
+        joined.select(F.col(id_col), logp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("__lp").alias("logprob"),
+        )
+        .withColumn(
+            "perplexity", F.exp(-F.col("logprob") / F.col("n_scored"))
+        )
+    )
+
+
+def perplexity_filter_threshold(
+    scored: DataFrame, keep_fraction: float
+) -> float:
+    """The CCNet recipe's cut: keep the lowest-perplexity
+    ``keep_fraction`` of documents. Returns the perplexity threshold via
+    the distributed exact-percentile operator (never buffers the corpus
+    in one task)."""
+    from .ranking import exact_group_percentiles
+
+    if not (0.0 < keep_fraction <= 1.0):
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    if keep_fraction == 1.0:
+        return math.inf
+    row = (
+        exact_group_percentiles(
+            scored.withColumn("__g", F.lit(1)),
+            ["__g"],
+            "perplexity",
+            [keep_fraction],
+        )
+        .select("value")
+        .first()
+    )
+    return float(row[0])
