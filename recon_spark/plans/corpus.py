@@ -2,15 +2,16 @@
 individual LLM-data operators exist for, as one plan:
 
     quality filter -> exact dedup -> near-dup cluster drop ->
-    deterministic split -> sequence packing
+    [perplexity filter] -> deterministic split -> sequence packing
 
-Every stage is one of the individually-graded operators (text battery,
-fingerprint dedup, MinHash-LSH + connected components, md5 split,
-concat-and-chunk packing), so the composition inherits their oracles and
-scale shapes; this module adds only the wiring and a per-stage audit
-trail.  At 100 TB the stages are: narrow scan->project (stats), one
-shuffle on the fingerprint, the banded LSH joins over survivors, a
-shuffle-free split projection, and the packing prefix sum.
+Every stage is one of the individually-tested operators (text battery,
+fingerprint dedup, MinHash-LSH + connected components, bigram-LM
+perplexity, md5 split, concat-and-chunk packing), so the composition
+inherits their oracles and scale shapes; this module adds only the
+wiring and a per-stage audit trail.  At 100 TB the stages are: narrow
+scan->project (stats), one shuffle on the fingerprint, the banded LSH
+joins over survivors, the LM's word-count groupBys + two scoring
+equi-joins, a shuffle-free split projection, and the packing prefix sum.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import components, dedup, packing, sampling
+from ..operators import components, dedup, lm, packing, sampling
 from ..operators import text as T
 
 
@@ -28,11 +29,19 @@ def build_training_corpus(
     text_col: str = "text",
     budget: int = packing.DEFAULT_BUDGET,
     near_dup_threshold: float = 0.5,
+    perplexity_keep: float | None = None,
+    perplexity_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
     split's stream).  Drop decisions: any quality flag; non-first doc per
-    exact fingerprint; non-canonical member of a near-dup cluster."""
+    exact fingerprint; non-canonical member of a near-dup cluster; and —
+    when ``perplexity_keep`` is set — documents above the corpus's
+    ``perplexity_keep`` perplexity quantile against ``perplexity_ref``
+    (default: the deduped corpus itself, CCNet-style self-reference).
+    NOTE: the perplexity stage runs the threshold percentile eagerly
+    (one driver action over the scored frame); every other stage stays
+    lazy."""
     stats = T.with_text_stats(docs, text_col)
     clean = stats.filter(F.size("quality_flags") == 0)
 
@@ -45,6 +54,14 @@ def build_training_corpus(
         F.col("doc_id").alias(id_col)
     )
     kept = survivors.join(drops, id_col, "left_anti")
+
+    if perplexity_keep is not None:
+        ref = perplexity_ref if perplexity_ref is not None else kept
+        model = lm.train_bigram_lm(ref, text_col=text_col, id_col=id_col)
+        scored = lm.score_perplexity(kept, model, id_col=id_col, text_col=text_col)
+        thr = lm.perplexity_filter_threshold(scored, perplexity_keep)
+        keep_ids = scored.filter(F.col("perplexity") <= thr).select(id_col)
+        kept = kept.join(keep_ids, id_col, "left_semi")
 
     split = sampling.with_split(kept, id_col=id_col)
     return packing.pack_sequences(

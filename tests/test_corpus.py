@@ -79,3 +79,20 @@ def test_repetition_stats_exploded_matches_column_form(spark):
     assert a.keys() == b.keys() and len(a) > 0
     for k in a:
         assert a[k] == b[k], k  # exact double equality: same arithmetic
+
+
+def test_corpus_perplexity_stage_drops_expected_fraction(spark):
+    from recon_spark.plans.corpus import build_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = build_training_corpus(docs).count()
+    kept = build_training_corpus(docs, perplexity_keep=0.8).count()
+    # within a few docs of 80% (percentile boundary ties land either way)
+    assert abs(kept - 0.8 * base) <= max(3, 0.02 * base), (kept, base)
+    # surviving docs must be a subset of the unfiltered pipeline's output
+    a = {r.doc_id for r in build_training_corpus(docs, perplexity_keep=0.8)
+         .select("doc_id").collect()}
+    b = {r.doc_id for r in build_training_corpus(docs).select("doc_id").collect()}
+    assert a <= b
