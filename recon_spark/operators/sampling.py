@@ -123,3 +123,84 @@ def contamination_check(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def _tokens(text_col):
+    from . import text as T
+
+    return T.tokens(text_col)
+
+
+def resample_to_mixture(
+    docs: DataFrame,
+    targets: DataFrame,
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int | None = None,
+    salt: str = "mixture:v1",
+) -> DataFrame:
+    """Enact a target corpus mixture (the consumer of the
+    ``data_mixing_weights`` table): up/down-sample each stratum so its
+    expected token share matches ``targets`` (columns ``*stratum_cols,
+    weight``; weights are normalized internally, strata absent from
+    ``targets`` are dropped).
+
+    Mechanism — the standard per-source EPOCH FACTOR, made deterministic:
+    each stratum gets ``ratio = target_tokens / stratum_tokens`` (against
+    ``budget_tokens``, default = current corpus total, so the default
+    resample is share-shuffling at constant volume). Every document
+    receives ``n_copies = floor(ratio) + (md5 coin < frac(ratio))`` — a
+    per-document deterministic Bernoulli on the hash coin, so the
+    EXPECTED token share is exact, document membership is reproducible
+    across runs/engines/partitionings, and growing the corpus never
+    flips an existing document's copy count (same md5-coin properties as
+    ``with_split``). Output: one row per COPY — ``(*stratum_cols, id,
+    n_tokens, copy_idx)`` — ready to feed packing; drop-sampled docs
+    (n_copies = 0) emit no rows.
+
+    Scale shape: one narrow tokenize pass, one groupBy on the stratum
+    (map-side combining), a broadcast of the stratum-sized ratio table,
+    and a ``posexplode`` fan-out of at most ``ceil(ratio)`` per row. No
+    global sort, no rand().
+    """
+    strat = list(stratum_cols)
+    rows = docs.select(
+        *strat, F.col(id_col), F.size(_tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    per = rows.groupBy(*strat).agg(F.sum("n_tokens").alias("__stratum_toks"))
+    tgt = targets.select(*strat, F.col("weight").cast("double").alias("__w"))
+    wsum = tgt.agg(F.sum("__w").alias("__wsum"))
+    total = rows.agg(F.sum("n_tokens").alias("__total"))
+    budget = (
+        F.lit(float(budget_tokens)) if budget_tokens is not None else F.col("__total").cast("double")
+    )
+    ratios = (
+        per.join(tgt, strat)  # strata without a target weight drop here
+        .crossJoin(F.broadcast(wsum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *strat,
+            (
+                (F.col("__w") / F.col("__wsum")) * budget
+                / F.col("__stratum_toks").cast("double")
+            ).alias("__ratio"),
+        )
+    )
+    coin = hash_bucket(F.col(id_col), salt).cast("double") / float(1 << 32)
+    n_copies = (
+        F.floor("__ratio").cast("int")
+        + (coin < (F.col("__ratio") - F.floor("__ratio"))).cast("int")
+    )
+    return (
+        rows.join(F.broadcast(ratios), strat)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select(
+            *strat,
+            id_col,
+            "n_tokens",
+            F.posexplode(F.sequence(F.lit(1), F.col("__n"))).alias("copy_idx", "__x"),
+        )
+        .drop("__x")
+    )

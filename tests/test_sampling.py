@@ -86,3 +86,45 @@ def test_repetition_stats(spark):
     assert rows[1].t == pytest.approx(0.25) and rows[1].m == pytest.approx(1.0)
     assert rows[2].t == pytest.approx(1.0) and rows[2].m == pytest.approx(0.25)
     assert rows[3].t is None and rows[3].m is None
+
+
+def test_resample_to_mixture_hits_target_shares(spark):
+    """Deterministic mixture enactment: achieved token shares land near
+    the target weights (doc-level Bernoulli variance only), upsampling
+    emits repeated copies, omitted strata drop, and the output is
+    byte-identical across runs."""
+    from recon_spark.operators.sampling import resample_to_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert len(langs) >= 3
+    keep = sorted(langs)[:2]
+    targets = spark.createDataFrame(
+        [(keep[0], 0.75), (keep[1], 0.25)], "lang string, weight double"
+    )
+    out = resample_to_mixture(docs, targets, stratum_cols=("lang",))
+
+    shares = {
+        r.lang: r.toks
+        for r in out.groupBy("lang").agg(F.sum("n_tokens").alias("toks")).collect()
+    }
+    assert set(shares) == set(keep)  # omitted strata dropped entirely
+    total = sum(shares.values())
+    assert abs(shares[keep[0]] / total - 0.75) < 0.05
+    assert abs(shares[keep[1]] / total - 0.25) < 0.05
+    # constant-volume default budget: output tokens ~ input tokens
+    in_toks = sum(
+        r.toks
+        for r in docs.withColumn("n", F.size(F.split(F.lower("text"), "[^a-zA-Z0-9]+")))
+        .groupBy().agg(F.sum("n").alias("toks")).collect()
+    )
+    assert abs(total - in_toks) / in_toks < 0.1
+    # upsampling really repeats documents (some doc has copy_idx >= 2)
+    assert out.filter(F.col("copy_idx") >= 2).count() > 0
+    # determinism
+    again = resample_to_mixture(docs, targets, stratum_cols=("lang",))
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
