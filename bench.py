@@ -125,6 +125,15 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("m"))
     )
     warm.write.format("noop").mode("overwrite").save()
+    # untimed: spin up the Arrow/Python worker pool once (the embed /
+    # multimodal / blas queries run mapInPandas stages; first-use worker
+    # startup is infrastructure, same class as the JVM warmup above)
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, 1000, 1, 8).mapInPandas(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # per-query error isolation: one broken query must not zero the whole
     # bench signal (BENCH_r03 lesson — the run died on query 8 of 11 and

@@ -49,6 +49,32 @@ def _bucket_and_sign_sql_compatible(tok: Column, dim: int) -> tuple[Column, Colu
     return bucket, sign
 
 
+def pair_expr(tok: Column, dim: int) -> Column:
+    """Per-token ``struct(b, s)`` (dimension, sign) — stage
+    ``F.transform(toks, lambda t: pair_expr(t, dim))`` as a COLUMN so
+    md5 runs once per token, then feed :func:`embedding_from_pairs`."""
+    b, s = _bucket_and_sign_sql_compatible(tok, dim)
+    return F.struct(b.alias("b"), s.alias("s"))
+
+
+def embedding_from_pairs(pairs: Column, dim: int) -> Column:
+    """L2-normalized hashed embedding from a STAGED (bucket, sign) pair
+    array; NULL when the array is empty. ``pairs`` must be a plain
+    column reference (same staging rule as every array op in
+    operators/text.py)."""
+
+    def dim_value(i: Column) -> Column:
+        return F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, p: acc + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0.0)),
+        )
+
+    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), dim_value)
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm > 0, F.transform(raw, lambda x: x / norm))
+
+
 def embed_texts_exprs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -61,31 +87,11 @@ def embed_texts_exprs(
     tokens get a NULL embedding. O(dim x tokens) expression work per row
     — fine for document-sized rows; the Arrow path is the hot-path twin.
     """
-    # stage (bucket, sign) per token ONCE (md5 once per token), then each
-    # dimension aggregates over the staged pair array
-    def pair(t: Column) -> Column:
-        b, s = _bucket_and_sign_sql_compatible(t, dim)
-        return F.struct(b.alias("b"), s.alias("s"))
-
     staged = docs.withColumn("__toks", T.tokens(text_col)).withColumn(
-        "__pairs", F.transform(F.col("__toks"), pair)
-    )
-
-    # per-dimension signed count: sum over tokens hashing to that dim
-    def dim_value(i: Column) -> Column:
-        return F.aggregate(
-            F.col("__pairs"),
-            F.lit(0.0),
-            lambda acc, p: acc + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0.0)),
-        )
-
-    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), dim_value)
-    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.when(
-        norm > 0, F.transform(raw, lambda x: x / norm)
+        "__pairs", F.transform(F.col("__toks"), lambda t: pair_expr(t, dim))
     )
     return staged.select(
-        F.col(id_col), unit.alias(out)
+        F.col(id_col), embedding_from_pairs(F.col("__pairs"), dim).alias(out)
     )
 
 

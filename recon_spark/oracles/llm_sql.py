@@ -155,6 +155,41 @@ _QUALITY_FLAGS = f"""list_filter([
       CASE WHEN coalesce(sym_ratio > {T.QUALITY_MAX_SYMBOL_RATIO}, false) THEN 'symbol_ratio_too_high' END
     ], x -> x IS NOT NULL)"""
 
+# --- hashed embedding (feature-hashing trick) --------------------------------
+
+#: graded projection dimension for the text_stats embedding column (the
+#: operator default is 64; 16 keeps the oracle expression light). Every
+#: intermediate value before the final normalization is an integer-valued
+#: double (signed counts), so summation order cannot drift between
+#: engines; bucket/sign derive from md5, bit-identical everywhere.
+EMBED_GRADED_DIM = 16
+_E = __import__("recon_spark.operators.embed", fromlist=["EMBED_SALT"])
+EMBED_SALT = _E.EMBED_SALT
+
+
+def embedding_micros(toks_col: str, dim: int = EMBED_GRADED_DIM) -> str:
+    """DuckDB mirror of operators/embed.py embedding_from_pairs,
+    serialized as ';'-joined micros (NULL for token-less docs)."""
+    h = f"md5('{EMBED_SALT}' || t)"
+    bucket = f"CAST(CAST(concat('0x', substr({h}, 1, 8)) AS UBIGINT) % {dim} AS INT)"
+    sign = (
+        f"(CASE WHEN CAST(concat('0x', substr({h}, 9, 1)) AS UBIGINT) % 2 = 0"
+        f" THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+    )
+    pairs = f"list_transform({toks_col}, t -> struct_pack(b := {bucket}, s := {sign}))"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> coalesce(list_sum("
+        f"list_transform({pairs}, p -> CASE WHEN p.b = i THEN p.s"
+        f" ELSE CAST(0.0 AS DOUBLE) END)), CAST(0.0 AS DOUBLE)))"
+    )
+    norm = f"sqrt(list_sum(list_transform({raw}, x -> x * x)))"
+    return (
+        f"(CASE WHEN {norm} > 0 THEN array_to_string(list_transform({raw},"
+        f" x -> CAST(CAST(round(x / {norm} * 1000000) AS BIGINT) AS VARCHAR)),"
+        f" ';') END)"
+    )
+
+
 TEXT_STATS_SQL = f"""WITH base AS (
   SELECT doc_id, text, {tokens('text')} AS toks FROM documents
 ),
@@ -184,7 +219,8 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
     round(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS ttr_micros,
   CAST(CASE WHEN n_tokens > 0 THEN
     round(CAST(list_max(list_transform(list_distinct(toks),
-      d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS top_share_micros
+      d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS top_share_micros,
+  {embedding_micros('toks')} AS embedding_micros
 FROM stats"""
 
 #: smoothed TF-IDF top-3 terms per doc; N counts docs with >= 1 token
