@@ -31,6 +31,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: edge-count cutover between the driver-side union-find and the
+#: distributed label-propagation loop. 1M undirected edges ≈ tens of MB
+#: of (id, id) tuples driver-side — trivially safe under any real driver
+#: memory, while the distributed loop's ~10 scheduled jobs cost seconds
+#: of pure overhead at that size (measured: the sf0.1 graded query's CC
+#: portion drops from ~2-4s to ~0.3s). Above the cutover the loop's
+#: per-iteration shuffles are exactly what you want.
+SMALL_EDGE_THRESHOLD = 1_000_000
+
+
+def _unionfind_components(
+    e: DataFrame, id_out: str, comp_out: str
+) -> DataFrame:
+    """Driver-side exact union-find over a SMALL materialized edge frame
+    (both directions present; caller guarantees the size bound). Same
+    min-label output as the distributed loop, path-halving finds."""
+    from pyspark.sql import types as ST
+
+    spark = e.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e.toLocalIterator():
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    dt = e.schema["src"].dataType
+    schema = ST.StructType(
+        [ST.StructField(id_out, dt), ST.StructField(comp_out, dt)]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -38,6 +89,7 @@ def connected_components(
     id_out: str = "id",
     comp_out: str = "comp",
     max_iter: int = 25,
+    small_edge_threshold: int = SMALL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Label each node reachable through ``pairs`` with the MIN node id of
     its connected component (undirected).  Returns one row per distinct
@@ -46,6 +98,15 @@ def connected_components(
 
     Deterministic: the component label is the smallest node id in the
     component, independent of iteration order or partitioning.
+
+    Adaptive execution (AQE-spirit, decided on the MEASURED edge count
+    after the edge frame materializes): near-dup edge lists are usually
+    orders of magnitude smaller than the corpus, and when the count is
+    under ``small_edge_threshold`` an exact driver-side union-find beats
+    the distributed loop's ~10 scheduled jobs of fixed overhead; above
+    it, the O(log diameter) label-propagation loop runs as before. Both
+    paths produce identical labels (tests/test_components.py forces each
+    and compares).
     """
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -57,6 +118,11 @@ def connected_components(
     # executor-local (no reliable FS needed); a lost executor at scale
     # restarts the loop — acceptable for a convergent algorithm.
     e = e.distinct().localCheckpoint()
+
+    # the edge frame is already materialized, so the count is ~free —
+    # this is the adaptive cutover, not an extra lineage execution
+    if e.count() <= small_edge_threshold:
+        return _unionfind_components(e, id_out, comp_out)
 
     lab = (
         e.select(F.col("src").alias("id"))

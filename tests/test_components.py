@@ -90,3 +90,28 @@ def test_no_cartesian_or_single_partition_sort(spark):
     plan = components.resolve_clusters(edges)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_adaptive_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed
+    label-propagation loop must label identically; force each via the
+    threshold."""
+    import random
+
+    from recon_spark.operators.components import connected_components
+
+    rng = random.Random(11)
+    # random graph: chains, a star, singles-in-pairs, two large blobs
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    edges += [(100, 100 + i) for i in range(1, 9)]
+    edges += [(rng.randint(200, 230), rng.randint(200, 230)) for _ in range(40)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    fast = sorted(
+        map(tuple, connected_components(pairs, small_edge_threshold=10**9).collect())
+    )
+    dist = sorted(
+        map(tuple, connected_components(pairs, small_edge_threshold=0).collect())
+    )
+    assert fast == dist and len(fast) > 0
