@@ -118,7 +118,12 @@ NOTES = {
         "coverage rows reduce the right side to distinct keys before "
         "their join. One (source, metric, n) frame to alert on."
     ),
-    "text_stats": "Pure narrow map over documents; no shuffle.",
+    "text_stats": (
+        "Narrow battery map over documents joined with the Arrow-batched "
+        "hashed-embedding stage (one mapInPandas pass; AQE broadcasts the "
+        "output-sized join). The embedding column is the round-6 graded "
+        "projection of operators/embed.py."
+    ),
     "dedup_minhash_lsh": (
         "Signatures persisted (100B/doc) before the band self-join; "
         "candidates come only from equi-joined (band_idx, band_hash) "
@@ -289,6 +294,14 @@ def main() -> None:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(AUDITED)} plans)")
 
+
+NOTES["dedup_cluster_resolution"] = (
+    "MinHash pair generation + ADAPTIVE components: at this sf the "
+    "measured edge count selects the driver-side union-find (the plan "
+    "below shows the resulting local-relation join); past the 1M-edge "
+    "cutover the distributed label-propagation loop runs instead "
+    "(operators/components.py)."
+)
 
 NOTES["corrections_merge_apply"] = (
     "SCD2 apply of the corrections deliverable onto a matrix-derived "
