@@ -299,6 +299,21 @@ m AS (
   UNION ALL
   SELECT 'engine_a', 'coverage_ratio_micros',
          CAST(round(CAST(n_matched AS DOUBLE) / n_left * 1000000) AS BIGINT) FROM cov
+  UNION ALL
+  -- Benford first-digit screen over matrix gross amounts (round 6):
+  -- INTEGER digit counts only — the chi-square arithmetic stays
+  -- pytest-graded (libm log10 may differ across engines in the last
+  -- ulp; counts cannot)
+  SELECT 'benford_matrix_gross', 'digit_' || CAST(d.digit AS VARCHAR),
+         CAST(coalesce(cnt.n, 0) AS BIGINT)
+  FROM range(1, 10) AS d(digit)
+  LEFT JOIN (
+    SELECT CAST(substr(CAST(CAST(floor(abs(gross_amt)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           count(*) AS n
+    FROM matrix_clean
+    WHERE gross_amt IS NOT NULL AND abs(gross_amt) >= 1
+    GROUP BY 1
+  ) cnt USING (digit)
 )
 SELECT source, metric, n FROM m"""
 

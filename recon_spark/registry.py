@@ -957,11 +957,24 @@ def q_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 warning counters + (since round 5) the J5 join-coverage numbers
     as three more (source, metric, n) rows — the standalone
-    qa_join_coverage_engine_a query folded here to free a grading slot;
-    the builders themselves are unchanged."""
+    qa_join_coverage_engine_a query folded here to free a grading slot —
+    + (since round 6) the Benford first-digit screen over matrix gross
+    amounts (plans/analytics.build_benford_audit), graded on its INTEGER
+    digit counts; the chi-square arithmetic stays pytest-graded because
+    libm log10 may differ across engines in the last ulp while counts
+    cannot."""
     t = clean_tables(spark, sf_dir)
     cov = quality.join_coverage(
         t["relius"], t["matrix"], ["plan_id", "ssn", "gross_amt"]
+    )
+    benford_rows = analytics.build_benford_audit(
+        t["matrix"].withColumn("__all", F.lit("benford_matrix_gross")),
+        amount_col="gross_amt",
+        group_col="__all",
+    ).select(
+        F.col("group_key").alias("source"),
+        F.concat(F.lit("digit_"), F.col("digit").cast("string")).alias("metric"),
+        "n",
     )
     mk = lambda metric, val: F.struct(  # noqa: E731
         F.lit("engine_a").alias("source"),
@@ -980,9 +993,11 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.*")
-    return quality.build_warning_metrics(
-        t["relius"], t["matrix"], t["demo"]
-    ).unionByName(cov_rows)
+    return (
+        quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
+        .unionByName(cov_rows)
+        .unionByName(benford_rows)
+    )
 
 
 # --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
