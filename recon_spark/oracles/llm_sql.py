@@ -289,6 +289,12 @@ FROM binned GROUP BY bin"""
 from ..operators import sampling as _SAMP  # noqa: E402
 
 #: stratified 1/10 sample per lang: hash order, exact integer-ceil quota.
+#: mixture fold (round 6): the two lexicographically-smallest langs get
+#: 75/25 target token shares; every double in the replay is computed in
+#: the same operation order as the Spark side, and all inputs to the
+#: divisions are exact (BIGINT token sums, exact weight literals).
+MIXTURE_WEIGHTS = (0.75, 0.25)
+
 STRATIFIED_SAMPLE_SQL = f"""WITH b AS (
   SELECT doc_id, lang,
          {hash32("'sample:v1' || CAST(doc_id AS VARCHAR)")} AS hb
@@ -299,9 +305,38 @@ r AS (
          count(*) OVER (PARTITION BY lang) AS cnt,
          row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
   FROM b
+),
+toks AS (
+  SELECT doc_id, lang, CAST(len({tokens('text')}) AS BIGINT) AS n FROM documents
+),
+tw AS (
+  SELECT lang, CASE WHEN rn2 = 1 THEN CAST({MIXTURE_WEIGHTS[0]} AS DOUBLE)
+               ELSE CAST({MIXTURE_WEIGHTS[1]} AS DOUBLE) END AS w
+  FROM (SELECT lang, row_number() OVER (ORDER BY lang) AS rn2
+        FROM (SELECT DISTINCT lang FROM documents))
+  WHERE rn2 <= 2
+),
+ratio AS (
+  SELECT p.lang,
+         ((tw.w / (SELECT sum(w) FROM tw))
+          * (SELECT CAST(sum(n) AS DOUBLE) FROM toks))
+         / CAST(p.st AS DOUBLE) AS ratio
+  FROM (SELECT lang, sum(n) AS st FROM toks GROUP BY lang) p
+  JOIN tw USING (lang)
+),
+copies AS (
+  SELECT t.doc_id, t.lang,
+         CAST(floor(ratio) AS INT)
+         + CASE WHEN CAST({hash32("'mixture:v1' || CAST(t.doc_id AS VARCHAR)")} AS DOUBLE)
+                     / 4294967296.0 < ratio - floor(ratio)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM toks t JOIN ratio USING (lang)
 )
-SELECT doc_id, lang FROM r
-WHERE rn <= (1 * cnt + 10 - 1) // 10"""
+SELECT 'stratified' AS method, lang AS stratum, doc_id, 0 AS k
+FROM r WHERE rn <= (1 * cnt + 10 - 1) // 10
+UNION ALL
+SELECT 'mixture', lang, doc_id, CAST(unnest(range(0, n_copies)) AS INT)
+FROM copies WHERE n_copies > 0"""
 
 #: eval-contamination scan: test docs sharing any 5-shingle with a train
 #: doc (split replayed from the same md5 edges).
@@ -704,6 +739,9 @@ from ..operators import packing as _PACK  # noqa: E402
 #: and both salts are the same constants as the Spark side. The prefix
 #: sum is cast to BIGINT before the div/mod because DuckDB sums BIGINT
 #: into HUGEINT.
+#: 16-doc padded batches for the graded length-bucketing column
+PACK_BATCH_SIZE = 16
+
 PACK_SQL = f"""WITH b AS (
   SELECT doc_id,
     CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
@@ -715,7 +753,8 @@ PACK_SQL = f"""WITH b AS (
 )
 SELECT split, doc_id, n AS n_tokens,
   CAST(sum(n) OVER w - n AS BIGINT) // {_PACK.DEFAULT_BUDGET} AS bin_id,
-  CAST(sum(n) OVER w - n AS BIGINT) % {_PACK.DEFAULT_BUDGET} AS bin_offset
+  CAST(sum(n) OVER w - n AS BIGINT) % {_PACK.DEFAULT_BUDGET} AS bin_offset,
+  CAST((row_number() OVER (ORDER BY n, doc_id) - 1) // {PACK_BATCH_SIZE} AS BIGINT) AS batch_id
 FROM b
 WINDOW w AS (PARTITION BY split ORDER BY hb, doc_id ROWS UNBOUNDED PRECEDING)"""
 

@@ -1149,13 +1149,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase distributed prefix sum, 2048-token budget). Subsumes the
     round-4 data_split_documents query — the split label is still graded
     per document, plus each doc's (bin_id, bin_offset) in its split's
-    packing stream."""
+    packing stream — and since round 6 each doc's padded-batching
+    ``batch_id`` (packing.length_bucketed_batches, 16-doc batches over
+    the global (n_tokens, id) order), so the two-phase bucket rank
+    behind length bucketing is driver-graded too (integer-exact)."""
     from .operators import packing, sampling
 
     docs = _load_table(spark, sf_dir, "documents")
-    return packing.pack_sequences(
+    packed = packing.pack_sequences(
         sampling.with_split(docs), group_cols=("split",)
     )
+    batches = packing.length_bucketed_batches(docs, llm_sql.PACK_BATCH_SIZE)
+    return packed.join(batches.select("doc_id", "batch_id"), "doc_id")
 
 
 def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,13 +1175,36 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("data_sample_stratified", llm_sql.STRATIFIED_SAMPLE_SQL)
 def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact stratified 10% sample per lang: hash-ordered rank vs an
+    """Exact stratified 10% sample per lang (hash-ordered rank vs an
     integer-ceil quota — per-stratum sizes are deterministic, unlike
-    Bernoulli sampleBy."""
+    Bernoulli sampleBy), unioned since round 6 with the deterministic
+    MIXTURE RESAMPLER's copy assignment (operators/sampling.
+    resample_to_mixture: 75/25 target token shares over the two
+    lexicographically-smallest langs; every document's copy count is an
+    md5-coin decision the oracle replays exactly). The two-lang target
+    table is config-cardinality by construction — the distinct-lang
+    collect is the same contract as the similarity queries' broadcast
+    query side."""
     from .operators import sampling
 
     docs = _load_table(spark, sf_dir, "documents")
-    return sampling.stratified_sample(docs, "lang", 1, 10).select("doc_id", "lang")
+    strat = sampling.stratified_sample(docs, "lang", 1, 10).select(
+        F.lit("stratified").alias("method"),
+        F.col("lang").alias("stratum"),
+        "doc_id",
+        F.lit(0).cast("int").alias("k"),
+    )
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())[:2]
+    targets = spark.createDataFrame(
+        list(zip(langs, llm_sql.MIXTURE_WEIGHTS)), "lang string, weight double"
+    )
+    mix = sampling.resample_to_mixture(docs, targets, stratum_cols=("lang",)).select(
+        F.lit("mixture").alias("method"),
+        F.col("lang").alias("stratum"),
+        "doc_id",
+        F.col("copy_idx").cast("int").alias("k"),
+    )
+    return strat.unionByName(mix)
 
 
 @register("data_contamination_check", llm_sql.CONTAMINATION_SQL)
