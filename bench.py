@@ -5,6 +5,11 @@
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
      "queries": {"engine_a_match_planid": sec, ...}, "sf": 0.1}
 
+``value``/``queries`` are the cold-lap (first-execution) numbers; the
+best-of-2 steady state is reported in ``steady_queries``/
+``steady_total_sec``. Raw-fixture rendering and the clean-once bucketed
+layout are untimed setup, reported in ``setup_raw_sec``/``setup_clean_sec``.
+
 Each query is materialized with the ``noop`` sink (full execution of
 every column, no driver-side collect, no disk write) — the honest
 distributed-execution cost, not ``count()``'s pruned plan.
@@ -171,22 +176,30 @@ def main() -> None:
                 spark.catalog.clearCache()
         if best is not None:
             timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
+    # Headline accounting (round-7 fix per VERDICT r6 #1): the driver-parsed
+    # "value" is the CONSERVATIVE number — the cold-lap sum, i.e. what each
+    # query cost the first time it ran in this session, including plan
+    # construction and any engine-output materialization its first consumer
+    # paid. The best-of-2 steady-state sum (the "clean once / reconcile
+    # once, analyze many" deployment number) is reported as a secondary
+    # field, never as the default-parsed headline.
+    total_cold = round(sum(cold.values()), 3)
+    total_steady = round(sum(timings.values()), 3)
     out = {
         "metric": "total_wall_sec",
-        "value": total,
+        "value": total_cold,
         "unit": "sec",
-        "queries": timings,
+        # per-query dict matching the headline value: lap-1 wall (includes
+        # one-time costs — plan build, engine-output materialization inside
+        # the first consumer, Python worker spin-up the warmup missed)
+        "queries": cold,
         "sf": sf,
         "setup_raw_sec": setup_raw_sec,
         "setup_clean_sec": setup_clean_sec,
-        "timing": "best_of_2",
-        # transparency: lap-1 wall per query (includes one-time costs a
-        # query pays on first execution in a session — plan build, the
-        # engine-output materialization inside its first consumer, Python
-        # worker spin-up the warmup missed). The headline "queries" dict
-        # is the best-of-2 steady state.
-        "cold_queries": cold,
+        "timing": "cold_lap_of_2",
+        # secondary: best-of-2 steady state per query and its sum
+        "steady_queries": timings,
+        "steady_total_sec": total_steady,
     }
     if errors:
         out["errors"] = errors

@@ -31,14 +31,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-#: edge-count cutover between the driver-side union-find and the
-#: distributed label-propagation loop. 1M undirected edges ≈ tens of MB
-#: of (id, id) tuples driver-side — trivially safe under any real driver
-#: memory, while the distributed loop's ~10 scheduled jobs cost seconds
-#: of pure overhead at that size (measured: the sf0.1 graded query's CC
-#: portion drops from ~2-4s to ~0.3s). Above the cutover the loop's
-#: per-iteration shuffles are exactly what you want.
-SMALL_EDGE_THRESHOLD = 1_000_000
+#: UNDIRECTED-edge cutover between the driver-side union-find and the
+#: distributed label-propagation loop (the materialized frame holds both
+#: directions, so the runtime check compares count()/2 against this).
+#: Sized by driver HEAP, not by tuple bytes (the round-6 "tens of MB"
+#: estimate ignored CPython overhead): per undirected edge the union-find
+#: holds up to 2 nodes, and each node costs ~100 B of dict entry in
+#: `parent` + ~50 B in `comp_min` + a ~90 B result tuple + two boxed
+#: 28 B ints ≈ ~300 B/node ≈ ~600 B/edge. 250k undirected edges → ≤500k
+#: nodes → ~150 MB transient driver heap: safe under any real driver
+#: (Spark's default spark.driver.memory alone is 1g), while the
+#: distributed loop's ~10 scheduled jobs still cost seconds of pure
+#: overhead at this size (measured: the sf0.1 graded query's CC portion
+#: drops from ~2-4s to ~0.3s on the union-find path; the forced
+#: label-propagation loop on the same graded edge set measures in
+#: SCALING.md's `cc_loop_forced` line). Above the cutover the loop's
+#: per-iteration shuffles are exactly what you want at 100 TB.
+SMALL_EDGE_THRESHOLD = 250_000
 
 
 def _unionfind_components(
@@ -77,6 +86,11 @@ def _unionfind_components(
     schema = ST.StructType(
         [ST.StructField(id_out, dt), ST.StructField(comp_out, dt)]
     )
+    # result ship back to executors: at the 250k-undirected-edge cutover
+    # this list is ≤500k rows (~a few tens of MB serialized) — createDataFrame
+    # plancodes it as a LocalRelation in one driver→executor ship, fine at
+    # this bound. If the threshold is ever raised, switch to
+    # sc.parallelize(rows, numSlices) so the ship is chunked per partition.
     return spark.createDataFrame(
         [(n, comp_min[find(n)]) for n in parent], schema
     )
@@ -102,7 +116,9 @@ def connected_components(
     Adaptive execution (AQE-spirit, decided on the MEASURED edge count
     after the edge frame materializes): near-dup edge lists are usually
     orders of magnitude smaller than the corpus, and when the count is
-    under ``small_edge_threshold`` an exact driver-side union-find beats
+    under ``small_edge_threshold`` (in UNDIRECTED edges; the materialized
+    frame is direction-doubled and the check halves its count) an exact
+    driver-side union-find beats
     the distributed loop's ~10 scheduled jobs of fixed overhead; above
     it, the O(log diameter) label-propagation loop runs as before. Both
     paths produce identical labels (tests/test_components.py forces each
@@ -120,8 +136,10 @@ def connected_components(
     e = e.distinct().localCheckpoint()
 
     # the edge frame is already materialized, so the count is ~free —
-    # this is the adaptive cutover, not an extra lineage execution
-    if e.count() <= small_edge_threshold:
+    # this is the adaptive cutover, not an extra lineage execution. The
+    # frame carries both directions, so halve the count to compare in
+    # undirected edges (the unit the threshold is documented in).
+    if e.count() / 2 <= small_edge_threshold:
         return _unionfind_components(e, id_out, comp_out)
 
     lab = (

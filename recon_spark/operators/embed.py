@@ -143,6 +143,9 @@ def embed_texts(
                 out_vecs.append((vec / n).tolist() if n > 0 else None)
             yield pd.DataFrame({id_col: out_ids, out: out_vecs})
 
+    # preserve the caller's id type (string/int/long all appear in real
+    # corpora); hardcoding `long` silently nulled non-long ids (ADVICE r6)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        batches, f"{id_col} long, {out} array<double>"
+        batches, f"`{id_col}` {id_type}, {out} array<double>"
     )

@@ -16,10 +16,14 @@ Spark-first shape, all JVM expressions:
    linear min/max scaling (ONE tiny aggregate collected to the driver —
    2 values per column); any column type can instead supply
    equi-depth boundaries from ``approxQuantile`` via
-   ``quantize='quantile'``, which is skew-resistant (the boundary list,
-   2^bits doubles per column, rides the plan as a literal array and
-   ``array_position``-style binary search is O(bits) per row via
-   ``F.width_bucket``).
+   ``quantize='quantile'``, which is skew-resistant. The boundary list
+   (up to 2^bits - 1 doubles per column) rides the plan as a literal
+   array; the cell index is ``F.size(F.filter(...))`` — a LINEAR scan of
+   the boundary array per row, i.e. O(2^bits) codegen'd comparisons per
+   row per dimension, not a binary search (Spark's ``width_bucket`` is
+   equi-width-only and has no boundary-array form). Fine at the default
+   ``bits<=8`` (<=255 comparisons); raise ``bits`` with that cost in
+   mind.
 2. **Interleave** bits with shift/mask column expressions — for d
    dimensions and b bits, d*b deterministic bit ops per row, whole-stage
    codegen friendly, no UDF.

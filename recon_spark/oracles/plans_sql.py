@@ -653,7 +653,8 @@ upd AS (
       PARTITION BY "Transaction Id"
       ORDER BY engine, "New Tax Code" NULLS FIRST, "Reason" NULLS FIRST,
                "New Taxable Amount" NULLS FIRST,
-               "New First Year contrib" NULLS FIRST, "Action" NULLS FIRST
+               "New First Year contrib" NULLS FIRST, "Action" NULLS FIRST,
+               "Transaction Date" NULLS FIRST
     ) AS rn
     FROM corr_all WHERE "Transaction Id" IS NOT NULL
   ) WHERE rn = 1

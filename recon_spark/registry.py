@@ -547,6 +547,10 @@ def q_corrections_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("New Taxable Amount").asc_nulls_first(),
         F.col("New First Year contrib").asc_nulls_first(),
         F.col("Action").asc_nulls_first(),
+        # "Transaction Date" feeds the surviving row's `effective`; without
+        # it two corrections tying on all six keys above could make Spark
+        # and the oracle pick different winners (ADVICE r6)
+        F.col("Transaction Date").asc_nulls_first(),
     )
     updates = (
         corr.withColumn("__rn", F.row_number().over(w_u))

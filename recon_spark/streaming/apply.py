@@ -80,6 +80,11 @@ def ledger_upsert_writer(
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function: merge each correction micro-batch into
     the latest ledger snapshot and commit it as ``v={batch_id}``."""
+    if keep_versions < 1:
+        # keep_versions=0 would slice `[:-0]` == everything-kept below —
+        # silently the opposite of what the caller asked (ADVICE r6); at
+        # least the newest snapshot must survive for read_ledger anyway
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     keys = list(keys)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
