@@ -151,8 +151,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    loadavg: dict[str, float] = {}
     for name in HEADLINE:
         best = None
+        # ambient-load attribution: this shared VM swings single-shot
+        # timings ±50% (SCALING.md variance note), and the round-6 driver
+        # bench hit a multi-query slow window that standalone re-runs
+        # could not reproduce. Recording the 1-min loadavg at each
+        # query's start makes such windows attributable from the JSON
+        # alone instead of needing a forensic re-run.
+        loadavg[name] = round(os.getloadavg()[0], 1)
         for _lap in range(2):
             t0 = time.time()
             try:
@@ -200,6 +208,9 @@ def main() -> None:
         # secondary: best-of-2 steady state per query and its sum
         "steady_queries": timings,
         "steady_total_sec": total_steady,
+        # 1-min system loadavg sampled at each query's start (ambient-load
+        # attribution on this shared VM; cores available: local[cpus])
+        "loadavg_1min": loadavg,
     }
     if errors:
         out["errors"] = errors

@@ -78,6 +78,54 @@ def train_bigram_lm(
     return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
 
 
+def _scored_join(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The scoring join shared by :func:`score_perplexity` and
+    :func:`score_count_substrate`: per-document bigrams LEFT-joined to the
+    reference count tables (``c2``/``c1`` NULL on a miss) with the 1-row
+    vocab broadcast attached."""
+    bg = _bigrams(docs, id_col, text_col)
+    return (
+        bg.join(F.broadcast(lm["vocab"]))
+        .join(lm["bigrams"], ["w1", "w2"], "left")
+        .join(lm["unigrams"], ["w1"], "left")
+    )
+
+
+def score_count_substrate(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTEGER-exact per-document substrate of the perplexity score —
+    every quantity the scorer computes before the ``ln()``: scored-bigram
+    count, summed reference bigram/context hit counts, unseen
+    bigram/context counts, and the vocabulary size. Runs the exact same
+    tokenize/explode/left-join pipeline as :func:`score_perplexity`, so
+    a cross-engine match on these columns grades the whole LM data flow;
+    only the float log arithmetic (one ``ln`` + division per row, checked
+    in tests/test_lm.py) stays outside the oracle compare. Empty
+    documents produce no row, same as the scorer."""
+    joined = _scored_join(docs, lm, id_col, text_col)
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("lm_n_scored"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0))).cast("long").alias("lm_sum_c2"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("lm_unseen_bigrams"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0))).cast("long").alias("lm_sum_c1"),
+        F.sum(F.when(F.col("c1").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("lm_unseen_contexts"),
+        F.max("v").cast("long").alias("lm_vocab_v"),
+    )
+
+
 def score_perplexity(
     docs: DataFrame,
     lm: dict[str, DataFrame],
@@ -91,12 +139,7 @@ def score_perplexity(
     (``w1`` absent from the reference) fall back to the maximally
     smoothed ``p = 1/V``; unseen continuations get the Laplace mass.
     Empty documents produce no row (no tokens to score)."""
-    bg = _bigrams(docs, id_col, text_col)
-    joined = (
-        bg.join(F.broadcast(lm["vocab"]))
-        .join(lm["bigrams"], ["w1", "w2"], "left")
-        .join(lm["unigrams"], ["w1"], "left")
-    )
+    joined = _scored_join(docs, lm, id_col, text_col)
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha)))
         / (

@@ -12,6 +12,7 @@ index folds, mirroring Spark's ``F.aggregate`` order exactly.
 from __future__ import annotations
 
 from ..operators import dedup as D
+from ..operators import sampling as _SAMP
 from ..operators import text as T
 
 NL = "chr(10)"
@@ -190,8 +191,48 @@ def embedding_micros(toks_col: str, dim: int = EMBED_GRADED_DIM) -> str:
     )
 
 
+#: bigram-LM perplexity-filter substrate (operators/lm.py, folded into
+#: text_stats since round 7): an INDEPENDENT DuckDB replay of the whole
+#: LM data flow — hash-split the corpus, train bigram/unigram/vocab
+#: counts on the 'train' split, BOS-prefix and explode every document's
+#: bigrams, LEFT-join the count tables, and aggregate the integer-exact
+#: per-document substrate (everything the scorer computes before ln()).
+_LM_BOS = "'<s>'"
+_LM_PAIRS = (
+    "list_transform(range(1, len(toks) + 1), "
+    f"i -> struct_pack(w1 := list_concat([{_LM_BOS}], toks)[i], "
+    f"w2 := list_concat([{_LM_BOS}], toks)[i + 1]))"
+)
+
 TEXT_STATS_SQL = f"""WITH base AS (
   SELECT doc_id, text, {tokens('text')} AS toks FROM documents
+),
+lm_pairs AS (
+  SELECT doc_id,
+    CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
+         WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
+         ELSE 'test' END AS split,
+    unnest({_LM_PAIRS}) AS p
+  FROM base WHERE len(toks) > 0
+),
+lm_bg AS (SELECT doc_id, split, p.w1 AS w1, p.w2 AS w2 FROM lm_pairs),
+lm_ref AS (SELECT w1, w2 FROM lm_bg WHERE split = 'train'),
+lm_big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM lm_ref GROUP BY 1, 2),
+lm_uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM lm_ref GROUP BY 1),
+lm_v AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM lm_ref),
+lm_sub AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS lm_n_scored,
+    CAST(sum(coalesce(c2, 0)) AS BIGINT) AS lm_sum_c2,
+    CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lm_unseen_bigrams,
+    CAST(sum(coalesce(c1, 0)) AS BIGINT) AS lm_sum_c1,
+    CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lm_unseen_contexts,
+    CAST(max(v) AS BIGINT) AS lm_vocab_v
+  FROM lm_bg
+  LEFT JOIN lm_big USING (w1, w2)
+  LEFT JOIN lm_uni USING (w1)
+  CROSS JOIN lm_v
+  GROUP BY doc_id
 ),
 stats AS (
   SELECT doc_id, text, toks,
@@ -220,8 +261,10 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
   CAST(CASE WHEN n_tokens > 0 THEN
     round(CAST(list_max(list_transform(list_distinct(toks),
       d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS top_share_micros,
-  {embedding_micros('toks')} AS embedding_micros
-FROM stats"""
+  {embedding_micros('toks')} AS embedding_micros,
+  lm_n_scored, lm_sum_c2, lm_unseen_bigrams,
+  lm_sum_c1, lm_unseen_contexts, lm_vocab_v
+FROM stats LEFT JOIN lm_sub USING (doc_id)"""
 
 #: smoothed TF-IDF top-3 terms per doc; N counts docs with >= 1 token
 #: (exactly the ids present in the tf aggregate), same as the Spark side.
@@ -285,8 +328,6 @@ binned AS (
 SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
   CAST(round(avg(q) * 1000000) AS BIGINT) AS avg_quality_micros
 FROM binned GROUP BY bin"""
-
-from ..operators import sampling as _SAMP  # noqa: E402
 
 #: stratified 1/10 sample per lang: hash order, exact integer-ceil quota.
 #: mixture fold (round 6): the two lexicographically-smallest langs get

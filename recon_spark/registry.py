@@ -1048,14 +1048,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations bitwise-identical — measured 0.9s vs 6s+ for the
     16-aggregate expression form at sf0.1). Every pre-normalization
     embedding value is an integer-valued double, so the serialization
-    cannot drift between engines."""
+    cannot drift between engines.
+
+    Since round 7 the battery also carries the bigram-LM perplexity
+    filter's INTEGER substrate (operators/lm.py score_count_substrate —
+    the round-6 verdict's one ungraded first-class LLM operator): the
+    model trains on the deterministic 'train' hash split (the same
+    sampling.with_split coin data_pack_sequences grades) and every
+    document is scored against it, so the fold exercises train + score
+    end-to-end; the float ``ln()`` arithmetic stays pytest-graded
+    (tests/test_lm.py) like the Benford chi-square, because per-doc sums
+    of libm logs can drift in the last ulp between engines while counts
+    cannot."""
     from .operators import embed as E
+    from .operators import lm as L
+    from .operators import sampling as S
 
     micros = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
     dim = llm_sql.EMBED_GRADED_DIM
     docs = _load_table(spark, sf_dir, "documents")
     emb = E.embed_texts(docs, dim=dim, out="__emb")
-    staged = T.with_text_stats(docs).join(emb, "doc_id")
+    model = L.train_bigram_lm(
+        S.with_split(docs).filter(F.col("split") == "train")
+    )
+    lm_sub = L.score_count_substrate(docs, model)
+    staged = (
+        T.with_text_stats(docs).join(emb, "doc_id").join(lm_sub, "doc_id", "left")
+    )
     return staged.select(
         "doc_id",
         "n_tokens",
@@ -1078,6 +1097,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ";",
         ).alias("embedding_micros"),
+        "lm_n_scored",
+        "lm_sum_c2",
+        "lm_unseen_bigrams",
+        "lm_sum_c1",
+        "lm_unseen_contexts",
+        "lm_vocab_v",
     )
 
 

@@ -75,7 +75,8 @@ def get_spark(
         # 2026-08-14 on 4.1.2: flipping only this conf flips the result.
         # Standalone reproducer: tools/union_partitioning_repro.py (the
         # minimal trigger needs a BUCKETED source table + two join
-        # branches reusing one window exchange); regression guard:
+        # branches reusing one window exchange); upstream-ready report:
+        # docs/spark-union-partitioning-bug-report.md; regression guard:
         # tests/test_merge.py, and operators/merge.py pins this conf
         # defensively for sessions not built here.
         # Disabled session-wide: the optimization saves one small

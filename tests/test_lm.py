@@ -38,6 +38,53 @@ def test_bigram_probabilities_by_hand(spark):
     assert scored[11].logprob == pytest.approx(want_11, rel=1e-12)
 
 
+def test_count_substrate_by_hand(spark):
+    """The integer substrate driver-graded through text_stats (round 7):
+    same tiny corpus as the probability test, every column checked
+    against hand-derived counts. Ref bigrams: (<s>,a)x3, (a,b)x2,
+    (a,c)x1; contexts <s>:3, a:3; V=4."""
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "a z"), (12, "z q"), (13, "")],
+        "doc_id long, text string",
+    )
+    sub = {r.doc_id: r for r in lm.score_count_substrate(docs, model).collect()}
+    # doc 10 'a b': hits (<s>,a)=3 and (a,b)=2; contexts <s>=3, a=3
+    assert (
+        sub[10].lm_n_scored,
+        sub[10].lm_sum_c2,
+        sub[10].lm_unseen_bigrams,
+        sub[10].lm_sum_c1,
+        sub[10].lm_unseen_contexts,
+        sub[10].lm_vocab_v,
+    ) == (2, 5, 0, 6, 0, 4)
+    # doc 11 'a z': (a,z) unseen bigram, but both contexts seen
+    assert (
+        sub[11].lm_sum_c2,
+        sub[11].lm_unseen_bigrams,
+        sub[11].lm_sum_c1,
+        sub[11].lm_unseen_contexts,
+    ) == (3, 1, 6, 0)
+    # doc 12 'z q': both bigrams unseen; context z unseen, <s> seen
+    assert (
+        sub[12].lm_sum_c2,
+        sub[12].lm_unseen_bigrams,
+        sub[12].lm_sum_c1,
+        sub[12].lm_unseen_contexts,
+    ) == (0, 2, 3, 1)
+    # empty doc: no row, same contract as score_perplexity
+    assert 13 not in sub
+    # coherence with the float scorer: identical per-doc n_scored
+    n_scored = {
+        r.doc_id: r.n_scored
+        for r in lm.score_perplexity(docs, model).collect()
+    }
+    assert n_scored == {d: sub[d].lm_n_scored for d in sub}
+
+
 def test_unseen_context_falls_back_to_uniform(spark):
     ref = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     model = lm.train_bigram_lm(ref)

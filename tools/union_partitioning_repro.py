@@ -31,8 +31,18 @@ An explicit ``repartition("k")`` between the union and the window does
 NOT protect: it is optimizer-eliminated as redundant against the
 union's claimed partitioning.
 
+A fourth trigger condition (found while minimizing the standalone
+report): ``spark.sql.constraintPropagation.enabled=false`` — this
+session factory's setting. With constraint propagation at its default
+the inferred IsNotNull filters perturb the plan and this shape happens
+not to reproduce; the bug is latent, not absent (confs may change the
+plan, never the result).
+
 Run: ``python tools/union_partitioning_repro.py [true|false]``
 (default ``true`` → demonstrates the wrong results).
+
+Upstream-ready self-contained report (no repo imports, conf matrix,
+suspected mechanism): ``docs/spark-union-partitioning-bug-report.md``.
 """
 
 from __future__ import annotations
