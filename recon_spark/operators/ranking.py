@@ -63,10 +63,17 @@ def ntile_bins(
 
     The ntile arithmetic (first ``N % k`` bins get one extra row) is done
     in integer ``DIV`` so it is exact for any ``N < 2^63``.
+
+    PERF: ``df`` is consumed TWICE (bucket-count aggregate + the row
+    join), so it is persisted here — otherwise an expensive upstream
+    lineage (e.g. text scoring) executes once per consumer (measured 2x
+    the scoring cost on data_quality_bins at 50k docs). Cache lifecycle
+    is handed to the caller, same contract as the minhash/tfidf
+    operators: the frame is two narrow columns plus the caller's id.
     """
     s = F.col(score_col)
     blk = F.floor(F.col(id_col) / F.lit(id_block))
-    rows = df.withColumn("__blk", blk)
+    rows = df.persist().withColumn("__blk", blk)
 
     counts = rows.groupBy(score_col, "__blk").agg(F.count(F.lit(1)).alias("__bn"))
     # the ONLY global step: cumulative counts over the bucket frame

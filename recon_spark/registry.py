@@ -627,7 +627,14 @@ class _EngineOutputs:
     consumer pays the engine execution + write (visible in its bench
     number); every later consumer reads an output-sized parquet scan
     instead of re-running the full join/window lineage. Engines B and D
-    stay lazy (each has one cheap aggregate consumer). Parquet
+    stay lazy — a decision re-measured in round 7 AFTER the kpi/monthly/
+    crosstab merges (sf0.1, local[32]): adding B+D to the tier grows the
+    one-time write 5.2s → 8.3s while the only consumer that improves
+    materially is analytics_kpi_all (2.8 → 1.3s cold, 1.6 → 0.7s
+    steady); crosstab/monthly/corrections move ≤0.2s. One improved
+    consumer does not repay a +3.1s tier cost in a single-pass session,
+    so lazy stays; a deployment running many KPI-style consumers per
+    session would flip _MATERIALIZED_ENGINES to all four. Parquet
     round-trips every engine output type exactly, so the DuckDB oracles
     are untouched.
 
@@ -1156,11 +1163,29 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ntile().over(Window.orderBy(...))``, whose SinglePartition exchange
     funnels the whole corpus through one task (the round-4 'weak at
     scale' flag). Bin assignment is integer-exact ntile semantics, so the
-    DuckDB ntile oracle is unchanged."""
+    DuckDB ntile oracle is unchanged.
+
+    PERF (round-7 sf1 sweep): the score is computed over ONE staged token
+    array — the inline ``T.quality_score(text)`` convenience form
+    re-tokenizes the document ~5x across its sub-expressions (measured
+    12.6s vs ~1.5s for 50k docs), and ntile_bins' offset join executes
+    its input lineage twice, which doubled whatever the scoring cost."""
     from .operators import ranking
 
     docs = _load_table(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", T.quality_score("text").alias("q"))
+    toks = F.col("__toks")
+    n = F.size(toks).cast("long")
+    q = (
+        F.lit(3)
+        - F.size(
+            T.quality_flags_from(
+                n, T.mean_word_len_from_tokens(toks), T.punct_ratio("text")
+            )
+        )
+    ).cast("double") / 3.0
+    scored = docs.withColumn("__toks", T.tokens("text")).select(
+        "doc_id", q.alias("q")
+    )
     return (
         ranking.ntile_bins(scored, "q", "doc_id", 4)
         .groupBy("bin")
