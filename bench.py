@@ -60,6 +60,12 @@ HEADLINE = [
     # twin of the graded fold-based brute-force top-k, so both dot-product
     # execution strategies carry a wall-time number
     "similarity_topk_blas",
+    # the CCNet-style perplexity filter end-to-end (train on the 'train'
+    # hash split, score every document, cut at keep_fraction=0.9) — the
+    # integer substrate is oracle-graded through text_stats since round
+    # 7; this entry gives the float scoring + threshold path wall-time
+    # accountability
+    "lm_perplexity_filter",
 ]
 
 
@@ -75,7 +81,28 @@ def _q_topk_blas(spark, sf_dir):
     )
 
 
-EXTRA_QUERIES = {"similarity_topk_blas": _q_topk_blas}
+def _q_lm_perplexity_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import lm, sampling
+    from recon_spark.sources.tpch import load
+
+    docs = load(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(
+        sampling.with_split(docs).filter(F.col("split") == "train")
+    )
+    # scored feeds the threshold percentile AND the final cut — persist so
+    # the explode+join scoring lineage runs once (cache dropped by the
+    # bench's per-query clearCache)
+    scored = lm.score_perplexity(docs, model).persist()
+    cut = lm.perplexity_filter_threshold(scored, keep_fraction=0.9)
+    return scored.filter(F.col("perplexity") <= cut)
+
+
+EXTRA_QUERIES = {
+    "similarity_topk_blas": _q_topk_blas,
+    "lm_perplexity_filter": _q_lm_perplexity_filter,
+}
 
 
 def main() -> None:
@@ -139,6 +166,24 @@ def main() -> None:
     spark.range(0, 1000, 1, 8).mapInPandas(_identity, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # untimed: spin up the Structured Streaming machinery once (micro-batch
+    # executor, state store provider, memory sink) — measured ~7s of pure
+    # one-time setup charged to whichever streaming query runs first in a
+    # session, independent of its data (r7 state-partition audit,
+    # streaming/replay.py). Warmed on a 200-row copy of the events layout
+    # through the SAME stream-stream join builder, so the machinery —
+    # not the measured query's data path — is what gets pre-paid.
+    try:
+        from recon_spark.streaming import joins as _joins
+        from recon_spark.sources.tpch import load as _load
+
+        warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        _load(spark, sf_dir, "events").limit(200).write.mode("overwrite").parquet(
+            f"{warm_dir}/events.parquet"
+        )
+        _joins.run_to_memory(spark, warm_dir, name="bench_stream_warmup")
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the bench
+        print(f"bench: streaming warmup skipped: {exc}", file=sys.stderr)
 
     # per-query error isolation: one broken query must not zero the whole
     # bench signal (BENCH_r03 lesson — the run died on query 8 of 11 and

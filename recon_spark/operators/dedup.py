@@ -341,6 +341,116 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via FREQUENCY-SORTED PREFIX FILTERING
+    (the PPJoin/All-Pairs family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08) — same output as :func:`ngram_jaccard_pairs`, different
+    candidate-generation shape for a different data regime.
+
+    Why a second exact path exists: the count-based join's volume is
+    ``Σ_s c_s²`` over every shingle ``s`` (``c_s`` = docs containing it),
+    and on boilerplate-heavy corpora — shared templates, license headers,
+    scraped navigation chrome — the template shingles have ``c_s``
+    proportional to the CORPUS, making that term quadratic. Prefix
+    filtering bounds exactly that term: each doc joins only on its
+    ``p = n − ceil(t·n) + 1`` RAREST shingles (global (df, shingle)
+    order), so hot shingles — the c_s² offenders — never enter candidate
+    generation, and the PPJoin prefix lemma guarantees every pair with
+    ``J ≥ t`` still shares a prefix shingle (α-overlap ≥ ceil(t·|X|) for
+    both sides under the length filter, so the ``|X| − α + 1`` joint-
+    prefix theorem applies). Candidates are then verified EXACTLY with
+    one ``array_intersect`` per distinct pair.
+
+    Regime boundary, MEASURED three ways (identical outputs everywhere;
+    local[32], 2 laps):
+
+    - **organic sf0.1 corpus** (modest skew): count-based 4.7s, prefix
+      6.0s — count-based wins; candidates barely prune, and the window/
+      dfreq/verify overhead buys nothing.
+    - **uniform-saturated vocabulary** (tools/scaling_sf1.py synthetic,
+      complete 31³ shingle space): count-based 49s, prefix 121s at 50k
+      docs — count-based wins AGAIN, a negative result worth keeping:
+      with a FLAT frequency profile there are no rare shingles, prefixes
+      prune ~nothing, and both methods carry the quadratic term. The
+      right tool in that regime is MinHash-LSH (5.1s on the same corpus),
+      whose banding bounds candidates by near-dup density instead of
+      shingle frequency.
+    - **boilerplate/Zipf corpus** (20-token shared template + 40 rare
+      tokens per doc, 8 templates): at 20k docs prefix 8.4s vs
+      count-based 18.4s and the gap grows with corpus² — template
+      shingles (c_s = corpus/8) never reach the prefix join, rare-tail
+      shingles have c_s ≤ 2. This is the regime this operator exists
+      for, and it is the realistic web-scale one.
+
+    Extra cost vs count-based: one global shingle-frequency aggregate
+    and one per-doc top-p window (partition = one doc's ~n shingles).
+    """
+    sh = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
+        .persist()  # staged once: feeds the index, the window, and verify
+    )
+    index = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+    dfreq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # ceil(t * n) in exact integer arithmetic
+    ceil_tn = (F.col("n") * t_num + t_den - 1).cast("long") / t_den
+    p_len = (F.col("n") - F.floor(ceil_tn) + 1).cast("int")
+    w_doc = Window.partitionBy("id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        index.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w_doc))
+        .filter(F.col("__pos") <= p_len)
+        .select("id", "n", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t needs t*max(na,nb) <= min(na,nb)
+            & (F.col("na") * t_den >= F.col("nb") * t_num)
+            & (F.col("nb") * t_den >= F.col("na") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b")), "id_b"
+        )
+        .withColumn("__i", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "__u", F.size("__sh_a") + F.size("__sh_b") - F.col("__i")
+        )
+        .filter(F.col("__i") * t_den >= F.col("__u") * t_num)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (F.col("__i").cast("double") / F.col("__u")).alias("jaccard"),
+    )
+
+
 def exact_jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))

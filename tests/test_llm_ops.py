@@ -198,6 +198,36 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
         assert got[pair] == pytest.approx(j)
 
 
+def test_ngram_prefix_variant_matches_count_based(spark):
+    """The PPJoin-style prefix+verify path (round 7, for shingle-saturated
+    corpora) must emit EXACTLY the count-based form's pairs and jaccards —
+    both on the overlapping-sentence corpus (real near-dup structure) and
+    on a tiny-vocabulary corpus (the saturated regime it exists for)."""
+    words = "the quick brown fox jumps over a lazy dog near some old barn".split()
+    sent_rows = [
+        (i, " ".join(words[i % 3 : i % 3 + 8]) + f" tail{i % 4} tok{i % 2}")
+        for i in range(24)
+    ]
+    tiny_vocab = ["a", "b", "c"]
+    saturated_rows = [
+        (100 + i, " ".join(tiny_vocab[(i + j) % 3] for j in range(6 + i % 5)))
+        for i in range(30)
+    ]
+    for rows in (sent_rows, saturated_rows, sent_rows + saturated_rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        count_based = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs(docs).collect()
+        }
+        prefix = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs_prefix(docs).collect()
+        }
+        assert set(prefix) == set(count_based)
+        for pair, j in count_based.items():
+            assert prefix[pair] == pytest.approx(j)
+
+
 def test_simhash_identical_and_range(spark):
     rows = (
         spark.createDataFrame(
