@@ -220,6 +220,12 @@ lm_ref AS (SELECT w1, w2 FROM lm_bg WHERE split = 'train'),
 lm_big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM lm_ref GROUP BY 1, 2),
 lm_uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM lm_ref GROUP BY 1),
 lm_v AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM lm_ref),
+sim_stage AS (
+  SELECT doc_id, list_transform(toks, t -> {hash32('t')}) AS hs FROM base
+),
+sim AS (
+  SELECT doc_id, {simhash_from('hs')} AS simhash FROM sim_stage
+),
 lm_sub AS (
   SELECT doc_id,
     CAST(count(*) AS BIGINT) AS lm_n_scored,
@@ -263,8 +269,9 @@ SELECT doc_id, n_tokens, n_tokens_bpe, n_chars, sym_ratio AS punct_ratio,
       d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / n_tokens * 1000000) END AS BIGINT) AS top_share_micros,
   {embedding_micros('toks')} AS embedding_micros,
   lm_n_scored, lm_sum_c2, lm_unseen_bigrams,
-  lm_sum_c1, lm_unseen_contexts, lm_vocab_v
-FROM stats LEFT JOIN lm_sub USING (doc_id)"""
+  lm_sum_c1, lm_unseen_contexts, lm_vocab_v,
+  simhash
+FROM stats LEFT JOIN lm_sub USING (doc_id) LEFT JOIN sim USING (doc_id)"""
 
 #: smoothed TF-IDF top-3 terms per doc; N counts docs with >= 1 token
 #: (exactly the ids present in the tf aggregate), same as the Spark side.

@@ -1079,7 +1079,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.with_split(docs).filter(F.col("split") == "train")
     )
     lm_sub = L.score_count_substrate(docs, model)
-    staged = (
+    # round-7 fold: the 32-bit SimHash signature (DD.with_simhash, staged
+    # token-hash array) — integer-exact md5-derived bit algebra, so the
+    # DuckDB replay grades the signature math that dedup_simhash_pairs
+    # (pytest-checked since its slot was traded in r6) builds on
+    staged = DD.with_simhash(
         T.with_text_stats(docs).join(emb, "doc_id").join(lm_sub, "doc_id", "left")
     )
     return staged.select(
@@ -1110,6 +1114,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_sum_c1",
         "lm_unseen_contexts",
         "lm_vocab_v",
+        "simhash",
     )
 
 

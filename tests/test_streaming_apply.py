@@ -37,6 +37,17 @@ def _state(spark, ledger):
     )
 
 
+def test_keep_versions_zero_is_rejected(tmp_path):
+    """keep_versions=0 used to slice `[:-0]` == keep-everything — the
+    silent opposite of the request (ADVICE r6); now rejected up front."""
+    import pytest
+
+    from recon_spark.streaming.apply import ledger_upsert_writer
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        ledger_upsert_writer(str(tmp_path / "ledger"), ["transaction_id"], keep_versions=0)
+
+
 def test_ledger_applies_update_insert_delete_across_batches(spark, tmp_path):
     src, ledger, ckpt = (str(tmp_path / d) for d in ("src", "ledger", "ckpt"))
 
