@@ -66,6 +66,12 @@ HEADLINE = [
     # 7; this entry gives the float scoring + threshold path wall-time
     # accountability
     "lm_perplexity_filter",
+    # the full corpus-prep composition (quality filter -> exact dedup ->
+    # near-dup cluster drop -> perplexity filter -> split -> packing,
+    # plans/corpus.py): every stage is an individually graded/benched
+    # operator; this entry prices the WIRING — what a user actually runs
+    # nightly — as one plan
+    "corpus_build_e2e",
 ]
 
 
@@ -99,9 +105,24 @@ def _q_lm_perplexity_filter(spark, sf_dir):
     return scored.filter(F.col("perplexity") <= cut)
 
 
+def _q_corpus_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.plans import corpus
+    from recon_spark.operators import sampling
+    from recon_spark.sources.tpch import load
+
+    docs = load(spark, sf_dir, "documents")
+    ref = sampling.with_split(docs).filter(F.col("split") == "train")
+    return corpus.build_training_corpus(
+        docs, perplexity_keep=0.95, perplexity_ref=ref
+    )
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
+    "corpus_build_e2e": _q_corpus_build,
 }
 
 

@@ -45,7 +45,12 @@ def build_training_corpus(
     stats = T.with_text_stats(docs, text_col)
     clean = stats.filter(F.size("quality_flags") == 0)
 
-    survivors = dedup.exact_dedup(clean, F.col("fingerprint"), [id_col])
+    # survivors feeds the LSH stage, the cluster-drop anti-join, the LM
+    # scorer and the packing tail — persist so the text-battery + dedup
+    # window lineage executes once, not once per consumer (measured ~2x
+    # on the e2e bench entry). Cache lifecycle belongs to the caller
+    # (same contract as the minhash/tfidf/ntile operators).
+    survivors = dedup.exact_dedup(clean, F.col("fingerprint"), [id_col]).persist()
 
     pairs = dedup.minhash_near_dup(
         survivors, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
@@ -58,7 +63,10 @@ def build_training_corpus(
     if perplexity_keep is not None:
         ref = perplexity_ref if perplexity_ref is not None else kept
         model = lm.train_bigram_lm(ref, text_col=text_col, id_col=id_col)
-        scored = lm.score_perplexity(kept, model, id_col=id_col, text_col=text_col)
+        # scored feeds the eager threshold percentile AND the keep filter
+        scored = lm.score_perplexity(
+            kept, model, id_col=id_col, text_col=text_col
+        ).persist()
         thr = lm.perplexity_filter_threshold(scored, perplexity_keep)
         keep_ids = scored.filter(F.col("perplexity") <= thr).select(id_col)
         kept = kept.join(keep_ids, id_col, "left_semi")
