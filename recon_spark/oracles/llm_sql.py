@@ -204,10 +204,11 @@ _LM_PAIRS = (
     f"w2 := list_concat([{_LM_BOS}], toks)[i + 1]))"
 )
 
-TEXT_STATS_SQL = f"""WITH base AS (
-  SELECT doc_id, text, {tokens('text')} AS toks FROM documents
-),
-lm_pairs AS (
+#: the LM-substrate CTE stack over a `base(doc_id, text, toks)` CTE —
+#: shared VERBATIM by TEXT_STATS_SQL (the graded fold) and
+#: LM_SUBSTRATE_SQL (the differential fuzz's standalone form), so the
+#: fuzz exercises exactly the SQL the driver grades.
+_LM_CTES = f"""lm_pairs AS (
   SELECT doc_id,
     CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
          WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
@@ -220,12 +221,6 @@ lm_ref AS (SELECT w1, w2 FROM lm_bg WHERE split = 'train'),
 lm_big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM lm_ref GROUP BY 1, 2),
 lm_uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM lm_ref GROUP BY 1),
 lm_v AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM lm_ref),
-sim_stage AS (
-  SELECT doc_id, list_transform(toks, t -> {hash32('t')}) AS hs FROM base
-),
-sim AS (
-  SELECT doc_id, {simhash_from('hs')} AS simhash FROM sim_stage
-),
 lm_sub AS (
   SELECT doc_id,
     CAST(count(*) AS BIGINT) AS lm_n_scored,
@@ -239,6 +234,25 @@ lm_sub AS (
   LEFT JOIN lm_uni USING (w1)
   CROSS JOIN lm_v
   GROUP BY doc_id
+)"""
+
+#: standalone substrate query for the differential fuzz (same CTE stack
+#: the driver grades through TEXT_STATS_SQL)
+LM_SUBSTRATE_SQL = f"""WITH base AS (
+  SELECT doc_id, text, {tokens('text')} AS toks FROM documents
+),
+{_LM_CTES}
+SELECT * FROM lm_sub"""
+
+TEXT_STATS_SQL = f"""WITH base AS (
+  SELECT doc_id, text, {tokens('text')} AS toks FROM documents
+),
+{_LM_CTES},
+sim_stage AS (
+  SELECT doc_id, list_transform(toks, t -> {hash32('t')}) AS hs FROM base
+),
+sim AS (
+  SELECT doc_id, {simhash_from('hs')} AS simhash FROM sim_stage
 ),
 stats AS (
   SELECT doc_id, text, toks,
