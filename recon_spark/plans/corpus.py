@@ -42,11 +42,27 @@ def build_training_corpus(
     NOTE: the perplexity stage runs the threshold percentile eagerly
     (one driver action over the scored frame); every other stage stays
     lazy."""
-    stats = T.with_text_stats(docs, text_col)
-    clean = stats.filter(F.size("quality_flags") == 0)
+    # Lean staging: the pipeline consumes ONLY the quality flags and the
+    # exact-dup fingerprint — computing the full with_text_stats battery
+    # here also paid for min_shingle_hash (md5 per shingle per doc),
+    # lang-id and the repetition stats, all unused (measured ~25% of the
+    # e2e bench entry). One staged token array feeds the three quality
+    # sub-signals.
+    toks = F.col("__toks")
+    flags = T.quality_flags_from(
+        F.size(toks).cast("long"),
+        T.mean_word_len_from_tokens(toks),
+        T.punct_ratio(text_col),
+    )
+    clean = (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .filter(F.size(flags) == 0)
+        .withColumn("fingerprint", T.fingerprint(text_col))
+        .drop("__toks")
+    )
 
     # survivors feeds the LSH stage, the cluster-drop anti-join, the LM
-    # scorer and the packing tail — persist so the text-battery + dedup
+    # scorer and the packing tail — persist so the staging + dedup
     # window lineage executes once, not once per consumer (measured ~2x
     # on the e2e bench entry). Cache lifecycle belongs to the caller
     # (same contract as the minhash/tfidf/ntile operators).
