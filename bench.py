@@ -146,7 +146,11 @@ def main() -> None:
     import tempfile
 
     t_setup = time.time()
-    fixtures.materialize_raw(spark, sf_dir, tempfile.mkdtemp(prefix="bench_raw_"))
+    # kept until the end of the run (queries read it throughout), then
+    # removed — mkdtemp dirs otherwise accumulate across bench runs
+    # (ADVICE r7)
+    raw_dir = tempfile.mkdtemp(prefix="bench_raw_")
+    fixtures.materialize_raw(spark, sf_dir, raw_dir)
     setup_raw_sec = round(time.time() - t_setup, 3)
     # untimed: the clean-once layout — run the four cleaners ONCE and
     # persist their output bucketed by (plan_id, ssn), exactly as a
@@ -199,10 +203,18 @@ def main() -> None:
         from recon_spark.sources.tpch import load as _load
 
         warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
-        _load(spark, sf_dir, "events").limit(200).write.mode("overwrite").parquet(
-            f"{warm_dir}/events.parquet"
-        )
-        _joins.run_to_memory(spark, warm_dir, name="bench_stream_warmup")
+        try:
+            _load(spark, sf_dir, "events").limit(200).write.mode(
+                "overwrite"
+            ).parquet(f"{warm_dir}/events.parquet")
+            _joins.run_to_memory(spark, warm_dir, name="bench_stream_warmup")
+        finally:
+            # the availableNow warmup query has terminated by now
+            # (awaitTermination inside run_to_memory), so the parquet
+            # copy has no readers left (ADVICE r7: don't leak /tmp dirs)
+            import shutil
+
+            shutil.rmtree(warm_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001 — warmup must never kill the bench
         print(f"bench: streaming warmup skipped: {exc}", file=sys.stderr)
 
@@ -281,6 +293,9 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(raw_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

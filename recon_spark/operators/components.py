@@ -125,6 +125,14 @@ def connected_components(
     and compares).
     """
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Self-loops carry no connectivity, and — because a (x, x) pair
+    # survives direction-doubling + distinct as ONE row, not two — they
+    # would make the halved undirected-edge count fractional (ADVICE r7).
+    # Dropping them classifies a node whose only edge is a self-loop as a
+    # singleton, consistent with the "nodes not present in any pair"
+    # contract above; upstream near-dup pair lists (id_a < id_b) never
+    # produce one.
+    e = e.filter(F.col("src") != F.col("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # localCheckpoint (not persist): each loop round would otherwise GROW
     # the driver-side logical plan — by convergence the plan is
@@ -137,9 +145,10 @@ def connected_components(
 
     # the edge frame is already materialized, so the count is ~free —
     # this is the adaptive cutover, not an extra lineage execution. The
-    # frame carries both directions, so halve the count to compare in
-    # undirected edges (the unit the threshold is documented in).
-    if e.count() / 2 <= small_edge_threshold:
+    # frame carries both directions (exactly two rows per undirected
+    # edge now that self-loops are dropped), so compare in integer
+    # semantics against the doubled threshold.
+    if e.count() <= 2 * small_edge_threshold:
         return _unionfind_components(e, id_out, comp_out)
 
     lab = (

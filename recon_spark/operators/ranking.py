@@ -73,7 +73,13 @@ def ntile_bins(
     """
     s = F.col(score_col)
     blk = F.floor(F.col(id_col) / F.lit(id_block))
-    rows = df.persist().withColumn("__blk", blk)
+    # persist the DERIVED frame, not the caller's df: persisting an
+    # argument is a side effect on an object this function doesn't own —
+    # a caller later persisting the same frame at a different storage
+    # level would hit "cannot change storage level" (ADVICE r7). Both
+    # consumers (the bucket-count aggregate and the row join) read
+    # `rows`, so the cache reuse is identical.
+    rows = df.withColumn("__blk", blk).persist()
 
     counts = rows.groupBy(score_col, "__blk").agg(F.count(F.lit(1)).alias("__bn"))
     # the ONLY global step: cumulative counts over the bucket frame

@@ -257,7 +257,7 @@ sim AS (
 stats AS (
   SELECT doc_id, text, toks,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
     CAST(length(text) AS BIGINT) AS n_chars,
     (CASE WHEN length(text) > 0 THEN
       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)

@@ -41,7 +41,16 @@ def build_training_corpus(
     (default: the deduped corpus itself, CCNet-style self-reference).
     NOTE: the perplexity stage runs the threshold percentile eagerly
     (one driver action over the scored frame); every other stage stays
-    lazy."""
+    lazy.
+
+    CACHE CONTRACT: the deduped ``survivors`` frame stays persisted —
+    it feeds the RETURNED plan in three places (LSH pairs, the
+    cluster-drop anti-join, the packing tail), so it cannot be released
+    here without re-running the dedup lineage once per consumer at the
+    caller's action. Call ``spark.catalog.clearCache()`` after consuming
+    the result (and between repeated builds in a long-lived session), as
+    ``bench.py`` / ``tools/check_correctness.py`` do. The perplexity
+    stage's scored frame is fully drained and unpersisted internally."""
     # Lean staging: the pipeline consumes ONLY the quality flags and the
     # exact-dup fingerprint — computing the full with_text_stats battery
     # here also paid for min_shingle_hash (md5 per shingle per doc),
@@ -79,12 +88,23 @@ def build_training_corpus(
     if perplexity_keep is not None:
         ref = perplexity_ref if perplexity_ref is not None else kept
         model = lm.train_bigram_lm(ref, text_col=text_col, id_col=id_col)
-        # scored feeds the eager threshold percentile AND the keep filter
+        # scored feeds the eager threshold percentile AND the keep filter.
+        # Both consumers are drained INSIDE this function: the percentile
+        # is an eager action, and keep_ids is localCheckpoint-ed (an
+        # id-only frame, so the materialization is tiny and reads straight
+        # from the cache) — which truncates the returned plan's lineage
+        # off `scored`, so the cache can be released here instead of
+        # leaking into the caller's session (ADVICE r7).
         scored = lm.score_perplexity(
             kept, model, id_col=id_col, text_col=text_col
         ).persist()
         thr = lm.perplexity_filter_threshold(scored, perplexity_keep)
-        keep_ids = scored.filter(F.col("perplexity") <= thr).select(id_col)
+        keep_ids = (
+            scored.filter(F.col("perplexity") <= thr)
+            .select(id_col)
+            .localCheckpoint()
+        )
+        scored.unpersist()
         kept = kept.join(keep_ids, id_col, "left_semi")
 
     split = sampling.with_split(kept, id_col=id_col)
