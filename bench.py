@@ -49,6 +49,10 @@ HEADLINE = [
     "data_pack_sequences",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # non-registry extra: the PPJoin prefix-filtered exact-Jaccard twin
+    # standalone (inside dedup_ngram_jaccard it runs as the graded parity
+    # fold; this entry prices the operator on its own, r7 verdict #1)
+    "ngram_jaccard_prefix",
     "dedup_cluster_resolution",
     "sessionization_events",
     "asof_click_purchase",
@@ -119,10 +123,18 @@ def _q_corpus_build(spark, sf_dir):
     )
 
 
+def _q_ngram_prefix(spark, sf_dir):
+    from recon_spark.operators import dedup
+    from recon_spark.registry import docs_aug
+
+    return dedup.ngram_jaccard_pairs_prefix(docs_aug(spark, sf_dir))
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
+    "ngram_jaccard_prefix": _q_ngram_prefix,
 }
 
 

@@ -264,6 +264,28 @@ JACCARD_T_NUM = 2
 JACCARD_T_DEN = 5
 
 
+def staged_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """``(id, sh)`` with the corpus tokenized + shingled ONCE and
+    persisted — the shared input of both exact n-gram Jaccard paths, so
+    a caller running count-based AND prefix candidate generation over
+    the same corpus (e.g. the graded parity fold in
+    registry.q_ngram_jaccard) pays one staging pass, not two. Cache
+    lifecycle passes to the caller (module-docstring contract)."""
+    return (
+        docs.withColumn("__toks", T.tokens(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+        )
+        .persist()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -308,14 +330,17 @@ def ngram_jaccard_pairs(
     #   it outside whole-stage codegen (interpreted lambdas, 16.2s); from
     #   the cached arrays the same explode is 0.14s. Both join sides also
     #   reuse the one cached shingling pass.
-    sh = (
-        docs.withColumn("__toks", T.tokens(text_col))
-        .select(
-            F.col(id_col).alias("id"),
-            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
-        )
-        .persist()
+    return ngram_jaccard_pairs_from_shingles(
+        staged_shingles(docs, id_col, text_col, k), t_num, t_den
     )
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh: DataFrame, t_num: int = JACCARD_T_NUM, t_den: int = JACCARD_T_DEN
+) -> DataFrame:
+    """Count-based join body over an already-staged ``(id, sh)`` frame
+    (see :func:`ngram_jaccard_pairs` for semantics and the measured
+    staging traps)."""
     index = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     left = index.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
     right = index.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
@@ -392,14 +417,18 @@ def ngram_jaccard_pairs_prefix(
     Extra cost vs count-based: one global shingle-frequency aggregate
     and one per-doc top-p window (partition = one doc's ~n shingles).
     """
-    sh = (
-        docs.withColumn("__toks", T.tokens(text_col))
-        .select(
-            F.col(id_col).alias("id"),
-            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
-        )
-        .persist()  # staged once: feeds the index, the window, and verify
+    # staged once (persisted): feeds the index, the window, and verify
+    return ngram_jaccard_pairs_prefix_from_shingles(
+        staged_shingles(docs, id_col, text_col, k), t_num, t_den
     )
+
+
+def ngram_jaccard_pairs_prefix_from_shingles(
+    sh: DataFrame, t_num: int = JACCARD_T_NUM, t_den: int = JACCARD_T_DEN
+) -> DataFrame:
+    """Prefix-filtered join body over an already-staged ``(id, sh)``
+    frame (see :func:`ngram_jaccard_pairs_prefix` for the algorithm and
+    regime measurements)."""
     index = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     dfreq = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # ceil(t * n) in exact integer arithmetic

@@ -471,6 +471,11 @@ SELECT id_a, id_b, est_jaccard, jaccard FROM pairs WHERE jaccard >= 0.4"""
 #: shared-shingle count == |A∩B| because shingle sets are distinct; the
 #: length filter and both threshold compares are pure integer arithmetic,
 #: shared via the same JACCARD_T_NUM/DEN constants as the Spark side.
+#: The parity CTE (round 8) recomputes the pair count + a 32-bit-hash
+#: checksum over the pair set ONCE from this oracle's own pairs; the
+#: Spark side computes the same two values from the PPJoin prefix twin
+#: (dedup.ngram_jaccard_pairs_prefix), so a green hash certifies the
+#: prefix candidate generator produces the identical exact pair set.
 NGRAM_JACCARD_SQL = f"""WITH {DOCS_AUG_CTE},
 shs0 AS MATERIALIZED (
   SELECT doc_id AS id, {shingles('text')} AS sh FROM docs_aug
@@ -484,10 +489,19 @@ inter AS (
     AND a.n * {D.JACCARD_T_DEN} >= b.n * {D.JACCARD_T_NUM}
     AND b.n * {D.JACCARD_T_DEN} >= a.n * {D.JACCARD_T_NUM}
   GROUP BY 1, 2, 3, 4
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+  FROM inter
+  WHERE i * {D.JACCARD_T_DEN} >= (na + nb - i) * {D.JACCARD_T_NUM}
+),
+parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs_prefix,
+         CAST(COALESCE(SUM({hash32("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)")}), 0) AS BIGINT) AS prefix_pairs_ck
+  FROM pairs
 )
-SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-FROM inter
-WHERE i * {D.JACCARD_T_DEN} >= (na + nb - i) * {D.JACCARD_T_NUM}"""
+SELECT p.id_a, p.id_b, p.jaccard, parity.n_pairs_prefix, parity.prefix_pairs_ck
+FROM pairs p CROSS JOIN parity"""
 
 SIMHASH_SQL = f"""WITH {DOCS_AUG_CTE},
 hsx AS (

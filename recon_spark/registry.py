@@ -1328,10 +1328,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", llm_sql.NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via prefix-filtered set-similarity
-    join — the hash-free exact counterpart to dedup_minhash_lsh (same
-    planted duplicates, same 0.4 threshold, no signature approximation)."""
-    return DD.ngram_jaccard_pairs(docs_aug(spark, sf_dir))
+    """Exact n-gram Jaccard near-dup — the hash-free exact counterpart to
+    dedup_minhash_lsh (same planted duplicates, same 0.4 threshold, no
+    signature approximation). The pair rows come from the COUNT-BASED
+    set-similarity join (dedup.ngram_jaccard_pairs).
+
+    Round-8 fold: the PPJoin PREFIX-FILTERED twin
+    (dedup.ngram_jaccard_pairs_prefix — the boilerplate/Zipf-regime
+    candidate generator) is drive-graded at zero slot cost through two
+    parity columns attached to every row: ``n_pairs_prefix`` (its pair
+    count) and ``prefix_pairs_ck`` (a 32-bit-hash checksum over its
+    (id_a, id_b) pair set). The DuckDB oracle recomputes both from ITS
+    pair set — the two Spark candidate generators and the oracle must
+    therefore agree on the exact pair SET, not just per-path counts: a
+    prefix twin that dropped or invented one pair flips the checksum on
+    every row. Both exact paths share one staged+persisted shingle
+    frame, so the corpus is tokenized/shingled once."""
+    sh = DD.staged_shingles(docs_aug(spark, sf_dir))
+    pairs = DD.ngram_jaccard_pairs_from_shingles(sh)
+    prefix = DD.ngram_jaccard_pairs_prefix_from_shingles(sh)
+    pair_ck = DD._hash32(
+        F.concat(
+            F.col("id_a").cast("string"), F.lit("|"), F.col("id_b").cast("string")
+        )
+    )
+    parity = prefix.agg(
+        F.count(F.lit(1)).alias("n_pairs_prefix"),
+        F.coalesce(F.sum(pair_ck), F.lit(0))
+        .cast("long")
+        .alias("prefix_pairs_ck"),
+    )
+    return pairs.crossJoin(F.broadcast(parity))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

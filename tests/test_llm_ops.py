@@ -226,6 +226,21 @@ def test_ngram_prefix_variant_matches_count_based(spark):
         assert set(prefix) == set(count_based)
         for pair, j in count_based.items():
             assert prefix[pair] == pytest.approx(j)
+        # the _from_shingles twins over ONE shared staged frame (the
+        # graded parity-fold composition in registry.q_ngram_jaccard)
+        # must agree with their self-staging public forms
+        sh = DD.staged_shingles(docs)
+        shared_count = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs_from_shingles(sh).collect()
+        }
+        shared_prefix = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs_prefix_from_shingles(sh).collect()
+        }
+        sh.unpersist()
+        assert shared_count == count_based
+        assert set(shared_prefix) == set(count_based)
 
 
 def test_simhash_identical_and_range(spark):
