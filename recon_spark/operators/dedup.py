@@ -551,12 +551,17 @@ def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
 
 def with_simhash(
     df: DataFrame, text_col: str = "text", out: str = "simhash",
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_BITS, tokens_col: str | None = None,
 ) -> DataFrame:
     """Staged SimHash pipeline: token-hash array materialized once, then
-    the bit-fold reads the array (narrow, no shuffle)."""
+    the bit-fold reads the array (narrow, no shuffle).
+
+    ``tokens_col``: hash an ALREADY-STAGED token-array column instead of
+    re-tokenizing ``text_col`` (round 8: registry.q_text_stats feeds the
+    battery's one tokenize pass into this fold too)."""
+    toks = F.col(tokens_col) if tokens_col else T.tokens(text_col)
     return (
-        df.withColumn("__th", F.transform(T.tokens(text_col), _hash32))
+        df.withColumn("__th", F.transform(toks, _hash32))
         .withColumn(out, simhash_from_hashes(F.col("__th"), bits))
         .drop("__th")
     )

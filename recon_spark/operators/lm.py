@@ -47,16 +47,22 @@ BOS = "<s>"
 DEFAULT_ALPHA = 0.5
 
 
-def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) per document bigram, BOS-prefixed, empty docs drop."""
-    toks = F.col("__toks")
-    staged = (
-        docs.withColumn("__toks", T.tokens(text_col))
-        .filter(F.size("__toks") > 0)
-        .withColumn("__with_bos", F.concat(F.array(F.lit(BOS)), toks))
+def _bigrams(
+    docs: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
+    """(id, w1, w2) per document bigram, BOS-prefixed, empty docs drop.
+
+    ``tokens_col``: reuse an already-staged token-array column instead of
+    tokenizing here (round 8: one tokenize pass feeds the whole
+    text_stats fold family)."""
+    tok_name = tokens_col or "__toks"
+    toks = F.col(tok_name)
+    staged = docs if tokens_col else docs.withColumn("__toks", T.tokens(text_col))
+    staged = staged.filter(F.size(tok_name) > 0).withColumn(
+        "__with_bos", F.concat(F.array(F.lit(BOS)), toks)
     )
     pairs = F.expr(
-        "transform(sequence(1, size(__toks)), "
+        f"transform(sequence(1, size({tok_name})), "
         "i -> struct(element_at(__with_bos, i) as w1, element_at(__with_bos, i + 1) as w2))"
     )
     return staged.select(
@@ -65,13 +71,16 @@ def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    ref_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Count tables for the reference corpus: ``bigrams (w1, w2, c2)``,
     ``unigrams (w1, c1)`` (context counts, BOS included), and ``vocab``
     (1 row: V = distinct next-tokens + 1 unseen class). Plain frames —
     persist/write them once per reference corpus and score many."""
-    bg = _bigrams(ref_docs, id_col, text_col)
+    bg = _bigrams(ref_docs, id_col, text_col, tokens_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = bg.agg((F.count_distinct("w2") + 1).alias("v"))
@@ -83,12 +92,13 @@ def _scored_join(
     lm: dict[str, DataFrame],
     id_col: str,
     text_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The scoring join shared by :func:`score_perplexity` and
     :func:`score_count_substrate`: per-document bigrams LEFT-joined to the
     reference count tables (``c2``/``c1`` NULL on a miss) with the 1-row
     vocab broadcast attached."""
-    bg = _bigrams(docs, id_col, text_col)
+    bg = _bigrams(docs, id_col, text_col, tokens_col)
     return (
         bg.join(F.broadcast(lm["vocab"]))
         .join(lm["bigrams"], ["w1", "w2"], "left")
@@ -101,6 +111,7 @@ def score_count_substrate(
     lm: dict[str, DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """INTEGER-exact per-document substrate of the perplexity score —
     every quantity the scorer computes before the ``ln()``: scored-bigram
@@ -111,7 +122,7 @@ def score_count_substrate(
     only the float log arithmetic (one ``ln`` + division per row, checked
     in tests/test_lm.py) stays outside the oracle compare. Empty
     documents produce no row, same as the scorer."""
-    joined = _scored_join(docs, lm, id_col, text_col)
+    joined = _scored_join(docs, lm, id_col, text_col, tokens_col)
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("lm_n_scored"),
         F.sum(F.coalesce(F.col("c2"), F.lit(0))).cast("long").alias("lm_sum_c2"),

@@ -227,7 +227,7 @@ def quality_flags_from(n_tokens: Column, mwl: Column, sym: Column) -> Column:
     )
 
 
-def with_text_stats(df, text_col: str = "text"):
+def with_text_stats(df, text_col: str = "text", tokens_col: str | None = None):
     """Append the full text-analysis battery as columns, computing the
     token array ONCE per row (staged column, not a re-evaluated
     expression subtree — see shingles_from_tokens PERF note).
@@ -238,13 +238,19 @@ def with_text_stats(df, text_col: str = "text"):
     signals, folded in since round 5 so the whole per-document battery is
     one pass over one staged token array). Narrow (no shuffle); one scan
     -> project chain.
+
+    ``tokens_col``: name of an ALREADY-STAGED token-array column to reuse
+    instead of tokenizing here (round 8: lets one tokenize pass feed the
+    battery + the LM substrate + SimHash in registry.q_text_stats). The
+    column is kept in the output — the caller staged it and may have
+    further consumers.
     """
-    toks = F.col("__toks")
+    toks = F.col(tokens_col or "__toks")
     sw_words = LANG_STOPWORDS["en"]
     ttr, top_share = repetition_stats(toks)
+    staged = df if tokens_col else df.withColumn("__toks", tokens(text_col))
     out = (
-        df.withColumn("__toks", tokens(text_col))
-        .withColumn("__sh", shingles_from_tokens(toks))
+        staged.withColumn("__sh", shingles_from_tokens(toks))
         .withColumn("n_tokens", F.size(toks).cast("long"))
         .withColumn("n_tokens_bpe", bpe_token_count(text_col))
         .withColumn("n_chars", char_count(text_col))
@@ -274,7 +280,7 @@ def with_text_stats(df, text_col: str = "text"):
         .withColumn("ttr", ttr)
         .withColumn("top_token_share", top_share)
     )
-    return out.drop("__toks", "__sh")
+    return out.drop("__sh") if tokens_col else out.drop("__toks", "__sh")
 
 
 def tfidf_top_terms(

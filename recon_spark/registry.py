@@ -1074,17 +1074,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
     dim = llm_sql.EMBED_GRADED_DIM
     docs = _load_table(spark, sf_dir, "documents")
+    # round-8 trim: ONE persisted tokenize pass — (doc_id, text, __toks)
+    # — feeds the battery, the LM train split, the LM scoring substrate
+    # AND the SimHash fold (each previously re-tokenized the corpus in
+    # its own lineage; PLANS.md r7 showed three split(lower(trim(...)))
+    # chains). Only the Arrow embedder still tokenizes itself, by
+    # contract: it occupies the external-encoder batch interface over RAW
+    # text (a GPU model server gets strings, not our token arrays).
+    toked = docs.withColumn("__toks", T.tokens("text")).persist()
     emb = E.embed_texts(docs, dim=dim, out="__emb")
     model = L.train_bigram_lm(
-        S.with_split(docs).filter(F.col("split") == "train")
+        S.with_split(toked).filter(F.col("split") == "train"),
+        tokens_col="__toks",
     )
-    lm_sub = L.score_count_substrate(docs, model)
+    lm_sub = L.score_count_substrate(toked, model, tokens_col="__toks")
     # round-7 fold: the 32-bit SimHash signature (DD.with_simhash, staged
     # token-hash array) — integer-exact md5-derived bit algebra, so the
     # DuckDB replay grades the signature math that dedup_simhash_pairs
     # (pytest-checked since its slot was traded in r6) builds on
     staged = DD.with_simhash(
-        T.with_text_stats(docs).join(emb, "doc_id").join(lm_sub, "doc_id", "left")
+        T.with_text_stats(toked, tokens_col="__toks")
+        .join(emb, "doc_id")
+        .join(lm_sub, "doc_id", "left"),
+        tokens_col="__toks",
     )
     return staged.select(
         "doc_id",
