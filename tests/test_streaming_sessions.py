@@ -63,3 +63,50 @@ def test_session_boundary_is_strict(spark):
     assert out[(1, 0)].session_end_us == gap_us + gap_us
     assert out[(2, 0)].n == 1
     assert out[(2, gap_us + 1)].n == 1
+
+
+def test_bucketed_sessionize_matches_plain(spark):
+    """The two-phase skew-resistant twin must be VALUE-IDENTICAL to the
+    plain session_window rollup — including with a bucket width small
+    enough that many sessions split across bucket edges (the worst case
+    for the phase-2 interval merge), and with an exact-boundary event
+    (inclusive-merge semantics) landing right at a bucket edge."""
+
+    def rows_of(df):
+        return sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n,
+             r.value_total_micros)
+            for r in df.collect()
+        )
+
+    ev = load_events(spark, SF_DIR)
+    plain = rows_of(sessions.sessionize(ev))
+    assert plain == rows_of(sessions.sessionize_bucketed(ev))
+    # stress: 12h buckets vs the 8h gap — nearly every session risks a
+    # boundary split, phase 2 must stitch them all back
+    assert plain == rows_of(sessions.sessionize_bucketed(ev, bucket="12 hours"))
+
+    # synthetic exact-boundary chain: events 8h apart merge (inclusive),
+    # and one lands exactly on a 1-day bucket edge
+    synth = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 1.0),
+            (1, "2024-01-01 16:00:00", 1.0),
+            (1, "2024-01-02 00:00:00", 1.0),  # bucket edge, still merges
+            (1, "2024-01-03 00:00:00", 1.0),  # > gap later: new session
+            (2, "2024-01-01 23:59:59", 2.0),
+            (2, "2024-01-02 00:00:01", 2.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    assert rows_of(sessions.sessionize(synth)) == rows_of(
+        sessions.sessionize_bucketed(synth, bucket="1 day")
+    )
+
+
+def test_bucketed_sessionize_rejects_bucket_not_above_gap(spark):
+    import pytest
+
+    ev = load_events(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        sessions.sessionize_bucketed(ev, gap="8 hours", bucket="8 hours")
