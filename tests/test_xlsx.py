@@ -50,9 +50,15 @@ def test_reader_handles_shared_strings_and_date_styles(tmp_path):
         f'<styleSheet {ns}><cellXfs count="2">'
         '<xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>'
     )
-    # reuse the minimal writer's envelope, then add sharedStrings/styles
-    xlsx.write_xlsx(p, ["x"], [])
-    with zipfile.ZipFile(p, "a") as z:
+    # reuse the minimal writer's envelope, swapping in the hand-built
+    # sheet and adding sharedStrings/styles (rebuild rather than append:
+    # a duplicate zip entry name draws a zipfile UserWarning)
+    p0 = str(tmp_path / "envelope.xlsx")
+    xlsx.write_xlsx(p0, ["x"], [])
+    with zipfile.ZipFile(p0) as zin, zipfile.ZipFile(p, "w") as z:
+        for info in zin.infolist():
+            if info.filename != "xl/worksheets/sheet1.xml":
+                z.writestr(info.filename, zin.read(info.filename))
         z.writestr("xl/worksheets/sheet1.xml", sheet)
         z.writestr("xl/sharedStrings.xml", shared)
         z.writestr("xl/styles.xml", styles)

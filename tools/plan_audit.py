@@ -121,8 +121,12 @@ NOTES = {
     "text_stats": (
         "Narrow battery map over documents joined with the Arrow-batched "
         "hashed-embedding stage (one mapInPandas pass; AQE broadcasts the "
-        "output-sized join). The embedding column is the round-6 graded "
-        "projection of operators/embed.py."
+        "output-sized join) plus the bigram-LM substrate and SimHash "
+        "folds. Since round 8 ONE persisted tokenize pass feeds the "
+        "battery, the LM train/score lineages and the SimHash bit-fold "
+        "(the InMemoryTableScans in this plan); only the Arrow embedder "
+        "tokenizes itself, by its external-encoder contract. Measured "
+        "8.2 -> 6.1s steady at sf0.1."
     ),
     "dedup_minhash_lsh": (
         "Signatures persisted (100B/doc) before the band self-join; "
@@ -149,7 +153,12 @@ NOTES = {
         "the operator's comments: a pushed-down size() filter re-inlining "
         "the shingle subtree (12.3s vs 0.9s), and explode over an in-plan "
         "lambda expression evaluating outside codegen (16.2s vs 0.14s "
-        "from the cached array frame). 22.3s -> 2.4s at sf0.1."
+        "from the cached array frame). Since round 8 the same plan also "
+        "RUNS the PPJoin prefix twin off the shared cached shingle frame "
+        "and cross-joins its 1-row pair-count + pair-set-checksum parity "
+        "aggregate onto every pair row (the BroadcastNestedLoopJoin at "
+        "the root; the oracle recomputes both from its own pairs) — the "
+        "priced zero-slot drive-grading fold, +4.4s steady at sf0.1."
     ),
     "sessionization_events": (
         "F.session_window groupBy — one shuffle on user_id (the session "
