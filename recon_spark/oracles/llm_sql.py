@@ -420,12 +420,8 @@ SELECT id, CAST(count(*) AS BIGINT) AS n_shared
 FROM test_idx JOIN train_sh USING (shingle)
 GROUP BY id"""
 
-DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
-fp AS (
-  SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug
-)
-SELECT doc_id, fingerprint FROM fp
-QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1"""
+#: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
+#: carries the SimHash banded-pair-join parity fold and reuses its CTEs.
 
 _BAND_SELECTS = "\n  UNION ALL\n".join(
     f"""  SELECT id, sig, {b} AS band_idx,
@@ -513,8 +509,10 @@ SELECT doc_id, {simhash_from('hs')} AS simhash FROM hsx"""
 _H = D.SIMHASH_BITS // 2
 _HMASK = (1 << _H) - 1
 
-SIMHASH_PAIRS_SQL = f"""WITH {DOCS_AUG_CTE},
-hsx AS MATERIALIZED (
+#: the SimHash banded pair join's CTE chain, shared by the standalone
+#: SIMHASH_PAIRS_SQL (pytest value-check of q_simhash_pairs) and the
+#: DEDUP_EXACT parity fold (round 8 drive-grading of the pair JOIN).
+_SIMHASH_PAIRS_CTES = f"""hsx AS MATERIALIZED (
   SELECT doc_id, list_transform({tokens('text')}, t -> {hash32('t')}) AS hs
   FROM docs_aug
 ),
@@ -532,9 +530,36 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
   WHERE a.id < b.id
+),
+sim_pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+)"""
+
+SIMHASH_PAIRS_SQL = f"""WITH {DOCS_AUG_CTE},
+{_SIMHASH_PAIRS_CTES}
+SELECT id_a, id_b, hamming FROM sim_pairs"""
+
+#: exact dedup + (round 8) the SimHash banded Hamming pair JOIN graded
+#: as a parity fold: the oracle recomputes the pair count and a
+#: 32-bit-hash checksum over (id_a, id_b, hamming) triples from its own
+#: banded join, so the Spark pair join must reproduce the exact pair set
+#: AND every Hamming distance for the hash to stay green.
+DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
+fp AS (
+  SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug
+),
+{_SIMHASH_PAIRS_CTES},
+sim_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_simhash_pairs,
+         CAST(COALESCE(SUM({hash32("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) || '|' || CAST(hamming AS VARCHAR)")}), 0) AS BIGINT) AS simhash_pairs_ck
+  FROM sim_pairs
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6"""
+SELECT f.doc_id, f.fingerprint, p.n_simhash_pairs, p.simhash_pairs_ck
+FROM (
+  SELECT doc_id, fingerprint FROM fp
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+) f CROSS JOIN sim_parity p"""
 
 _DIMS = ", ".join(str(d) for d in (0, 7, 14, 21, 28, 35, 42, 49))
 
