@@ -110,3 +110,41 @@ def test_bucketed_sessionize_rejects_bucket_not_above_gap(spark):
     ev = load_events(spark, SF_DIR)
     with pytest.raises(ValueError):
         sessions.sessionize_bucketed(ev, gap="8 hours", bucket="8 hours")
+
+
+def test_bucketed_sessionize_randomized_parity(spark):
+    """Seeded randomized differential check (the same discipline as
+    tests/test_differential_fuzz.py): random event sets with many users,
+    timestamps clustered AND dispersed around bucket edges, several
+    gap/bucket combinations — plain and two-phase sessionization must
+    agree exactly on every (user, session) row."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for user in range(40):
+        t = rng.randint(0, 3_600)
+        for _ in range(rng.randint(1, 60)):
+            # mix of intra-session steps, exact-gap steps, and new-session
+            # jumps; occasionally land exactly on a day boundary
+            step = rng.choice([60, 1800, 3600, 28800, 28800, 90000])
+            t += step if rng.random() > 0.1 else (86400 - t % 86400)
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id long, secs long").select(
+        "user_id",
+        F.timestamp_seconds(F.col("secs") + 1_700_000_000).alias("ts"),
+        (F.col("secs") % 7 / 10.0).alias("value"),
+    )
+
+    def rows_of(d):
+        return sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n,
+             r.value_total_micros)
+            for r in d.collect()
+        )
+
+    for gap, bucket in (("8 hours", "1 day"), ("30 minutes", "2 hours"),
+                        ("1 hour", "4 days")):
+        plain = rows_of(sessions.sessionize(df, gap=gap))
+        two_phase = rows_of(sessions.sessionize_bucketed(df, gap=gap, bucket=bucket))
+        assert plain == two_phase, (gap, bucket)
