@@ -1388,8 +1388,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row. Both exact paths share one staged+persisted shingle
     frame, so the corpus is tokenized/shingled once."""
     sh = DD.staged_shingles(docs_aug(spark, sf_dir))
-    pairs = DD.ngram_jaccard_pairs_from_shingles(sh)
-    prefix = DD.ngram_jaccard_pairs_prefix_from_shingles(sh)
+    # one explode materialization feeds the count join's two sides AND
+    # the prefix path's dfreq/window (~0.6s off the fold at sf0.1)
+    index = DD.shingle_index(sh).persist()
+    pairs = DD.ngram_jaccard_pairs_from_shingles(sh, index=index)
+    prefix = DD.ngram_jaccard_pairs_prefix_from_shingles(sh, index=index)
     pair_ck = DD._hash32(
         F.concat(
             F.col("id_a").cast("string"), F.lit("|"), F.col("id_b").cast("string")
