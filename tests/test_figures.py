@@ -1,0 +1,168 @@
+"""Figure layer (plans/figures.py): all 19 reference ``plot_*``
+counterparts produce well-formed specs from the real engine outputs at
+sf0.001, the load-bearing semantics (ordering, percent math, validation
+errors, empty fallbacks, reference lines) mirror the reference plots,
+and the renderer is correctly gated on matplotlib's absence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.plans import figures as G
+from recon_spark.registry import _engine_outputs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    outs = _engine_outputs(spark, SF_DIR, materialized=False)
+    return {k: v.persist() for k, v in outs.items()}
+
+
+def _engine_for(name: str) -> str:
+    if "roth" in name or name == "plot_taxable_delta_distribution":
+        return "engine_c"
+    if "ira" in name:
+        return "engine_d"
+    if name in (
+        "plot_age_taxcode_kpi_summary",
+        "plot_term_date_correction_rates",
+        "plot_correction_reason_crosstab",
+        "plot_corrections_over_time",
+        "plot_mistake_breakdown",
+    ):
+        return "engine_b"
+    return "engine_a"
+
+
+def test_all_19_figures_build_and_serialize(spark, engines):
+    """Every reference plot name has a builder; every spec produced from
+    the real sf0.001 engine outputs is JSON-serializable, carries a
+    title + kind, and non-empty specs have aligned categories/series."""
+    assert len(G.ALL_FIGURES) == 19
+    for name, fn in G.ALL_FIGURES.items():
+        spec = fn(engines[_engine_for(name)])
+        json.dumps(spec)  # a spec must be a plain-data chart description
+        assert spec["title"], name
+        assert spec["kind"] in ("bar", "barh", "line", "dual_axis",
+                                "heatmap", "panel"), name
+        if spec.get("empty"):
+            continue
+        panels = spec["panels"] if spec["kind"] == "panel" else [spec]
+        for p in panels:
+            n = len(p["categories"])
+            assert n > 0, name
+            for s in p["series"]:
+                assert len(s["values"]) == n, (name, s["name"])
+            if "annotations" in p:
+                assert len(p["annotations"]) == n, name
+
+
+def test_kpi_percent_math_and_order(spark, engines):
+    """KPI spec mirrors the reference exactly: declared group order,
+    percents of ALL rows, '{pct:.1f}% ({count})' annotations."""
+    spec = G.fig_match_kpi_summary(engines["engine_a"])
+    assert spec["categories"] == [g for g, _ in G.MATCH_STATUS_GROUPS]
+    total = engines["engine_a"].count()
+    by_status = {
+        r["match_status"]: r["n"]
+        for r in engines["engine_a"].groupBy("match_status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for label, (_, status) in zip(spec["categories"], G.MATCH_STATUS_GROUPS):
+        pass
+    for i, (label, status) in enumerate(G.MATCH_STATUS_GROUPS):
+        n = by_status.get(status, 0)
+        assert spec["series"][0]["values"][i] == pytest.approx(100.0 * n / total)
+        assert spec["annotations"][i].endswith(f"({n})")
+
+
+def test_date_lag_has_tolerance_ref_line(spark, engines):
+    spec = G.fig_date_lag_distribution(engines["engine_a"])
+    if not spec.get("empty"):
+        assert spec["ref_lines"] == [
+            {"axis": "x", "value": G.MAX_DATE_LAG_DAYS, "label": "Max tolerance"}
+        ]
+        # histogram sums to the expected-matched row count
+        expected = engines["engine_a"].filter(
+            ~F.col("match_status").isin("unmatched_relius", "unmatched_matrix")
+        ).count()
+        assert sum(spec["series"][0]["values"]) == expected
+
+
+def test_validation_mirrors_reference(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="Missing required columns"):
+        G.fig_match_kpi_summary(df)
+
+
+def test_strict_date_builds_raise_on_null_txn_date(spark):
+    df = spark.createDataFrame(
+        [("match_needs_correction", None)],
+        "match_status string, txn_date date",
+    )
+    with pytest.raises(ValueError, match="missing or malformed txn_date"):
+        G.fig_ira_correction_counts(df)
+
+
+def test_empty_fallbacks(spark):
+    empty = spark.createDataFrame(
+        [], "match_status string, term_date date, tax_code_1 string, "
+            "correction_reason string, txn_date date",
+    )
+    spec = G.fig_age_taxcode_kpi_summary(empty)
+    assert spec["empty"] and spec["message"] == G.NO_DATA
+    spec = G.fig_mistake_breakdown(empty)
+    assert spec["empty"] and spec["message"] == "No corrections to display"
+
+
+def test_reason_summary_counts_desc_with_pct_of_instances(spark):
+    df = spark.createDataFrame(
+        [
+            ("match_needs_correction", "A"),
+            ("match_needs_correction", "A"),
+            ("match_needs_correction", "B"),
+            ("match_no_action", "C"),       # out of scope
+            ("match_needs_correction", None),  # dropped like the reference
+        ],
+        "match_status string, correction_reason string",
+    )
+    spec = G.fig_correction_reason_summary(df)
+    assert spec["categories"] == ["A", "B"]
+    assert spec["series"][0]["values"] == [2, 1]
+    assert spec["annotations"] == ["2 (66.7%)", "1 (33.3%)"]
+
+
+def test_roth_crosstab_excludes_rows_without_suggestion(spark):
+    df = spark.createDataFrame(
+        [
+            ("match_needs_correction", "7", None, "B", None),
+            ("match_needs_correction", None, None, "4", "G"),
+            ("match_needs_correction", "7", None, None, None),  # no suggestion
+            ("match_no_action", "7", None, "B", None),          # out of scope
+        ],
+        "match_status string, tax_code_1 string, tax_code_2 string, "
+        "suggested_tax_code_1 string, suggested_tax_code_2 string",
+    )
+    spec = G.fig_roth_tax_code_crosstab(df)
+    assert spec["rows"] == ["7", "Unknown"]
+    assert spec["categories"] == ["4G", "B"]
+    cells = {s["name"]: s["values"] for s in spec["series"]}
+    assert cells["7"] == [0, 1] and cells["Unknown"] == [1, 0]
+
+
+def test_render_is_gated_on_matplotlib(spark, engines):
+    spec = G.fig_match_kpi_summary(engines["engine_a"])
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="presentation adapter"):
+            G.render_figure(spec)
+    else:  # pragma: no cover - container has no matplotlib
+        fig = G.render_figure(spec)
+        assert fig is not None
