@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--no-business-rules", action="store_true")
     p.add_argument(
+        "--figures", default=None, metavar="DIR",
+        help="write the engine's figure SPECS (plans/figures.py — the "
+        "ported plot_* layer) as JSON files under DIR, one per figure; "
+        "render with plans.figures.render_figure where matplotlib exists",
+    )
+    p.add_argument(
         "--manifest", default=None, metavar="PATH",
         help="write a run-manifest JSON (per-stage row counts, validity "
         "tallies, action mix) collected via df.observe — no extra jobs. "
@@ -160,6 +166,16 @@ def main(argv: list[str] | None = None) -> int:
         if "action" in matched.columns
         else {}
     )
+    if args.figures:
+        # figures run their own aggregate actions over the engine output;
+        # build them from the PRE-observation frame so those extra
+        # executions cannot re-fire (and double-count) manifest metrics
+        from .plans import figures as figures_mod
+
+        for p_ in figures_mod.write_figure_specs(
+            args.engine, matched, args.figures
+        ):
+            print(f"Figure spec written to: {p_}")
     matched = obs(matched, "engine_output", **engine_metrics)
     if mf:
         # the D4 global sort's range-sampling pass would re-execute every

@@ -716,6 +716,60 @@ ALL_FIGURES = {
 }
 
 
+#: which figures each engine's output feeds — the reference writes these
+#: per-engine under reports/figures/<engine>/ (src/config.py:137-139);
+#: the CLI's --figures option writes the spec JSONs in the same grouping
+ENGINE_FIGURES = {
+    "a": [
+        "plot_match_kpi_summary",
+        "plot_unmatched_summary",
+        "plot_date_lag_distribution",
+        "plot_correction_reason_summary",
+        "plot_correction_reason_trends",
+    ],
+    "b": [
+        "plot_age_taxcode_kpi_summary",
+        "plot_term_date_correction_rates",
+        "plot_correction_reason_crosstab",
+        "plot_corrections_over_time",
+        "plot_mistake_breakdown",
+    ],
+    "c": [
+        "plot_roth_kpi_summary",
+        "plot_roth_action_mix",
+        "plot_roth_correction_reason_summary",
+        "plot_roth_correction_reason_trends",
+        "plot_taxable_delta_distribution",
+        "plot_roth_tax_code_crosstab",
+    ],
+    "d": [
+        "plot_ira_rollover_kpi_summary",
+        "plot_ira_rollover_correction_counts",
+        "plot_ira_rollover_correction_rate",
+    ],
+}
+
+
+def write_figure_specs(engine: str, output: DataFrame, out_dir: str) -> list:
+    """Build every figure for ``engine``'s output frame and write each
+    spec as ``<out_dir>/<plot_name>.json``; returns the paths. The CLI's
+    counterpart of the reference's per-engine png directory — a chart
+    client (or :func:`render_figure` where matplotlib exists) consumes
+    the JSONs."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for name in ENGINE_FIGURES[engine]:
+        spec = ALL_FIGURES[name](output)
+        path = os.path.join(out_dir, f"{name}.json")
+        with open(path, "w") as fh:
+            json.dump(spec, fh, indent=1)
+        paths.append(path)
+    return paths
+
+
 def render_figure(spec: dict):
     """Render a figure spec with matplotlib, if installed.
 

@@ -64,3 +64,30 @@ def test_cli_manifest_audit_trail(spark, tmp_path, capsys):
     assert stages["corrections"]["n_rows"] == total
     assert stages["corrections"]["n_update_1099"] + stages["corrections"]["n_investigate"] >= total
     assert stages["relius_clean"]["n_rows"] > 0 and "invalid_ssn" in stages["relius_clean"]
+
+
+def test_cli_figures_option(spark, tmp_path, capsys):
+    """--figures writes one spec JSON per engine figure (the ported
+    plot_* layer's CLI deliverable), alongside the correction file."""
+    import json
+    import os
+
+    from recon_spark.plans.figures import ENGINE_FIGURES
+
+    fig_dir = str(tmp_path / "figs")
+    rc = cli.main(
+        [
+            "--sf-dir", SF,
+            "--out", str(tmp_path / "corr_f"),
+            "--engine", "c",
+            "--figures", fig_dir,
+            "--cpus", "8",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Figure spec written to:") == len(ENGINE_FIGURES["c"])
+    for name in ENGINE_FIGURES["c"]:
+        with open(os.path.join(fig_dir, f"{name}.json")) as fh:
+            spec = json.load(fh)
+        assert spec["title"] and "kind" in spec

@@ -74,8 +74,6 @@ def test_kpi_percent_math_and_order(spark, engines):
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    for label, (_, status) in zip(spec["categories"], G.MATCH_STATUS_GROUPS):
-        pass
     for i, (label, status) in enumerate(G.MATCH_STATUS_GROUPS):
         n = by_status.get(status, 0)
         assert spec["series"][0]["values"][i] == pytest.approx(100.0 * n / total)
@@ -166,3 +164,8 @@ def test_render_is_gated_on_matplotlib(spark, engines):
     else:  # pragma: no cover - container has no matplotlib
         fig = G.render_figure(spec)
         assert fig is not None
+
+
+def test_engine_figure_groups_cover_all_19():
+    groups = [n for names in G.ENGINE_FIGURES.values() for n in names]
+    assert sorted(groups) == sorted(G.ALL_FIGURES)
