@@ -195,19 +195,28 @@ def minhash_near_dup(
     n_bands: int = N_BANDS,
     k: int = 3,
     threshold: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline (candidates + exact-Jaccard verify) computed
     off ONE persisted shingle frame: the corpus is tokenized and shingled
     exactly once, signatures derive from the persisted shingles, and the
     verify stage joins back to the same frame. Equivalent to
     ``verify_candidates(minhash_lsh_candidates(docs), docs)`` but one
-    whole tokenize+shingle pass cheaper."""
+    whole tokenize+shingle pass cheaper.
+
+    ``tokens_col``: shingle an ALREADY-STAGED token-array column instead
+    of tokenizing ``text_col`` (round 8: the corpus builder stages one
+    token pass for its whole stage chain)."""
     rows = n_hashes // n_bands
+    staged = (
+        docs if tokens_col else docs.withColumn("__toks", T.tokens(text_col))
+    )
     sh = (
-        docs.withColumn("__toks", T.tokens(text_col))
-        .select(
+        staged.select(
             F.col(id_col).alias("id"),
-            T.shingles_from_tokens(F.col("__toks"), k).alias("sh"),
+            T.shingles_from_tokens(
+                F.col(tokens_col or "__toks"), k
+            ).alias("sh"),
         )
         .persist()
     )

@@ -143,6 +143,7 @@ def score_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = DEFAULT_ALPHA,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity against the reference model:
     ``(id, n_scored, logprob, perplexity)`` where ``perplexity =
@@ -150,7 +151,7 @@ def score_perplexity(
     (``w1`` absent from the reference) fall back to the maximally
     smoothed ``p = 1/V``; unseen continuations get the Laplace mass.
     Empty documents produce no row (no tokens to score)."""
-    joined = _scored_join(docs, lm, id_col, text_col)
+    joined = _scored_join(docs, lm, id_col, text_col, tokens_col)
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha)))
         / (

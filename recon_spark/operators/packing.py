@@ -49,18 +49,28 @@ def pack_sequences(
     text_col: str = "text",
     group_cols: tuple[str, ...] = (),
     salt: str = PACK_SALT,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document ``(bin_id, bin_offset)`` in the deterministic
     concat-and-chunk stream of its group (``group_cols`` — e.g. the
     train/val/test split — pack independently; empty tuple = one global
     stream).  Output columns: ``group_cols..., id_col, n_tokens, bin_id,
-    bin_offset``."""
+    bin_offset``.
+
+    ``tokens_col``: count an ALREADY-STAGED token-array column instead of
+    tokenizing ``text_col`` (round 8: the corpus builder's shared token
+    pass)."""
     g = list(group_cols)
     hb = hash_bucket(id_col, salt)
+    n_tokens = (
+        F.size(F.col(tokens_col)).cast("long")
+        if tokens_col
+        else T.token_count(text_col)
+    )
     base = docs.select(
         *g,
         id_col,
-        T.token_count(text_col).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         hb.alias("__hb"),
     ).withColumn("__bk", F.shiftright("__hb", BUCKET_SHIFT))
 
