@@ -1019,10 +1019,11 @@ from .operators import text as T  # noqa: E402
 from .oracles import llm_sql  # noqa: E402
 
 
-def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents corpus with planted exact/near duplicates (mirrors
-    llm_sql.DOCS_AUG_CTE so dedup queries are self-validating)."""
-    docs = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def plant_duplicates(docs: DataFrame) -> DataFrame:
+    """Plant exact/near duplicates into a (doc_id, text) frame by the
+    doc_id-mod rules shared with llm_sql.DOCS_AUG_CTE — factored out of
+    :func:`docs_aug` so the differential fuzz (tests/test_dedup_fuzz.py)
+    can apply the IDENTICAL planting to random corpora."""
     exact = docs.filter(F.col("doc_id") % llm_sql.EXACT_COPY_MOD == 0).select(
         (F.col("doc_id") + llm_sql.COPY_ID_OFFSET).alias("doc_id"), "text"
     )
@@ -1031,6 +1032,14 @@ def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(llm_sql.NEAR_SUFFIX)).alias("text"),
     )
     return docs.unionByName(exact).unionByName(near)
+
+
+def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents corpus with planted exact/near duplicates (mirrors
+    llm_sql.DOCS_AUG_CTE so dedup queries are self-validating)."""
+    return plant_duplicates(
+        _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,11 +1334,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes r7 VERDICT "What's missing" #2 at zero slot cost; the
     near-dup family is now driver-graded five ways (MinHash-LSH, n-gram
     count + prefix, SimHash pairs, cluster resolution)."""
-    aug = docs_aug(spark, sf_dir).withColumn("fingerprint", T.fingerprint("text"))
+    return dedup_exact_with_simhash_parity(docs_aug(spark, sf_dir))
+
+
+def dedup_exact_with_simhash_parity(aug: DataFrame) -> DataFrame:
+    """Frame-level body of ``dedup_exact_documents`` (shared with the
+    differential fuzz, which drives it over random planted corpora)."""
+    aug = aug.withColumn("fingerprint", T.fingerprint("text"))
     out = DD.exact_dedup(aug, F.col("fingerprint"), ["doc_id"]).select(
         "doc_id", "fingerprint"
     )
-    sp = q_simhash_pairs(spark, sf_dir)
+    sp = simhash_banded_pairs(aug)
     pair_ck = DD._hash32(
         F.concat(
             F.col("id_a").cast("string"),
@@ -1387,7 +1402,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix twin that dropped or invented one pair flips the checksum on
     every row. Both exact paths share one staged+persisted shingle
     frame, so the corpus is tokenized/shingled once."""
-    sh = DD.staged_shingles(docs_aug(spark, sf_dir))
+    return ngram_jaccard_with_prefix_parity(docs_aug(spark, sf_dir))
+
+
+def ngram_jaccard_with_prefix_parity(aug: DataFrame) -> DataFrame:
+    """Frame-level body of ``dedup_ngram_jaccard`` (shared with the
+    differential fuzz, which drives it over random planted corpora)."""
+    sh = DD.staged_shingles(aug)
     # one explode materialization feeds the count join's two sides AND
     # the prefix path's dfreq/window (~0.6s off the fold at sf0.1)
     index = DD.shingle_index(sh).persist()
@@ -1415,8 +1436,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked directly: tests/test_llm_ops.py exercises
     simhash/simhash_bands, and tests/test_registry_extras.py compares
     this exact query against llm_sql.SIMHASH_PAIRS_SQL on DuckDB."""
+    return simhash_banded_pairs(docs_aug(spark, sf_dir))
+
+
+def simhash_banded_pairs(docs: DataFrame) -> DataFrame:
+    """Banded Hamming pair join over a (doc_id, text) frame — the body of
+    :func:`q_simhash_pairs`, frame-level so the dedup_exact parity fold
+    and the differential fuzz reuse the identical composition."""
     sims = (
-        DD.with_simhash(docs_aug(spark, sf_dir), out="sh")
+        DD.with_simhash(docs, out="sh")
         .select(F.col("doc_id").alias("id"), "sh")
         .filter(F.col("sh").isNotNull())
         .persist()  # read by both sides of the band self-join
