@@ -42,6 +42,36 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: staged-persist ledger — the cache contract for query builders.
+#: Some builders persist a heavy intermediate (the token-array frame in
+#: ``q_text_stats``, the shingle index shared by the two exact n-gram
+#: paths, the SimHash signature frame) because several branches of ONE
+#: query consume it. The builder cannot unpersist before returning (the
+#: returned lazy plan still reads the cache), so every such frame is
+#: registered here via :func:`_stage_persist` and released by
+#: :func:`release_staged_frames`, which the per-query
+#: ``_with_session_hygiene`` wrapper invokes before building the NEXT
+#: query. A long-lived session driving many registry queries therefore
+#: holds at most one query's staged frames; unpersisting a frame an old
+#: returned DataFrame still references only costs recompute, never
+#: correctness (tests/test_registry_extras.py pins the bounded growth).
+_STAGED_PERSISTS: list[DataFrame] = []
+
+
+def _stage_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track it for release at the next query build."""
+    _STAGED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_staged_frames() -> int:
+    """Unpersist every tracked staging frame; returns how many."""
+    n = len(_STAGED_PERSISTS)
+    while _STAGED_PERSISTS:
+        _STAGED_PERSISTS.pop().unpersist()
+    return n
+
+
 def _issues_joined(df: DataFrame) -> DataFrame:
     return df.withColumn("validation_issues", F.array_join("validation_issues", ";"))
 
@@ -1090,7 +1120,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains). Only the Arrow embedder still tokenizes itself, by
     # contract: it occupies the external-encoder batch interface over RAW
     # text (a GPU model server gets strings, not our token arrays).
-    toked = docs.withColumn("__toks", T.tokens("text")).persist()
+    toked = _stage_persist(docs.withColumn("__toks", T.tokens("text")))
     emb = E.embed_texts(docs, dim=dim, out="__emb")
     model = L.train_bigram_lm(
         S.with_split(toked).filter(F.col("split") == "train"),
@@ -1411,7 +1441,7 @@ def ngram_jaccard_with_prefix_parity(aug: DataFrame) -> DataFrame:
     sh = DD.staged_shingles(aug)
     # one explode materialization feeds the count join's two sides AND
     # the prefix path's dfreq/window (~0.6s off the fold at sf0.1)
-    index = DD.shingle_index(sh).persist()
+    index = _stage_persist(DD.shingle_index(sh))
     pairs = DD.ngram_jaccard_pairs_from_shingles(sh, index=index)
     prefix = DD.ngram_jaccard_pairs_prefix_from_shingles(sh, index=index)
     pair_ck = DD._hash32(
@@ -1443,11 +1473,10 @@ def simhash_banded_pairs(docs: DataFrame) -> DataFrame:
     """Banded Hamming pair join over a (doc_id, text) frame — the body of
     :func:`q_simhash_pairs`, frame-level so the dedup_exact parity fold
     and the differential fuzz reuse the identical composition."""
-    sims = (
+    sims = _stage_persist(  # read by both sides of the band self-join
         DD.with_simhash(docs, out="sh")
         .select(F.col("doc_id").alias("id"), "sh")
         .filter(F.col("sh").isNotNull())
-        .persist()  # read by both sides of the band self-join
     )
     banded = sims.select(
         "id", "sh", F.explode(DD.simhash_bands(F.col("sh"))).alias("b")
@@ -1776,6 +1805,11 @@ def _with_session_hygiene(fn: QueryFn) -> QueryFn:
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # cache contract: drop the PREVIOUS query's staged persists so a
+        # long session never accumulates token/shingle caches (see
+        # _STAGED_PERSISTS; the prior query's result plan merely loses
+        # its cache if re-executed)
+        release_staged_frames()
         spark.conf.set("spark.sql.unionOutputPartitioning", "false")
         return fn(spark, sf_dir)
 

@@ -126,14 +126,16 @@ def test_reason_summary_counts_desc_with_pct_of_instances(spark):
             ("match_needs_correction", "A"),
             ("match_needs_correction", "B"),
             ("match_no_action", "C"),       # out of scope
-            ("match_needs_correction", None),  # dropped like the reference
+            # fillna'd to 'Unknown' and counted, like the reference's
+            # build_correction_reason_summary (:279)
+            ("match_needs_correction", None),
         ],
         "match_status string, correction_reason string",
     )
     spec = G.fig_correction_reason_summary(df)
-    assert spec["categories"] == ["A", "B"]
-    assert spec["series"][0]["values"] == [2, 1]
-    assert spec["annotations"] == ["2 (66.7%)", "1 (33.3%)"]
+    assert spec["categories"] == ["A", "B", "Unknown"]
+    assert spec["series"][0]["values"] == [2, 1, 1]
+    assert spec["annotations"] == ["2 (50.0%)", "1 (25.0%)", "1 (25.0%)"]
 
 
 def test_roth_crosstab_excludes_rows_without_suggestion(spark):

@@ -69,3 +69,30 @@ def test_graded_queries_pin_union_partitioning_off(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.unionOutputPartitioning", "false")
+
+
+def test_long_session_staged_persist_growth_bounded(spark):
+    """Cache contract (registry._STAGED_PERSISTS): builders that persist
+    a staging frame (text_stats token pass, the shared shingle index,
+    the SimHash signature frame) hand it to the ledger, and the next
+    query build releases it — so N queries back-to-back hold at most one
+    query's staged frames, not N caches."""
+    from recon_spark import registry
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    persisting = ["text_stats", "dedup_ngram_jaccard", "dedup_exact_documents"]
+    high_water = 0
+    for _ in range(2):  # two laps = a long session in miniature
+        for name in persisting:
+            assert registry.QUERIES[name](spark, SF).count() > 0
+            high_water = max(high_water, jsc.getPersistentRDDs().size())
+    # at most the CURRENT query's staged frames are ever live; a leak
+    # would accumulate 2 laps x 3 queries of token/shingle caches
+    assert high_water <= 3
+    # two-tier contract: the ledger releases registry-staged frames;
+    # operator-internal persists (dedup.py module docstring) are
+    # caller-owned and fall to clearCache, as bench/check_correctness do
+    assert registry.release_staged_frames() >= 1
+    spark.catalog.clearCache()
+    assert jsc.getPersistentRDDs().size() == 0
