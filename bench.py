@@ -305,6 +305,20 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # the driver records only a bounded tail of stdout, which truncated
+    # the r8 artifact's headline dict (VERDICT r8 #8) — ALSO write the
+    # full JSON to a committed sidecar so the numbers are never lost.
+    # Overridable so tools/bench_sf1.py can direct its run elsewhere.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     import shutil
 
     shutil.rmtree(raw_dir, ignore_errors=True)

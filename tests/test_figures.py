@@ -171,3 +171,189 @@ def test_render_is_gated_on_matplotlib(spark, engines):
 def test_engine_figure_groups_cover_all_19():
     groups = [n for names in G.ENGINE_FIGURES.values() for n in names]
     assert sorted(groups) == sorted(G.ALL_FIGURES)
+
+
+# --- golden snapshots (VERDICT r8 #3) -----------------------------------------
+
+
+def test_figure_specs_match_committed_goldens(spark, engines):
+    """Every live spec over the seeded sf0.001 engine outputs equals its
+    committed golden byte-for-byte (tools/regen_figure_goldens.py) — so
+    percent-math / annotation / ordering drift the structural checks
+    would tolerate shows up as a reviewable golden diff."""
+    import os
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "goldens", "figures")
+    for eng, names in G.ENGINE_FIGURES.items():
+        df = engines[f"engine_{eng}"]
+        for name in names:
+            with open(os.path.join(golden_dir, f"{name}.json")) as fh:
+                golden = json.load(fh)
+            live = json.loads(json.dumps(G.ALL_FIGURES[name](df)))
+            assert live == golden, f"{name} drifted from its golden"
+
+
+# --- renderer adapter via fake-matplotlib shim (VERDICT r8 #4) ----------------
+
+
+class _FakeAxes:
+    """Recorder standing in for a matplotlib Axes: every method call is
+    appended to ``calls`` as (name, args, kwargs); ``twinx`` hands back a
+    second recorder so the dual-axis branch is observable."""
+
+    def __init__(self):
+        self.calls = []
+        self.twin = None
+
+    def twinx(self):
+        self.twin = _FakeAxes()
+        self.calls.append(("twinx", (), {}))
+        return self.twin
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def record(*args, **kwargs):
+            self.calls.append((name, args, kwargs))
+
+        return record
+
+    def named(self, *names):
+        return [c for c in self.calls if c[0] in names]
+
+
+class _FakeFig:
+    def __init__(self):
+        self.calls = []
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def record(*args, **kwargs):
+            self.calls.append((name, args, kwargs))
+
+        return record
+
+
+@pytest.fixture()
+def fake_mpl(monkeypatch):
+    """Install fake ``matplotlib``/``matplotlib.pyplot`` modules so
+    ``render_figure``'s body actually executes in this container; yields
+    the list of (fig, axes) pairs subplots produced."""
+    import sys
+    import types
+
+    made = []
+
+    def subplots(*args, **kwargs):
+        fig = _FakeFig()
+        if args and args[0] == 1 and len(args) > 1:  # (1, n) panel form
+            axes = [_FakeAxes() for _ in range(args[1])]
+            made.append((fig, axes))
+            return fig, axes
+        ax = _FakeAxes()
+        made.append((fig, [ax]))
+        return fig, ax
+
+    mpl = types.ModuleType("matplotlib")
+    plt = types.ModuleType("matplotlib.pyplot")
+    plt.subplots = subplots
+    mpl.pyplot = plt
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+    return made
+
+
+def test_render_barh_branch(fake_mpl):
+    spec = {
+        "kind": "barh", "title": "T", "x_label": "X", "y_label": "Y",
+        "categories": ["a", "b"], "series": [{"name": "n", "values": [1, 2]}],
+        "annotations": ["1 (33%)", "2 (66%)"],
+        "ref_lines": [{"axis": "x", "value": 5, "label": "max"}],
+    }
+    fig = G.render_figure(spec)
+    assert fig is fake_mpl[0][0]
+    ax = fake_mpl[0][1][0]
+    # reference draws barh top-down: categories and values reversed
+    (_, args, _), = ax.named("barh")
+    assert args == (["b", "a"], [2, 1])
+    texts = [a for _, a, _ in ax.named("text")]
+    assert texts == [(2, 0, " 2 (66%)"), (1, 1, " 1 (33%)")]
+    (_, args, kw), = ax.named("axvline")
+    assert args == (5,) and kw["label"] == "max"
+    assert ("set_title", ("T",), {}) in ax.calls
+    assert ("set_xlabel", ("X",), {}) in ax.calls
+    assert ("set_ylabel", ("Y",), {}) in ax.calls
+
+
+def test_render_bar_branch_stringifies_categories(fake_mpl):
+    spec = {
+        "kind": "bar", "title": "T", "categories": [1, 2],
+        "series": [{"name": "n", "values": [3, 4]}],
+        "annotations": ["3", "4"],
+    }
+    G.render_figure(spec)
+    ax = fake_mpl[0][1][0]
+    (_, args, _), = ax.named("bar")
+    assert args == (["1", "2"], [3, 4])
+    assert [a for _, a, _ in ax.named("text")] == [(0, 3, "3"), (1, 4, "4")]
+
+
+def test_render_dual_axis_routes_series(fake_mpl):
+    spec = {
+        "kind": "dual_axis", "title": "T", "categories": ["m1", "m2"],
+        "series": [
+            {"name": "count", "values": [10, 20], "axis": "left"},
+            {"name": "rate", "values": [0.1, 0.2], "axis": "right"},
+        ],
+    }
+    G.render_figure(spec)
+    ax = fake_mpl[0][1][0]
+    assert ax.twin is not None
+    # left series -> bars on the primary axis, right -> line on the twin
+    (_, args, _), = ax.named("bar")
+    assert args == (["m1", "m2"], [10, 20])
+    (_, args, kw), = ax.twin.named("plot")
+    assert args == (["m1", "m2"], [0.1, 0.2]) and kw["label"] == "rate"
+    assert ax.named("legend")
+
+
+def test_render_line_and_heatmap_branches(fake_mpl):
+    G.render_figure({
+        "kind": "line", "title": "T", "categories": ["a"],
+        "series": [{"name": "s", "values": [1]}],
+    })
+    ax = fake_mpl[0][1][0]
+    (_, args, _), = ax.named("plot")
+    assert args == (["a"], [1])
+
+    G.render_figure({
+        "kind": "heatmap", "title": "H", "categories": ["c1", "c2"],
+        "rows": ["r1"], "series": [{"name": "r1", "values": [1, 2]}],
+    })
+    hax = fake_mpl[1][1][0]
+    (_, args, kw), = hax.named("imshow")
+    assert args[0].tolist() == [[1, 2]] and kw["cmap"] == "Blues"
+    assert hax.named("set_xticks") and hax.named("set_yticks")
+
+
+def test_render_panel_and_empty_branches(fake_mpl):
+    spec = {
+        "kind": "panel", "title": "P",
+        "panels": [
+            {"kind": "bar", "title": "p1", "categories": ["a"],
+             "series": [{"name": "s", "values": [1]}]},
+            {"kind": "bar", "title": "p2", "empty": True, "message": "nope"},
+        ],
+    }
+    fig = G.render_figure(spec)
+    fig_rec, axes = fake_mpl[0]
+    assert fig is fig_rec and len(axes) == 2
+    assert ("tight_layout", (), {}) in fig_rec.calls
+    assert axes[0].named("bar")
+    # empty sub-panel: message text + axis off, nothing plotted
+    (_, args, kw), = axes[1].named("text")
+    assert args == (0.5, 0.5, "nope")
+    assert axes[1].named("set_axis_off") and not axes[1].named("bar")
