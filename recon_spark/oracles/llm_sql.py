@@ -891,3 +891,144 @@ SELECT doc_id,
   CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_tokens,
   array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text
 FROM starts"""
+
+
+# --- streaming ingestion gate replay (graded fold, VERDICT r8 #6) ------------
+#
+# The foreachBatch near-dup gate (streaming/dedup_ingest.py) is a state
+# machine: verdicts for batch N depend on the signature store accepted by
+# batches 0..N-1. Its replay corpus and thresholds are deterministic
+# (dedup_ingest.gate_replay_* constants, imported here so the renderings
+# cannot drift), so the ENTIRE three-batch evolution unrolls into one SQL
+# statement: per batch, a signatures CTE, banded-index CTEs for the batch
+# and the accumulated store, the four prio rules (exact-vs-store,
+# near-vs-store, exact-in-batch, greedy near-in-batch), verdict
+# resolution, and the next store = store + accepted. The parity CTE at
+# the end folds every verdict row into (count, 32-bit checksum) — the
+# same scalars the Spark side crossJoins onto streaming_dedup_events.
+
+from ..streaming.dedup_ingest import (  # noqa: E402
+    GATE_EXACT_MOD,
+    GATE_EXACT_OFFSET,
+    GATE_NEAR_MOD,
+    GATE_NEAR_OFFSET,
+    GATE_NEAR_TAIL,
+    GATE_REPLAY_BATCHES,
+    GATE_REPLAY_THRESHOLD,
+)
+
+
+def _gate_band_selects(src: str, sig: str = "sig") -> str:
+    """Banded index over ``src``'s signature column — one SELECT per LSH
+    band, matching operators/dedup.band_hashes exactly."""
+    return "\n  UNION ALL\n".join(
+        f"""  SELECT id, {sig}, {b} AS band_idx,
+    md5(array_to_string(list_slice({sig}, {b * D.BAND_ROWS + 1}, {b * D.BAND_ROWS + D.BAND_ROWS}), '|')) AS band_hash
+  FROM {src} WHERE {sig} IS NOT NULL"""
+        for b in range(D.N_BANDS)
+    )
+
+
+def gate_replay_ctes(
+    n_batches: int = GATE_REPLAY_BATCHES,
+    threshold: float = GATE_REPLAY_THRESHOLD,
+) -> str:
+    """CTE chain ``gate_corpus, ..., gate_parity`` replaying the gate;
+    embed after a WITH and CROSS JOIN ``gate_parity`` onto the host
+    query's rows."""
+    thr_num = int(threshold * D.N_MINHASH)
+    agree = (
+        f"len(list_filter(range(1, {D.N_MINHASH} + 1), i -> {{a}}.sig[i] = {{b}}.sig[i])) >= {thr_num}"
+    )
+    tail = GATE_NEAR_TAIL.replace("'", "''")
+    parts = [
+        f"""gate_corpus AS MATERIALIZED (
+  SELECT doc_id % {n_batches} AS batch_id, doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT (doc_id + 1) % {n_batches}, doc_id + {GATE_EXACT_OFFSET}, text
+  FROM documents WHERE doc_id % {GATE_EXACT_MOD} = 0
+  UNION ALL
+  SELECT (doc_id + 2) % {n_batches}, doc_id + {GATE_NEAR_OFFSET}, text || '{tail}'
+  FROM documents WHERE doc_id % {GATE_NEAR_MOD} = 0
+)""",
+        """gstore0 AS (
+  SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS fp,
+         CAST(NULL AS VARCHAR[]) AS sig WHERE false
+)""",
+    ]
+    for b in range(n_batches):
+        parts.append(
+            f"""gb{b}_sigs AS MATERIALIZED (
+  SELECT id, {fingerprint('text')} AS fp,
+         {minhash_signature_from(shingles('text'))} AS sig
+  FROM gate_corpus WHERE batch_id = {b}
+)"""
+        )
+        parts.append(
+            f"gb{b}_nb AS MATERIALIZED (\n{_gate_band_selects(f'gb{b}_sigs')}\n)"
+        )
+        parts.append(
+            f"gb{b}_pb AS MATERIALIZED (\n{_gate_band_selects(f'gstore{b}')}\n)"
+        )
+        a_vs = agree.format(a="n", b="p")
+        a_bb = agree.format(a="a", b="c")
+        parts.append(
+            f"""gb{b}_hits AS (
+  SELECT s.id, 0 AS prio, 'exact_dup' AS status, min(p.id) AS dup_of
+  FROM gb{b}_sigs s JOIN gstore{b} p USING (fp) GROUP BY s.id
+  UNION ALL
+  SELECT id, 1, 'near_dup', min(dup_of) FROM (
+    SELECT DISTINCT n.id, p.id AS dup_of
+    FROM gb{b}_nb n JOIN gb{b}_pb p USING (band_idx, band_hash)
+    WHERE {a_vs}
+  ) GROUP BY id
+  UNION ALL
+  SELECT s.id, 2, 'exact_dup', f.dup_of
+  FROM gb{b}_sigs s
+  JOIN (SELECT fp, min(id) AS dup_of FROM gb{b}_sigs GROUP BY fp) f USING (fp)
+  WHERE s.id > f.dup_of
+  UNION ALL
+  SELECT id, 3, 'near_dup', min(dup_of) FROM (
+    SELECT DISTINCT a.id, c.id AS dup_of
+    FROM gb{b}_nb a JOIN gb{b}_nb c USING (band_idx, band_hash)
+    WHERE c.id < a.id AND {a_bb}
+  ) GROUP BY id
+)"""
+        )
+        parts.append(
+            f"""gb{b}_verdicts AS MATERIALIZED (
+  SELECT s.id, COALESCE(x.status, 'unique') AS status, x.dup_of,
+         CAST({b} AS BIGINT) AS batch_id
+  FROM gb{b}_sigs s LEFT JOIN (
+    SELECT id, status, dup_of FROM (
+      SELECT id, status, dup_of,
+             row_number() OVER (PARTITION BY id ORDER BY prio, dup_of) AS rn
+      FROM gb{b}_hits
+    ) WHERE rn = 1
+  ) x USING (id)
+)"""
+        )
+        parts.append(
+            f"""gstore{b + 1} AS MATERIALIZED (
+  SELECT * FROM gstore{b}
+  UNION ALL
+  SELECT id, fp, sig FROM gb{b}_sigs
+  WHERE id IN (SELECT id FROM gb{b}_verdicts WHERE status = 'unique')
+)"""
+        )
+    all_v = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM gb{b}_verdicts" for b in range(n_batches)
+    )
+    ck = hash32(
+        "CAST(id AS VARCHAR) || '|' || status || '|' || "
+        "CAST(COALESCE(dup_of, -1) AS VARCHAR) || '|' || CAST(batch_id AS VARCHAR)"
+    )
+    parts.append(f"gate_verdicts AS (\n{all_v}\n)")
+    parts.append(
+        f"""gate_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gate_verdicts,
+         CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS gate_ck
+  FROM gate_verdicts
+)"""
+    )
+    return ",\n".join(parts)

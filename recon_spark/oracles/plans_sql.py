@@ -322,9 +322,20 @@ SELECT source, metric, n FROM m"""
 
 #: streaming dedup keeps one row per (user_id, event_type) within the
 #: watermark; with a single availableNow micro-batch the surviving key set
-#: is exactly the distinct keys.
-STREAM_DEDUP_SQL = """SELECT DISTINCT user_id, event_type
-FROM events WHERE ts IS NOT NULL"""
+#: is exactly the distinct keys. Since round 9 two parity columns ride on
+#: every row (the zero-slot fold pattern of dedup_exact/dedup_ngram): the
+#: ingestion GATE's full three-batch verdict table — fingerprints,
+#: MinHash/LSH candidates, four-rule priority resolution, and the
+#: batch-over-batch signature-store evolution — is replayed entirely in
+#: SQL (llm_sql.gate_replay_ctes) and folded to (count, checksum), which
+#: the Spark side must reproduce by running the REAL foreachBatch gate.
+from . import llm_sql as _Q  # noqa: E402
+
+STREAM_DEDUP_SQL = f"""WITH {_Q.gate_replay_ctes()}
+SELECT s.user_id, s.event_type, g.n_gate_verdicts, g.gate_ck
+FROM (SELECT DISTINCT user_id, event_type
+      FROM events WHERE ts IS NOT NULL) s
+CROSS JOIN gate_parity g"""
 
 #: gap-based sessionization replay: classic gaps-and-islands. Boundary
 #: semantics verified against Spark (test_session_boundary_is_strict): an

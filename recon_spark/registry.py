@@ -1671,11 +1671,40 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_dedup_events", plans_sql.STREAM_DEDUP_SQL)
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark) under availableNow;
-    survivors projected to their keys = distinct (user_id, event_type)."""
-    from .streaming import stateful
+    survivors projected to their keys = distinct (user_id, event_type).
+
+    Round-9 fold (VERDICT r8 #6): the near-dup ingestion GATE's verdict
+    table rides on every graded row as (n_gate_verdicts, gate_ck). The
+    Spark side runs the real foreachBatch gate over the deterministic
+    three-batch replay corpus (streaming/dedup_ingest.run_gate_replay:
+    documents + planted cross/in-batch exact and near copies, sequential
+    availableNow drains so the signature store evolves exactly as in
+    production); the oracle replays the whole state machine in unrolled
+    SQL (llm_sql.gate_replay_ctes). A checksum mismatch means ANY cell
+    of ANY batch's verdicts — status, dup_of, or store evolution —
+    diverged; previously this discipline lived only in
+    tests/test_dedup_ingest_oracle.py with no driver-visible row."""
+    from .streaming import dedup_ingest, stateful
 
     out = stateful.run_dedup_to_memory(spark, sf_dir, name="event_dedup_check")
-    return out.select("user_id", "event_type")
+    docs = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v = dedup_ingest.run_gate_replay(spark, docs)
+    ck = DD._hash32(
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit("|"),
+            F.col("status"),
+            F.lit("|"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("string"),
+            F.lit("|"),
+            F.col("batch_id").cast("string"),
+        )
+    )
+    parity = v.agg(
+        F.count(F.lit(1)).alias("n_gate_verdicts"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("gate_ck"),
+    )
+    return out.select("user_id", "event_type").crossJoin(F.broadcast(parity))
 
 
 @register("streaming_running_totals", plans_sql.STREAM_RUNNING_TOTALS_SQL)

@@ -173,3 +173,32 @@ def test_gate_matches_duckdb_replay(spark, tmp_path):
         (int(r.id), r.fp) for r in con.sql("SELECT id, fp FROM store").df().itertuples()
     }
     assert spark_store == oracle_store
+
+
+def test_gate_replay_fold_is_not_vacuous(spark):
+    """The graded fold's replay corpus must actually exercise the gate:
+    all three verdict statuses occur, the cross-batch exact plant for
+    doc 0 resolves to the organic id, and a wrap-around plant (organic
+    doc_id % 3 == 2, so the plant lands in batch 0 BEFORE its source)
+    makes the ORGANIC doc defer — both directions of the store lookup."""
+    from recon_spark.streaming.dedup_ingest import (
+        GATE_EXACT_MOD,
+        GATE_EXACT_OFFSET,
+        run_gate_replay,
+    )
+
+    docs = spark.read.parquet(SF_DOCS).select("doc_id", "text")
+    got = {
+        r.id: (r.status, r.dup_of, r.batch_id)
+        for r in run_gate_replay(spark, docs).collect()
+    }
+    assert {s for s, _, _ in got.values()} == {"unique", "exact_dup", "near_dup"}
+    # doc 0: organic in batch 0, exact plant in batch 1 -> plant defers
+    assert got[GATE_EXACT_OFFSET] == ("exact_dup", 0, 1)
+    # first wrap-around source (doc_id % 17 == 0 and % 3 == 2): its plant
+    # is accepted in batch 0, so the organic doc is the duplicate
+    wrap = next(
+        d for d in range(0, 500, GATE_EXACT_MOD) if d % 3 == 2
+    )
+    assert got[wrap] == ("exact_dup", wrap + GATE_EXACT_OFFSET, 2)
+    assert got[wrap + GATE_EXACT_OFFSET][0] == "unique"
