@@ -44,6 +44,20 @@ class RunManifest:
     def __init__(self, run_id: str):
         self.run_id = run_id
         self._stages: dict[str, Observation] = {}
+        self._key_profiles: dict[str, dict[str, Any]] = {}
+
+    def profile_key(self, df: DataFrame, key: str, name: str, **kwargs) -> dict:
+        """Run :func:`key_profile` on ``df[key]`` and record it in the
+        manifest under ``name`` (reported as ``key_profiles``). The one
+        manifest entry that costs a probe job — see :func:`key_profile`
+        for why a per-key count cannot ride an Observation. Returns the
+        profile so the caller can branch on ``["skewed"]`` (e.g. switch
+        to ``sessionize_bucketed``) in the same run."""
+        if name in self._key_profiles:
+            raise ValueError(f"duplicate key profile: {name}")
+        prof = key_profile(df, key, **kwargs)
+        self._key_profiles[name] = prof
+        return prof
 
     def stage(self, df: DataFrame, name: str, **metrics: Column) -> DataFrame:
         """Instrument ``df`` as stage ``name``: always records ``n_rows``,
@@ -82,6 +96,8 @@ class RunManifest:
                 collected = None  # probe unavailable: report unknown
             metrics = dict(obs.get) if collected else {}
             out["stages"][name] = {"collected": collected, **metrics}
+        if self._key_profiles:
+            out["key_profiles"] = dict(self._key_profiles)
         return out
 
 
@@ -139,3 +155,71 @@ def instrumented_engine_a(
         n_investigate=F.sum((F.col("Action") == "INVESTIGATE").cast("long")),
     )
     return out, m
+
+
+# --- hot-key probe (VERDICT r8 task #7) ---------------------------------------
+
+#: AQE's own skew convention: a partition is skewed at 5x the median
+#: (spark.sql.adaptive.skewJoin.skewedPartitionFactor default). The probe
+#: applies the same factor to KEYS: a key is bot-grade when it alone
+#: holds more rows than ``skew_factor`` ideal hash partitions would —
+#: the regime where a keyed AGGREGATION (session_window, groupBy) gets a
+#: straggler task that AQE's join-only skew logic never splits
+#: (measured: tools/skew_graded.py / SCALING.md round-8 skew study).
+SKEW_FACTOR = 5.0
+
+
+def key_profile(
+    df: DataFrame,
+    key: str,
+    *,
+    skew_factor: float = SKEW_FACTOR,
+    partitions: int | None = None,
+) -> dict[str, Any]:
+    """Hot-key profile of ``df[key]`` — the measured basis for choosing
+    the skew-proof twin of a keyed lineage (``sessionize_bucketed`` vs
+    ``sessionize``; salted vs plain aggregation).
+
+    Unlike :meth:`RunManifest.stage` metrics this launches ONE bounded
+    probe job (a per-key count cannot ride an Observation): a map-side-
+    combinable ``groupBy(key).count()`` over the single pruned column,
+    reduced to four scalars — the same shape as
+    ``tools/skew_graded.py``'s organic profile, now callable inside a
+    run. Cost is one pass over one column; run it on a sample or on
+    yesterday's partition if even that is too much.
+
+    Returns ``rows / keys / top_key / top_rows / top_share /
+    skew_ratio / skewed`` where ``skew_ratio`` is top-key rows over the
+    ideal per-partition row count (``rows / partitions``) and ``skewed``
+    is ``skew_ratio > skew_factor``.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    top = (
+        df.groupBy(key)
+        .count()
+        .agg(
+            F.sum("count").alias("rows"),
+            F.count(F.lit(1)).alias("keys"),
+            F.max(F.struct("count", F.col(key).alias("k"))).alias("top"),
+        )
+        .first()
+    )
+    if not top or top["rows"] is None:
+        return {"key": key, "rows": 0, "keys": 0, "skewed": False}
+    rows, keys = top["rows"], top["keys"]
+    top_rows = top["top"]["count"]
+    ideal = rows / max(partitions, 1)
+    ratio = top_rows / ideal if ideal else 0.0
+    return {
+        "key": key,
+        "rows": rows,
+        "keys": keys,
+        "top_key": top["top"]["k"],
+        "top_rows": top_rows,
+        "top_share": round(top_rows / rows, 4),
+        "partitions": partitions,
+        "skew_ratio": round(ratio, 2),
+        "skewed": bool(ratio > skew_factor),
+    }

@@ -181,3 +181,31 @@ def run_to_memory(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap: str = DEFAULT_GAP,
+    bucket: str = "4 days",
+    profile: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Probe-and-switch sessionization (VERDICT r8 #7): measure the
+    session key's hot-key profile (``plans.manifest.key_profile`` —
+    AQE's 5x-the-ideal-partition convention applied to keys), then run
+    :func:`sessionize_bucketed` iff the corpus actually has a bot-grade
+    key, else the plain single-phase form. Returns ``(sessions,
+    profile)`` so the decision lands in the caller's run manifest.
+
+    Pass ``profile`` to reuse a measurement (yesterday's partition, a
+    sample, or a manifest's recorded ``key_profiles`` entry) instead of
+    paying the probe job per run.
+    """
+    from ..plans.manifest import key_profile
+
+    prof = profile if profile is not None else key_profile(events, "user_id")
+    out = (
+        sessionize_bucketed(events, gap=gap, bucket=bucket)
+        if prof.get("skewed")
+        else sessionize(events, gap=gap)
+    )
+    return out, prof

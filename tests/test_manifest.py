@@ -109,3 +109,69 @@ def test_instrumentation_adds_no_jobs(spark):
     # matters is that instrumentation launches no ADDITIONAL jobs (a
     # count() per counter would show up here as observed > bare)
     assert observed_jobs <= bare_jobs
+
+
+def test_key_profile_uniform_vs_hot(spark):
+    """key_profile flags a bot-grade key by AQE's 5x-ideal-partition
+    convention: the organic events key is not skewed; a corpus where one
+    user holds 40% of all rows is."""
+    uniform = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("ts")
+    )
+    prof = manifest.key_profile(uniform, "user_id")
+    assert prof["rows"] == 2000 and prof["keys"] == 100
+    assert prof["top_share"] == 0.01 and not prof["skewed"]
+
+    hot = uniform.union(
+        spark.range(0, 1333).select(F.lit(7).alias("user_id"), F.col("id"))
+    )
+    # at the deployment partition count (32): 1353 hot rows vs an ideal
+    # partition of 3333/32 ~ 104 rows -> ratio ~ 13x, clearly bot-grade
+    prof = manifest.key_profile(hot, "user_id", partitions=32)
+    assert prof["top_key"] == 7 and prof["top_rows"] == 1333 + 20
+    assert prof["skewed"] and prof["skew_ratio"] > manifest.SKEW_FACTOR
+    assert 12 < prof["skew_ratio"] < 14
+    # the threshold is parallelism-relative BY DESIGN: the same corpus
+    # on the test session's 4 shuffle partitions is NOT skewed (a 40%
+    # key is only ~1.6x a quarter-of-the-data partition)
+    assert not manifest.key_profile(hot, "user_id")["skewed"]
+
+
+def test_manifest_records_key_profiles(spark):
+    df = spark.range(100).select((F.col("id") % 10).alias("user_id"))
+    m = manifest.RunManifest("kp")
+    prof = m.profile_key(df, "user_id", "events_user")
+    assert not prof["skewed"]
+    rep = m.report()
+    assert rep["key_profiles"]["events_user"]["keys"] == 10
+    try:
+        m.profile_key(df, "user_id", "events_user")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_sessionize_auto_switches_on_measured_skew(spark):
+    """The auto form picks the plain plan on the organic corpus and the
+    bucketed twin on a forced-hot one — with identical output either
+    way (value parity of the twins is pinned in
+    test_streaming_sessions; here we pin the SWITCH)."""
+    from recon_spark.streaming import sessions
+
+    from recon_spark.sources.tpch import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    out, prof = sessions.sessionize_auto(ev)
+    assert not prof["skewed"]
+
+    hot = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 2 == 0, 3).otherwise(F.col("user_id"))
+    )
+    # profile at the deployment partition count, reused via the
+    # profile= fast path (no second probe job)
+    prof = manifest.key_profile(hot, "user_id", partitions=32)
+    out_hot, prof_hot = sessions.sessionize_auto(hot, profile=prof)
+    assert prof_hot["skewed"] and prof_hot["top_key"] == 3
+    # the switched plan is the bucketed twin: value-identical to plain
+    plain = sessions.sessionize(hot)
+    assert out_hot.exceptAll(plain).union(plain.exceptAll(out_hot)).isEmpty()
