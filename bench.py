@@ -76,6 +76,11 @@ HEADLINE = [
     # operator; this entry prices the WIRING — what a user actually runs
     # nightly — as one plan
     "corpus_build_e2e",
+    # SemDeDup (operators/semdedup.py, r9): the dominance-rule verdict
+    # table over the planted-copy embedding corpus with a scale-honest
+    # quantizer (k ~ n/500); graded at sf0.01 as the parity fold inside
+    # embedding_near_dup, priced here standalone at the bench SF
+    "semdedup_prune",
 ]
 
 
@@ -130,11 +135,25 @@ def _q_ngram_prefix(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(docs_aug(spark, sf_dir))
 
 
+def _q_semdedup(spark, sf_dir):
+    from recon_spark.operators import semdedup
+    from recon_spark.registry import emb_aug
+
+    aug = emb_aug(spark, sf_dir)
+    # scale-honest quantizer size: the paper holds CLUSTER SIZE constant
+    # (k ~ n / target), which is what bounds the within-cluster pairwise
+    # stage; the graded fold keeps k=8 only because the sf0.01 gate
+    # corpus is small and the oracle replays a fixed literal
+    k = max(semdedup.SEMDEDUP_K, aug.count() // 500)
+    return semdedup.semdedup_verdicts(aug, k=k)
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "ngram_jaccard_prefix": _q_ngram_prefix,
+    "semdedup_prune": _q_semdedup,
 }
 
 

@@ -439,14 +439,21 @@ def ivf_centroids_kmeans(
 
 
 def _assign_cells(
-    df: DataFrame, centroids: DataFrame, id_out: str, nprobe: int, norm_col: str
+    df: DataFrame,
+    centroids: DataFrame,
+    id_out: str,
+    nprobe: int,
+    norm_col: str,
+    score_out: str | None = None,
 ) -> DataFrame:
     """Rank cells per vector by centroid cosine (ties -> lower cell_id)
     and keep the best ``nprobe``. Centroids are config-cardinality (k
     rows) -> broadcast; the scored frame never shuffles the corpus.
     ``norm_col`` is the vector's precomputed norm — one fold per row
     instead of one per (row, centroid) pair; centroid norms likewise
-    staged once per centroid (float-identical to cosine())."""
+    staged once per centroid (float-identical to cosine()).
+    ``score_out`` optionally keeps the winning centroid cosine under
+    that name (semdedup's keep-order needs it; IVF drops it)."""
     cents = centroids.withColumn("__cn", norm(F.col("centroid")))
     denom = F.col(norm_col) * F.col("__cn")
     scored = df.join(F.broadcast(cents)).withColumn(
@@ -456,11 +463,12 @@ def _assign_cells(
     w = Window.partitionBy(id_out).orderBy(
         F.col("__cscore").desc_nulls_last(), F.col("cell_id").asc()
     )
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= nprobe)
-        .drop("centroid", "__cn", "__cscore", "__crank")
+    out = scored.withColumn("__crank", F.row_number().over(w)).filter(
+        F.col("__crank") <= nprobe
     )
+    if score_out is not None:
+        out = out.withColumn(score_out, F.col("__cscore"))
+    return out.drop("centroid", "__cn", "__cscore", "__crank")
 
 
 def ivf_topk(

@@ -600,14 +600,69 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, bucket FROM (
 
 ANN_LSH_SQL = _ann_sql((0, 7, 14, 21, 28, 35, 42, 49))
 
+#: SemDeDup verdict replay (operators/semdedup.py, dominance rule) —
+#: rides EMB_NEAR_DUP_SQL as a round-9 zero-slot parity fold. Same
+#: deterministic lowest-id quantizer as the IVF oracle; keep-order is
+#: (centroid cosine ASC NULLS LAST, vec_id) per the paper's
+#: low-centroid-similarity keep policy; an item is pruned iff any
+#: earlier-in-order cluster member is within SEMDEDUP_TAU.
+from ..operators import semdedup as _SD  # noqa: E402
+
+_SD_TAU = f"CAST({_SD.SEMDEDUP_TAU} AS DOUBLE)"
+
+SEMDEDUP_CTES = f"""sd_cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM emb_aug WHERE vec_id < {_SD.SEMDEDUP_K}
+),
+sd_assign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {cosine('e.embedding', 'c.centroid')} AS centroid_sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine('e.embedding', 'c.centroid')} DESC NULLS LAST, c.cell_id
+         ) AS arnk
+  FROM emb_aug e CROSS JOIN sd_cents c
+),
+sd_cells AS (
+  SELECT vec_id, embedding, cell_id, centroid_sim FROM sd_assign WHERE arnk = 1
+),
+sd_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cell_id ORDER BY centroid_sim ASC NULLS LAST, vec_id
+  ) AS rnk
+  FROM sd_cells
+),
+sd_dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM sd_ranked a JOIN sd_ranked b
+    ON a.cell_id = b.cell_id AND a.rnk < b.rnk
+  WHERE {cosine('a.embedding', 'b.embedding')} >= {_SD_TAU}
+),
+sd_verdicts AS (
+  SELECT r.vec_id, r.cell_id, r.rnk,
+         CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep_i
+  FROM sd_ranked r LEFT JOIN sd_dom d ON r.vec_id = d.vec_id
+),
+sd_parity AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE keep_i = 0) AS BIGINT) AS n_semdedup_pruned,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(vec_id AS VARCHAR) || '|' || CAST(cell_id AS VARCHAR) || '|' "
+             "|| CAST(rnk AS VARCHAR) || '|' || CAST(keep_i AS VARCHAR)"
+         )}), 0) AS BIGINT) AS semdedup_ck
+  FROM sd_verdicts
+)"""
+
 EMB_NEAR_DUP_SQL = f"""WITH {EMB_AUG_CTE},
 c AS (
   SELECT vec_id AS id, embedding AS vec,
          {sign_bucket('embedding', (0, 7, 14, 21, 28, 35, 42, 49))} AS bucket
   FROM emb_aug
-)
-SELECT a.id AS id_a, b.id AS id_b, {cosine('a.vec', 'b.vec')} AS score
+),
+{SEMDEDUP_CTES}
+SELECT a.id AS id_a, b.id AS id_b, {cosine('a.vec', 'b.vec')} AS score,
+       p.n_semdedup_pruned, p.semdedup_ck
 FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
+CROSS JOIN sd_parity p
 WHERE {cosine('a.vec', 'b.vec')} >= 0.95"""
 
 

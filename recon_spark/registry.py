@@ -1072,12 +1072,19 @@ def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def plant_embedding_copies(emb: DataFrame) -> DataFrame:
+    """Embeddings with planted exact copies (mirrors llm_sql.EMB_AUG_CTE
+    so the embedding queries are self-validating)."""
     copies = emb.filter(F.col("vec_id") % llm_sql.EMB_COPY_MOD == 0).select(
         (F.col("vec_id") + llm_sql.COPY_ID_OFFSET).alias("vec_id"), "embedding"
     )
     return emb.unionByName(copies)
+
+
+def emb_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return plant_embedding_copies(
+        _load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
 
 
 @register("text_stats", llm_sql.TEXT_STATS_SQL)
@@ -1534,7 +1541,44 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_near_dup_pairs(emb_aug(spark, sf_dir), threshold=0.95)
+    """LSH-bucketed embedding cosine near-dup pairs.
+
+    Round-9 fold: the SemDeDup verdict table (operators/semdedup.py —
+    cluster embeddings with the deterministic lowest-id quantizer, prune
+    within-cluster members within tau of an earlier-in-keep-order
+    member) is drive-graded at zero slot cost through two parity
+    columns on every pair row: ``n_semdedup_pruned`` and
+    ``semdedup_ck`` (32-bit-hash checksum over (vec_id, cell_id, rnk,
+    keep) quadruples). The DuckDB oracle recomputes BOTH from its own
+    assignment + dominance join, so Spark must reproduce the exact
+    cluster assignment, keep-order, and prune set — the planted exact
+    copies (cos == 1.0 with their source) guarantee the prune path is
+    exercised (20 pruned at sf0.001, one per copy)."""
+    return emb_near_dup_with_semdedup_parity(emb_aug(spark, sf_dir))
+
+
+def emb_near_dup_with_semdedup_parity(aug: DataFrame) -> DataFrame:
+    """Frame-level body of ``embedding_near_dup`` (shared with the
+    differential fuzz, which drives it over random planted corpora)."""
+    from .operators import semdedup as SD
+
+    out = similarity.cosine_near_dup_pairs(aug, threshold=0.95)
+    ranked = _stage_persist(SD.assign_with_rank(aug))
+    verdicts = SD.semdedup_verdicts(aug, ranked=ranked)
+    ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("vec_id").cast("string"),
+            F.col("cell_id").cast("string"),
+            F.col("rnk").cast("string"),
+            F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")),
+        )
+    )
+    parity = verdicts.agg(
+        F.count_if(~F.col("keep")).cast("long").alias("n_semdedup_pruned"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("semdedup_ck"),
+    )
+    return out.crossJoin(F.broadcast(parity))
 
 
 @register("multimodal_features", llm_sql.MULTIMODAL_FEATURES_SQL)
