@@ -81,6 +81,10 @@ HEADLINE = [
     # quantizer (k ~ n/500); graded at sf0.01 as the parity fold inside
     # embedding_near_dup, priced here standalone at the bench SF
     "semdedup_prune",
+    # C4-style cross-doc duplicate-span removal incl. the per-document
+    # rebuild (operators/spans.py, r9); graded at sf0.01 as the parity
+    # fold inside text_chunk_documents
+    "span_dedup_rebuild",
 ]
 
 
@@ -135,6 +139,13 @@ def _q_ngram_prefix(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(docs_aug(spark, sf_dir))
 
 
+def _q_span_dedup(spark, sf_dir):
+    from recon_spark.operators import spans
+    from recon_spark.registry import docs_aug
+
+    return spans.span_dedup(docs_aug(spark, sf_dir))
+
+
 def _q_semdedup(spark, sf_dir):
     from recon_spark.operators import semdedup
     from recon_spark.registry import emb_aug
@@ -154,6 +165,7 @@ EXTRA_QUERIES = {
     "corpus_build_e2e": _q_corpus_build,
     "ngram_jaccard_prefix": _q_ngram_prefix,
     "semdedup_prune": _q_semdedup,
+    "span_dedup_rebuild": _q_span_dedup,
 }
 
 

@@ -1,0 +1,167 @@
+"""Cross-document duplicate-span removal (C4-style boilerplate dedup).
+
+Public-literature operator: C4 (Raffel et al. 2020, *Exploring the
+Limits of Transfer Learning*, §2.2) discards "all but one of any
+three-sentence span occurring more than once in the data set"; Dolma
+and RefinedWeb apply the same idea at paragraph granularity. The unit
+here is a NON-OVERLAPPING k-token window (the fixture corpus has no
+newline/sentence structure, and token windows are the
+punctuation-independent generalization): every window whose text
+occurs in more than one place in the corpus is removed everywhere
+except its global first occurrence, ordered by (doc_id, window
+position). Trailing tokens short of a full window are never hashed and
+always survive.
+
+This is CROSS-document and SUB-document — different axis from every
+other dedup in the family: exact/MinHash/SimHash/semdedup give per-DOC
+verdicts; the contamination scan flags docs against a benchmark set;
+this one edits documents in place, which is what kills boilerplate
+(headers, license blocks, navigation chrome) that whole-doc near-dup
+can never touch because the surrounding text differs.
+
+Scale shape (100 TB): one shuffle keyed by the span hash (count +
+first-occurrence rank — identical cost profile to exact_dedup), one
+join back on (doc_id, pos), and a per-document rebuild keyed by doc_id.
+Per-task memory is bounded by one document's window list (collect_list
+per doc), never the corpus. The hot-key risk is a boilerplate span
+occurring millions of times: the rank window over one span hash is a
+single reducer for that key — AQE cannot split a window — so the
+verdict join uses count + min-position instead of row_number when
+``hot_safe`` (two map-side-combinable aggregations, no per-key
+ordering; value-identical, asserted in tests).
+
+Reference parity: no reference counterpart — beyond-reference
+LLM-pipeline surface (brief: "Deduplication ... each as a queries()
+entry with an oracle on the documents table").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+#: default window width (tokens); 8 keeps multi-window docs common on
+#: the 10-100-token fixture documents
+SPAN_TOKENS = 8
+
+
+def _span_strings(toks: Column, k: int) -> Column:
+    """Array of the doc's non-overlapping full-window texts (token-joined
+    with single spaces). ``toks`` must be a plain column reference."""
+    nwin = F.floor(F.size(toks) / k).cast("int")
+    idx = F.when(nwin > 0, F.sequence(F.lit(0), nwin - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), " ")
+    )
+
+
+def token_spans(
+    docs: DataFrame,
+    k: int = SPAN_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, span) — one row per non-overlapping full k-token
+    window; docs shorter than ``k`` tokens produce no rows."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+    )
+    return staged.select(
+        "doc_id",
+        F.posexplode(_span_strings(F.col("__toks"), k)).alias("pos", "span"),
+    )
+
+
+def span_dedup_verdicts(
+    docs: DataFrame,
+    k: int = SPAN_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_safe: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, span, keep): ``keep`` is true iff this occurrence is
+    the corpus-wide FIRST (lowest doc_id, then lowest pos) of its span
+    text. Unique spans are trivially first -> kept.
+
+    ``hot_safe=True`` (default) computes first-occurrence via a grouped
+    (min doc_id, min pos within that doc) aggregation — two map-side
+    combining shuffles, no per-key ordered window, so a span occurring
+    millions of times cannot serialize into one reducer.
+    ``hot_safe=False`` is the textbook row_number form (kept because it
+    is the obvious formulation; value-identical, asserted in tests).
+    """
+    spans = token_spans(docs, k, id_col, text_col)
+    if not hot_safe:
+        w = Window.partitionBy("span").orderBy("doc_id", "pos")
+        return spans.withColumn(
+            "keep", F.row_number().over(w) == 1
+        )
+    first = spans.groupBy("span").agg(
+        F.min_by(F.struct("doc_id", "pos"), F.struct("doc_id", "pos")).alias("__f")
+    )
+    return spans.join(first, "span").select(
+        "doc_id",
+        "pos",
+        "span",
+        (
+            (F.col("doc_id") == F.col("__f.doc_id"))
+            & (F.col("pos") == F.col("__f.pos"))
+        ).alias("keep"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cleaned corpus: (doc_id, n_spans, n_removed, clean_text) — one row
+    per non-null-text document. ``clean_text`` is the token-normalized
+    document with every non-first duplicate window removed and the
+    trailing partial window preserved (whitespace is normalized to
+    single spaces by construction: tokens are the unit of editing)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.tokens(text_col).alias("__toks"),
+    ).filter(F.col("__toks").isNotNull())
+    verdicts = span_dedup_verdicts(docs, k, id_col, text_col)
+    per_doc = verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_if(~F.col("keep")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "span"))
+                    )
+                ),
+                lambda s: s.getField("span"),
+            ),
+            " ",
+        ).alias("__kept"),
+    )
+    nwin = F.floor(F.size("__toks") / k).cast("int")
+    remainder = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            nwin * k + 1,
+            F.greatest(F.size("__toks") - nwin * k, F.lit(0)),
+        ),
+        " ",
+    )
+    return (
+        staged.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.trim(
+                F.concat_ws(" ", F.coalesce(F.col("__kept"), F.lit("")), remainder)
+            ).alias("clean_text"),
+        )
+    )

@@ -928,6 +928,63 @@ CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
+#: Cross-document duplicate-SPAN removal replay (operators/spans.py,
+#: C4-style boilerplate dedup at token-window granularity) — rides
+#: CHUNK_DOCS_SQL as a round-9 zero-slot parity fold over docs_aug (the
+#: planted copies guarantee cross-doc duplicate spans). Three parity
+#: values: removed-occurrence count, a checksum over the full verdict
+#: table (doc_id, pos, keep, span text — so tokenization and
+#: first-occurrence order must match exactly), and a checksum over the
+#: REBUILT cleaned corpus (doc_id, clean_text).
+from ..operators import spans as _SP  # noqa: E402
+
+_SPK = _SP.SPAN_TOKENS
+
+SPAN_DEDUP_CTES = f"""sp_base AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM docs_aug WHERE text IS NOT NULL
+),
+sp_idx AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks) // {_SPK})) AS i FROM sp_base
+),
+sp_spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(toks, i * {_SPK} + 1, (i + 1) * {_SPK}), ' ') AS span
+  FROM sp_idx
+),
+sp_rn AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM sp_spans
+),
+sp_verdicts AS (
+  SELECT doc_id, pos, span, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep_i FROM sp_rn
+),
+sp_per_doc AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep_i = 1 THEN span END, ' ' ORDER BY pos) AS kept
+  FROM sp_verdicts GROUP BY doc_id
+),
+sp_clean AS (
+  SELECT b.doc_id,
+         trim(concat_ws(' ', COALESCE(k.kept, ''),
+           COALESCE(array_to_string(
+             list_slice(b.toks, (len(b.toks) // {_SPK}) * {_SPK} + 1, len(b.toks)),
+             ' '), ''))) AS clean_text
+  FROM sp_base b LEFT JOIN sp_per_doc k USING (doc_id)
+),
+sp_parity AS (
+  SELECT
+    (SELECT CAST(COALESCE(SUM(1 - keep_i), 0) AS BIGINT) FROM sp_verdicts)
+      AS n_span_removed,
+    (SELECT CAST(COALESCE(SUM({hash32(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR) || '|' "
+        "|| CAST(keep_i AS VARCHAR) || '|' || span"
+    )}), 0) AS BIGINT) FROM sp_verdicts) AS span_verdict_ck,
+    (SELECT CAST(COALESCE(SUM({hash32(
+        "CAST(doc_id AS VARCHAR) || '|' || clean_text"
+    )}), 0) AS BIGINT) FROM sp_clean) AS span_clean_ck
+)"""
+
 CHUNK_DOCS_SQL = f"""WITH t AS (
   SELECT doc_id, {tokens('text')} AS toks FROM documents
 ),
@@ -938,14 +995,17 @@ starts AS (
   SELECT doc_id, toks, n,
     unnest(range(0, greatest(n - {CHUNK_OVERLAP} - 1, 0) + 1, {_CHUNK_STRIDE})) AS tok_start
   FROM nz
-)
+),
+{DOCS_AUG_CTE},
+{SPAN_DEDUP_CTES}
 SELECT doc_id,
   CAST(tok_start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
   CAST(tok_start AS BIGINT) AS tok_start,
   CAST(tok_start + least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS tok_end,
   CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_tokens,
-  array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text
-FROM starts"""
+  array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text,
+  p.n_span_removed, p.span_verdict_ck, p.span_clean_ck
+FROM starts CROSS JOIN sp_parity p"""
 
 
 # --- streaming ingestion gate replay (graded fold, VERDICT r8 #6) ------------

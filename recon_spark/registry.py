@@ -1350,10 +1350,51 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_documents — driver-graded since round 6; pytest-only before).
     64-token windows with 16-token overlap so the sf0.01 corpus
     produces multi-chunk documents; pure posexplode column algebra,
-    no shuffle."""
+    no shuffle.
+
+    Round-9 fold: C4-style cross-document duplicate-SPAN removal
+    (operators/spans.py) is drive-graded at zero slot cost through
+    three parity columns on every chunk row: ``n_span_removed``,
+    ``span_verdict_ck`` (checksum over the (doc_id, pos, keep, span
+    text) verdict table) and ``span_clean_ck`` (checksum over the
+    REBUILT cleaned corpus). The DuckDB oracle recomputes all three
+    from its own span explode + first-occurrence window + string_agg
+    rebuild over docs_aug, so Spark must reproduce the exact span
+    partition, the global first-occurrence order, AND the per-document
+    reassembly."""
     docs = _load_table(spark, sf_dir, "documents")
-    return T.chunk_documents(docs, chunk_tokens=llm_sql.CHUNK_TOKENS,
-                             overlap=llm_sql.CHUNK_OVERLAP)
+    return chunk_docs_with_span_parity(docs, docs_aug(spark, sf_dir))
+
+
+def chunk_docs_with_span_parity(docs: DataFrame, aug: DataFrame) -> DataFrame:
+    """Frame-level body of ``text_chunk_documents`` (shared with the
+    differential fuzz, which drives it over random planted corpora)."""
+    from .operators import spans as SP
+
+    out = T.chunk_documents(docs, chunk_tokens=llm_sql.CHUNK_TOKENS,
+                            overlap=llm_sql.CHUNK_OVERLAP)
+    verdicts = SP.span_dedup_verdicts(aug)
+    v_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("pos").cast("string"),
+            F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")),
+            F.col("span"),
+        )
+    )
+    p1 = verdicts.agg(
+        F.count_if(~F.col("keep")).cast("long").alias("n_span_removed"),
+        F.coalesce(F.sum(v_ck), F.lit(0)).cast("long").alias("span_verdict_ck"),
+    )
+    clean = SP.span_dedup(aug)
+    c_ck = DD._hash32(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("clean_text"))
+    )
+    p2 = clean.agg(
+        F.coalesce(F.sum(c_ck), F.lit(0)).cast("long").alias("span_clean_ck")
+    )
+    return out.crossJoin(F.broadcast(p1)).crossJoin(F.broadcast(p2))
 
 
 @register("dedup_exact_documents", llm_sql.DEDUP_EXACT_SQL)
