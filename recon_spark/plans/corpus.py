@@ -31,6 +31,7 @@ def build_training_corpus(
     near_dup_threshold: float = 0.5,
     perplexity_keep: float | None = None,
     perplexity_ref: DataFrame | None = None,
+    boilerplate_spans: int | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -39,6 +40,15 @@ def build_training_corpus(
     when ``perplexity_keep`` is set — documents above the corpus's
     ``perplexity_keep`` perplexity quantile against ``perplexity_ref``
     (default: the deduped corpus itself, CCNet-style self-reference).
+
+    ``boilerplate_spans`` (round 9) prepends the C4-style cross-document
+    duplicate-span removal (operators/spans.py) at that window width as
+    the FIRST stage, so every downstream signal — quality flags,
+    fingerprints, shingles, perplexity — sees the boilerplate-free text
+    (a repeated license block would otherwise both mask a doc's real
+    quality and create spurious near-dup pairs). NOTE: the stage edits
+    text, so document fingerprints downstream are fingerprints of the
+    CLEANED text by construction.
     NOTE: the perplexity stage runs the threshold percentile eagerly
     (one driver action over the scored frame); every other stage stays
     lazy.
@@ -68,6 +78,15 @@ def build_training_corpus(
     # per-core CPU, which is what binds on a real cluster scan, and the
     # text_stats trim (same technique, map-dominated query) measured
     # 8.2 -> 6.1s — so the shape is kept with the cache cost named.
+    if boilerplate_spans is not None:
+        from ..operators import spans as SP
+
+        docs = SP.span_dedup(
+            docs, k=boilerplate_spans, id_col=id_col, text_col=text_col
+        ).select(
+            F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
+        )
+
     toks = F.col("__toks")
     flags = T.quality_flags_from(
         F.size(toks).cast("long"),

@@ -1340,8 +1340,46 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per document (operators/text.py):
     corpus tokenized once into a persisted tf aggregate; df and N derive
-    from it (vocab-sized broadcast + 1-row broadcast)."""
-    return T.tfidf_top_terms(_load_table(spark, sf_dir, "documents"))
+    from it (vocab-sized broadcast + 1-row broadcast).
+
+    Round-9 fold: the Gopher n-gram repetition battery's INTEGER
+    substrate (operators/repetition.py — top-{2,3,4}-gram and
+    duplicate-{5..10}-gram character sums) rides as two parity columns
+    (``n_rep_rows``, ``rep_ck``); the oracle recomputes the full
+    (doc, n) substrate from its own gram explode, so tokenization,
+    tie-break order and every count/char sum must match. Hosted here
+    (graded, unbenched) rather than on the benched text_stats row; the
+    battery's wall time is priced standalone in bench.py."""
+    return tfidf_with_repetition_parity(_load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
+    """Frame-level body of ``text_tfidf_top_terms`` (shared with the
+    differential fuzz)."""
+    from .operators import repetition as REP
+
+    out = T.tfidf_top_terms(docs)
+    # the gram explode inherits input partitioning: a single-split local
+    # parquet would run the whole fan-out in one task (measured 23s vs
+    # 4.4s at sf0.1) — at cluster scale the input arrives pre-split
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    rep = REP.repetition_ngram_substrate(spread)
+    rep_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("n").cast("string"),
+            F.col("top_cnt").cast("string"),
+            F.col("top_chars").cast("string"),
+            F.col("dup_chars").cast("string"),
+            F.col("total_chars").cast("string"),
+        )
+    )
+    rep_parity = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rep_rows"),
+        F.coalesce(F.sum(rep_ck), F.lit(0)).cast("long").alias("rep_ck"),
+    )
+    return out.crossJoin(F.broadcast(rep_parity))
 
 
 @register("text_chunk_documents", llm_sql.CHUNK_DOCS_SQL)

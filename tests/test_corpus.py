@@ -96,3 +96,35 @@ def test_corpus_perplexity_stage_drops_expected_fraction(spark):
          .select("doc_id").collect()}
     b = {r.doc_id for r in build_training_corpus(docs).select("doc_id").collect()}
     assert a <= b
+
+
+def test_boilerplate_span_stage_dedups_through_pipeline(spark):
+    """With boilerplate_spans on, a shared 8-token license block is
+    removed from every occurrence but the first BEFORE quality scoring
+    and fingerprinting — changing which documents survive the pipeline
+    in a way whole-doc dedup cannot (no two raw texts are equal)."""
+    license8 = "licensed under the apache license version two zero"  # 8 toks
+    body_a = "alpha beta gamma delta epsilon zeta eta theta"         # 8 toks
+    body_b = "one two three four five six seven eight"               # 8 toks
+    rows = [
+        (1, f"{license8} {body_a}"),
+        (2, f"{license8} {body_b}"),
+        (3, body_b),
+        (4, "other content entirely different from everything else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base_ids = {r.doc_id for r in corpus.build_training_corpus(docs, budget=64).collect()}
+    spark.catalog.clearCache()
+    stage_ids = {
+        r.doc_id
+        for r in corpus.build_training_corpus(
+            docs, budget=64, boilerplate_spans=8
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    # without the stage no raw texts collide: everything survives
+    assert base_ids == {1, 2, 3, 4}
+    # with it: doc 2 loses the license block (doc 1 keeps the first
+    # occurrence); doc 3 loses body_b (doc 2 pos 1 is its first
+    # occurrence), goes empty, and the quality gate drops it
+    assert stage_ids == {1, 2, 4}
