@@ -531,6 +531,16 @@ def ivf_topk(
     )
 
 
+def _pq_candidates(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    from . import pq as _pq
+
+    return _pq.pq_topk(corpus, queries, k, id_col, vec_col).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id"
+    )
+
+
 def ann_recall(
     corpus: DataFrame,
     queries: DataFrame,
@@ -569,6 +579,14 @@ def ann_recall(
             ivf_topk(corpus, queries, k, id_col, vec_col).select(
                 F.lit("ivf").alias("method"), "query_id", "neighbor_id"
             )
+        )
+        .unionByName(
+            # 'pq' (round 9) grades the product-quantization ADC index
+            # with the deterministic lowest-id codebooks (operators/pq.py)
+            # — the compression half of a FAISS IVF-PQ, so the whole
+            # index family (hash buckets, coarse cells, code compression)
+            # carries a driver-graded recall number
+            _pq_candidates(corpus, queries, k, id_col, vec_col)
         )
         .unionByName(
             brute_force_topk_blas(corpus, queries, k, id_col, vec_col).select(

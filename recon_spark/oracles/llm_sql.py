@@ -885,6 +885,87 @@ FROM (
 #: brute-force truth set, truth-set size, and the recall ratio. Reuses
 #: the topk oracles verbatim as subqueries so the graded number is
 #: derived from already-graded components.
+# --- product-quantization ANN oracle -----------------------------------------
+
+from ..operators import pq as _PQ  # noqa: E402
+
+_PQ_SUB = 64 // _PQ.PQ_M  # fixture embeddings are 64-dim
+
+
+def _pq_subvec(src: str, m: int) -> str:
+    return (
+        f"list_transform({src}[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}],"
+        f" x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _pq_l2sq(a: str, b: str) -> str:
+    sq = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
+    return f"coalesce(list_reduce({sq}, (x, y) -> x + y), 0.0)"
+
+
+_PQ_CB_BRANCHES = "\n  UNION ALL\n".join(
+    f"""  SELECT {m} AS m, CAST(vec_id AS INT) AS code,
+    {_pq_subvec('embedding', m)} AS codeword
+  FROM embeddings WHERE vec_id < {_PQ.PQ_K}"""
+    for m in range(_PQ.PQ_M)
+)
+
+_PQ_SUBS_BRANCHES = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id AS id, {m} AS m, {_pq_subvec('embedding', m)} AS sub"
+    " FROM embeddings"
+    for m in range(_PQ.PQ_M)
+)
+
+#: pinned ADC addition order: one single-row SUM per subspace, then a
+#: left-to-right m=0..M-1 add — mirrors operators/pq.py's pq_topk
+_PQ_PER_M = ",\n         ".join(
+    f"SUM(CASE WHEN m = {m} THEN partial END) AS p{m}" for m in range(_PQ.PQ_M)
+)
+_PQ_SCORE = " + ".join(f"p{m}" for m in range(_PQ.PQ_M))
+_PQ_SCORE = _PQ_SCORE.replace("p0 + p1", "(p0 + p1)", 1)
+
+PQ_ANN_SQL = f"""WITH pq_cb AS (
+{_PQ_CB_BRANCHES}
+),
+pq_subs AS (
+{_PQ_SUBS_BRANCHES}
+),
+pq_enc AS (
+  SELECT id, m, code FROM (
+    SELECT s.id, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY s.id, s.m
+             ORDER BY {_pq_l2sq('s.sub', 'c.codeword')} ASC NULLS LAST, c.code
+           ) AS rn
+    FROM pq_subs s JOIN pq_cb c USING (m)
+  ) WHERE rn = 1
+),
+pq_lut AS (
+  SELECT s.id AS query_id, s.m, c.code, {dot('s.sub', 'c.codeword')} AS partial
+  FROM pq_subs s JOIN pq_cb c USING (m)
+  WHERE s.id < 5
+),
+pq_scored AS (
+  SELECT l.query_id, e.id AS neighbor_id,
+         {_PQ_PER_M}
+  FROM pq_enc e JOIN pq_lut l USING (m, code)
+  WHERE e.id <> l.query_id
+  GROUP BY l.query_id, e.id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT query_id, neighbor_id, ({_PQ_SCORE}) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_PQ_SCORE}) DESC NULLS LAST, neighbor_id
+         ) AS rank
+  FROM pq_scored
+) WHERE rank <= 10"""
+
+
 ANN_RECALL_SQL = f"""WITH truth AS (
   SELECT query_id, neighbor_id FROM ({TOPK_BRUTE_SQL})
 ),
@@ -894,6 +975,8 @@ cand AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM ({ANN_LSH_MP_SQL})
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id FROM ({IVF_ANN_SQL})
+  UNION ALL
+  SELECT 'pq' AS method, query_id, neighbor_id FROM ({PQ_ANN_SQL})
   UNION ALL
   -- the Spark side runs the Arrow/BLAS matmul twin here; the oracle is
   -- the exact top-k, so the row grades green only if BLAS ranks

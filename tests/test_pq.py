@@ -1,0 +1,100 @@
+"""Product quantization (operators/pq.py): encode semantics, trained
+codebooks, geometry validation, and a seeded differential fuzz of the
+ADC top-k against the verbatim DuckDB oracle SQL (the 'pq' method row
+graded inside similarity_recall)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators import pq, similarity
+from recon_spark.oracles import llm_sql
+
+
+def _emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+
+def test_encode_one_code_per_subspace_and_seed_self_assignment(spark):
+    emb = _emb(spark)
+    codes = pq.pq_encode(emb).collect()
+    per = {}
+    for r in codes:
+        assert 0 <= r.code < pq.PQ_K
+        per.setdefault(r.id, set()).add(r.m)
+    n = emb.count()
+    assert len(per) == n
+    assert all(ms == set(range(pq.PQ_M)) for ms in per.values())
+    # a codebook seed vector's subvectors are distance-0 from their own
+    # codeword -> every seed encodes to its own id in every subspace
+    for r in codes:
+        if r.id < pq.PQ_K:
+            assert r.code == r.id, (r.id, r.m, r.code)
+
+
+def test_dim_must_divide(spark):
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 63)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_encode(bad)
+
+
+def test_trained_codebooks_beat_or_match_deterministic(spark):
+    """KMeans-per-subspace codebooks (production path) on held-out
+    queries: recall@10 vs brute force must be >= the lowest-id pick's
+    (same discipline as the IVF trained-vs-id test)."""
+    emb = _emb(spark)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    truth = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall(codebooks):
+        got = pq.pq_topk(emb, queries, k=10, codebooks=codebooks).select(
+            "query_id", "neighbor_id"
+        )
+        return got.join(truth, ["query_id", "neighbor_id"]).count()
+
+    det = recall(pq.pq_codebooks(emb))
+    trained = recall(pq.pq_codebooks_kmeans(emb, max_iter=5))
+    assert trained >= det, (trained, det)
+
+
+def _oracle(rows, sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    out = con.sql(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_pq_topk_differential_fuzz(spark):
+    """Random float32-exact 64-dim corpora through pq_topk (deterministic
+    codebooks, the graded composition) vs the VERBATIM PQ_ANN_SQL —
+    codebook build, encoding argmin, pinned-order ADC sum and ranking
+    must all agree."""
+    rnd = random.Random(0x5EEDE)
+    for _trial in range(3):
+        rows = [
+            (i, [rnd.randrange(-128, 129) / 128 for _ in range(64)])
+            for i in range(50)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.score, 9))
+            for r in pq.pq_topk(emb, emb.filter(F.col("vec_id") < 5)).collect()
+        )
+        spark.catalog.clearCache()
+        want = sorted(
+            (q, n, rk, round(s, 9))
+            for q, n, rk, s in _oracle(rows, llm_sql.PQ_ANN_SQL)
+        )
+        assert got == want
