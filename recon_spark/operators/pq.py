@@ -180,10 +180,16 @@ def pq_topk(
     n_sub: int = PQ_M,
     n_codes: int = PQ_K,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, rank, score) where ``score`` is
     the PQ-approximated inner product (sum of per-subspace LUT entries).
     Ranking ties -> lower neighbor_id, same convention as the exact path.
+
+    ``codes`` accepts a pre-encoded (id, m, code) frame so a caller
+    scoring several PQ variants (ann_recall runs pq AND ivfpq) hands
+    both the IDENTICAL encode plan — Spark's exchange reuse then
+    materializes the encode shuffle once.
     """
     sub_dim = _infer_sub_dim(corpus, vec_col, n_sub)
     cb = (
@@ -191,7 +197,8 @@ def pq_topk(
         if codebooks is not None
         else pq_codebooks(corpus, id_col, vec_col, n_sub, n_codes, sub_dim)
     )
-    codes = pq_encode(corpus, cb, id_col, vec_col, n_sub, n_codes)
+    if codes is None:
+        codes = pq_encode(corpus, cb, id_col, vec_col, n_sub, n_codes)
     q_subs = _explode_subvecs(queries, "query_id", id_col, vec_col, n_sub, sub_dim)
     lut = q_subs.join(F.broadcast(cb), "m").select(
         "query_id",
@@ -226,4 +233,90 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the FAISS scale composition: corpus vectors live in their
+    nearest coarse cell (similarity.ivf_centroids quantizer) AND are
+    stored as PQ codes; queries probe their ``nprobe`` nearest cells and
+    ADC-score ONLY the codes inside probed cells. Candidate volume
+    shrinks by the cell fan-out exactly as in :func:`similarity.ivf_topk`
+    while per-candidate cost drops from a 64-dim float dot to M table
+    lookups — the combination that makes billion-vector indexes fit.
+
+    Same deterministic defaults as both halves, so a SQL oracle can
+    replay the whole composition; pass trained ``centroids`` /
+    ``codebooks`` for the production path."""
+    from .similarity import IVF_K, IVF_NPROBE, _assign_cells, ivf_centroids, norm
+
+    n_cells = n_cells or IVF_K
+    nprobe = nprobe or IVF_NPROBE
+    sub_dim = _infer_sub_dim(corpus, vec_col, n_sub)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, n_cells)
+    )
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(corpus, id_col, vec_col, n_sub, n_codes, sub_dim)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    c_cells = _assign_cells(c, cents, "id", 1, "__n").select("id", "cell_id")
+    q_cells = _assign_cells(q, cents, "query_id", nprobe, "__qn").select(
+        "query_id", "cell_id"
+    )
+    if codes is None:
+        codes = pq_encode(corpus, cb, id_col, vec_col, n_sub, n_codes)
+    codes = codes.join(c_cells, "id")
+    q_subs = _explode_subvecs(queries, "query_id", id_col, vec_col, n_sub, sub_dim)
+    lut = q_subs.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot(F.col("sub"), F.col("codeword")).alias("partial")
+    )
+    per_m = [
+        F.sum(F.when(F.col("m") == m, F.col("partial"))).alias(f"__p{m}")
+        for m in range(n_sub)
+    ]
+    score = F.col("__p0")
+    for m in range(1, n_sub):
+        score = score + F.col(f"__p{m}")
+    scored = (
+        codes.join(q_cells, "cell_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"), "cell_id")
+        .agg(*per_m)
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score", "cell_id")
     )

@@ -531,14 +531,33 @@ def ivf_topk(
     )
 
 
+def _pq_shared(corpus: DataFrame, id_col: str, vec_col: str):
+    """One codebook + one encode plan shared by the pq and ivfpq recall
+    rows — identical subplans let Spark's exchange reuse materialize the
+    encode shuffle once across the union branches."""
+    from . import pq as _pq
+
+    cb = _pq.pq_codebooks(corpus, id_col, vec_col)
+    codes = _pq.pq_encode(corpus, cb, id_col, vec_col)
+    return _pq, cb, codes
+
+
 def _pq_candidates(
     corpus: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    from . import pq as _pq
+    _pq, cb, codes = _pq_shared(corpus, id_col, vec_col)
+    return _pq.pq_topk(
+        corpus, queries, k, id_col, vec_col, codebooks=cb, codes=codes
+    ).select(F.lit("pq").alias("method"), "query_id", "neighbor_id")
 
-    return _pq.pq_topk(corpus, queries, k, id_col, vec_col).select(
-        F.lit("pq").alias("method"), "query_id", "neighbor_id"
-    )
+
+def _ivfpq_candidates(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    _pq, cb, codes = _pq_shared(corpus, id_col, vec_col)
+    return _pq.ivfpq_topk(
+        corpus, queries, k, id_col, vec_col, codebooks=cb, codes=codes
+    ).select(F.lit("ivfpq").alias("method"), "query_id", "neighbor_id")
 
 
 def ann_recall(
@@ -587,6 +606,11 @@ def ann_recall(
             # index family (hash buckets, coarse cells, code compression)
             # carries a driver-graded recall number
             _pq_candidates(corpus, queries, k, id_col, vec_col)
+        )
+        .unionByName(
+            # 'ivfpq' grades the full FAISS-style composition: coarse
+            # cell routing + in-cell ADC over PQ codes
+            _ivfpq_candidates(corpus, queries, k, id_col, vec_col)
         )
         .unionByName(
             brute_force_topk_blas(corpus, queries, k, id_col, vec_col).select(

@@ -966,6 +966,74 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
 ) WHERE rank <= 10"""
 
 
+#: IVF-PQ composition oracle: the IVF oracle's cell routing + the PQ
+#: oracle's codebooks/encode/LUT, ADC-scored only inside probed cells.
+IVFPQ_ANN_SQL = f"""WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < {S.IVF_K}
+),
+c_assign AS (
+  SELECT e.vec_id AS id, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine('e.embedding', 'c.centroid')} DESC NULLS LAST, c.cell_id
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+c_cells AS (SELECT id, cell_id FROM c_assign WHERE rnk = 1),
+q_assign AS (
+  SELECT e.vec_id AS query_id, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine('e.embedding', 'c.centroid')} DESC NULLS LAST, c.cell_id
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 5
+),
+q_cells AS (SELECT query_id, cell_id FROM q_assign WHERE rnk <= {S.IVF_NPROBE}),
+pq_cb AS (
+{_PQ_CB_BRANCHES}
+),
+pq_subs AS (
+{_PQ_SUBS_BRANCHES}
+),
+pq_enc AS (
+  SELECT id, m, code FROM (
+    SELECT s.id, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY s.id, s.m
+             ORDER BY {_pq_l2sq('s.sub', 'c.codeword')} ASC NULLS LAST, c.code
+           ) AS rn
+    FROM pq_subs s JOIN pq_cb c USING (m)
+  ) WHERE rn = 1
+),
+pq_lut AS (
+  SELECT s.id AS query_id, s.m, c.code, {dot('s.sub', 'c.codeword')} AS partial
+  FROM pq_subs s JOIN pq_cb c USING (m)
+  WHERE s.id < 5
+),
+pq_scored AS (
+  SELECT query_id, neighbor_id, cell_id,
+         {_PQ_PER_M}
+  FROM (
+    SELECT q.query_id, e.id AS neighbor_id, q.cell_id, e.m AS m, l.partial
+    FROM pq_enc e
+    JOIN c_cells cc ON e.id = cc.id
+    JOIN q_cells q ON cc.cell_id = q.cell_id AND e.id <> q.query_id
+    JOIN pq_lut l ON l.query_id = q.query_id AND l.m = e.m AND l.code = e.code
+  )
+  GROUP BY query_id, neighbor_id, cell_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, cell_id FROM (
+  SELECT query_id, neighbor_id, cell_id, ({_PQ_SCORE}) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_PQ_SCORE}) DESC NULLS LAST, neighbor_id
+         ) AS rank
+  FROM pq_scored
+) WHERE rank <= 10"""
+
+
 ANN_RECALL_SQL = f"""WITH truth AS (
   SELECT query_id, neighbor_id FROM ({TOPK_BRUTE_SQL})
 ),
@@ -977,6 +1045,8 @@ cand AS (
   SELECT 'ivf' AS method, query_id, neighbor_id FROM ({IVF_ANN_SQL})
   UNION ALL
   SELECT 'pq' AS method, query_id, neighbor_id FROM ({PQ_ANN_SQL})
+  UNION ALL
+  SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ({IVFPQ_ANN_SQL})
   UNION ALL
   -- the Spark side runs the Arrow/BLAS matmul twin here; the oracle is
   -- the exact top-k, so the row grades green only if BLAS ranks

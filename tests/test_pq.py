@@ -98,3 +98,49 @@ def test_pq_topk_differential_fuzz(spark):
             for q, n, rk, s in _oracle(rows, llm_sql.PQ_ANN_SQL)
         )
         assert got == want
+
+
+def test_ivfpq_topk_differential_fuzz(spark):
+    """The full IVF-PQ composition (cell routing + in-cell ADC) vs the
+    VERBATIM IVFPQ_ANN_SQL over random float32-exact corpora."""
+    rnd = random.Random(0x5EEDF)
+    for _trial in range(2):
+        rows = [
+            (i, [rnd.randrange(-128, 129) / 128 for _ in range(64)])
+            for i in range(50)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.score, 9), r.cell_id)
+            for r in pq.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5)).collect()
+        )
+        spark.catalog.clearCache()
+        want = sorted(
+            (q, n, rk, round(s, 9), c)
+            for q, n, rk, s, c in _oracle(rows, llm_sql.IVFPQ_ANN_SQL)
+        )
+        assert got == want
+
+
+def test_ivfpq_candidates_live_in_probed_cells(spark):
+    """Every returned neighbor's cell must be one the query probed —
+    the structural property that gives IVF-PQ its cost model."""
+    from recon_spark.operators.similarity import (
+        IVF_NPROBE, _assign_cells, ivf_centroids, norm,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pq.ivfpq_topk(emb, q, k=10)
+    cents = ivf_centroids(emb)
+    qn = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__vec"),
+        norm(F.col("embedding")).alias("__qn"),
+    )
+    probed = {
+        (r.query_id, r.cell_id)
+        for r in _assign_cells(qn, cents, "query_id", IVF_NPROBE, "__qn").collect()
+    }
+    for r in out.collect():
+        assert (r.query_id, r.cell_id) in probed
