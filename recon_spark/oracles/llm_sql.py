@@ -601,6 +601,81 @@ SELECT id_a, id_b, hamming FROM sim_pairs"""
 #: 32-bit-hash checksum over (id_a, id_b, hamming) triples from its own
 #: banded join, so the Spark pair join must reproduce the exact pair set
 #: AND every Hamming distance for the hash to stay green.
+#: Bloom-filter membership replay (operators/bloom.py) — rides
+#: DEDUP_EXACT_SQL as a round-9 zero-slot parity fold: the filter is
+#: built on the TRAIN hash-split's fingerprints (the same md5 coin
+#: data_pack_sequences grades), every docs_aug row is probed, and the
+#: oracle rebuilds the identical bitset (md5-derived probe positions;
+#: bit 63's mask carried as the two's-complement negative — DuckDB
+#: raises on 1<<63) — so the checksum covers the exact seen/unseen
+#: verdict INCLUDING the filter's false positives (n_bloom_fp counts
+#: them; the fold's n_bits is deliberately small so they exist).
+from ..operators import bloom as _BL  # noqa: E402
+
+_BL_SPLIT_COIN = hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")
+_BL_TRAIN_COND = f"({_BL_SPLIT_COIN} < {_SAMP.TRAIN_EDGE})"
+
+
+def _bl_pos(j: int) -> str:
+    probe = hash32(f"fingerprint || '#{j}'")
+    return f"({probe} % {_BL.BLOOM_BITS})"
+
+
+def _bl_word(j: int) -> str:
+    return f"({_bl_pos(j)} // 64)"
+
+
+def _bl_mask(j: int) -> str:
+    bit = f"CAST({_bl_pos(j)} % 64 AS INT)"
+    return (
+        f"(CASE WHEN {bit} = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+        f" ELSE (CAST(1 AS BIGINT) << {bit}) END)"
+    )
+
+
+_BL_TRAIN_PROBES = "\n  UNION ALL\n".join(
+    f"  SELECT {_bl_word(j)} AS word, {_bl_mask(j)} AS mask FROM bl_train"
+    for j in range(_BL.BLOOM_HASHES)
+)
+_BL_DOC_PROBES = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {_bl_word(j)} AS word, {_bl_mask(j)} AS mask"
+    " FROM fp WHERE fingerprint IS NOT NULL"
+    for j in range(_BL.BLOOM_HASHES)
+)
+
+BLOOM_CTES = f"""bl_train AS (
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE {_BL_TRAIN_COND} AND fingerprint IS NOT NULL
+),
+bl_bitmap AS (
+  SELECT word, bit_or(mask) AS bits FROM (
+{_BL_TRAIN_PROBES}
+  ) GROUP BY word
+),
+bl_hits AS (
+  SELECT p.doc_id,
+         count(*) FILTER (WHERE (p.mask & COALESCE(b.bits, 0)) != 0) AS nh
+  FROM (
+{_BL_DOC_PROBES}
+  ) p LEFT JOIN bl_bitmap b USING (word)
+  GROUP BY p.doc_id
+),
+bl_verdicts AS (
+  SELECT f.doc_id,
+         CASE WHEN COALESCE(h.nh, 0) = {_BL.BLOOM_HASHES} THEN 1 ELSE 0 END AS seen_i,
+         CASE WHEN f.fingerprint IN (SELECT fingerprint FROM bl_train)
+              THEN 1 ELSE 0 END AS member_i
+  FROM fp f LEFT JOIN bl_hits h USING (doc_id)
+),
+bl_parity AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE seen_i = 1 AND member_i = 0) AS BIGINT)
+           AS n_bloom_fp,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR) || '|' || CAST(seen_i AS VARCHAR)"
+         )}), 0) AS BIGINT) AS bloom_ck
+  FROM bl_verdicts
+)"""
+
 DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
 fp AS (
   SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug
@@ -610,12 +685,14 @@ sim_parity AS (
   SELECT CAST(count(*) AS BIGINT) AS n_simhash_pairs,
          CAST(COALESCE(SUM({hash32("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR) || '|' || CAST(hamming AS VARCHAR)")}), 0) AS BIGINT) AS simhash_pairs_ck
   FROM sim_pairs
-)
-SELECT f.doc_id, f.fingerprint, p.n_simhash_pairs, p.simhash_pairs_ck
+),
+{BLOOM_CTES}
+SELECT f.doc_id, f.fingerprint, p.n_simhash_pairs, p.simhash_pairs_ck,
+       bp.n_bloom_fp, bp.bloom_ck
 FROM (
   SELECT doc_id, fingerprint FROM fp
   QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
-) f CROSS JOIN sim_parity p"""
+) f CROSS JOIN sim_parity p CROSS JOIN bl_parity bp"""
 
 _DIMS = ", ".join(str(d) for d in (0, 7, 14, 21, 28, 35, 42, 49))
 

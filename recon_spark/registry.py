@@ -1476,7 +1476,39 @@ def dedup_exact_with_simhash_parity(aug: DataFrame) -> DataFrame:
         .cast("long")
         .alias("simhash_pairs_ck"),
     )
-    return out.crossJoin(F.broadcast(parity))
+    # round-9 fold: Bloom-filter membership (operators/bloom.py) — the
+    # filter builds on the TRAIN hash-split's fingerprints, every row is
+    # probed through the distributed (join-form) path, and the checksum
+    # covers each doc's seen/unseen verdict INCLUDING the deliberately
+    # provoked false positives (n_bloom_fp counts them; the oracle
+    # rebuilds the identical bitset from md5 probe positions)
+    from .operators import bloom as BL
+    from .operators import sampling as SAMP
+
+    fpdf = aug.select("doc_id", "fingerprint")
+    train = (
+        SAMP.with_split(fpdf)
+        .filter(F.col("split") == "train")
+        .filter(F.col("fingerprint").isNotNull())
+        .select("fingerprint")
+        .distinct()
+    )
+    bitmap = BL.bloom_build(train, "fingerprint")
+    probed = BL.bloom_probe(fpdf, bitmap, "fingerprint")
+    verdicts = probed.join(
+        train.withColumn("__m", F.lit(True)), "fingerprint", "left"
+    )
+    seen_i = F.when(F.col("bloom_seen"), F.lit("1")).otherwise(F.lit("0"))
+    bl_ck = DD._hash32(
+        F.concat_ws("|", F.col("doc_id").cast("string"), seen_i)
+    )
+    bl_parity = verdicts.agg(
+        F.count_if(F.col("bloom_seen") & ~F.coalesce(F.col("__m"), F.lit(False)))
+        .cast("long")
+        .alias("n_bloom_fp"),
+        F.coalesce(F.sum(bl_ck), F.lit(0)).cast("long").alias("bloom_ck"),
+    )
+    return out.crossJoin(F.broadcast(parity)).crossJoin(F.broadcast(bl_parity))
 
 
 @register("dedup_minhash_lsh", llm_sql.MINHASH_LSH_SQL)

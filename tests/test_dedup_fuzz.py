@@ -97,7 +97,8 @@ def test_simhash_parity_fold_differential_fuzz(spark):
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         aug = registry.plant_duplicates(docs)
         got = sorted(
-            (r.doc_id, r.fingerprint, r.n_simhash_pairs, r.simhash_pairs_ck)
+            (r.doc_id, r.fingerprint, r.n_simhash_pairs, r.simhash_pairs_ck,
+             r.n_bloom_fp, r.bloom_ck)
             for r in registry.dedup_exact_with_simhash_parity(aug).collect()
         )
         spark.catalog.clearCache()
