@@ -45,6 +45,7 @@ AUDITED = [
     "corrections_merge_apply",
     "text_chunk_documents",
     "embedding_near_dup",
+    "dedup_exact_documents",
 ]
 
 #: hand-written 100 TB notes surfaced next to each measured plan
@@ -329,6 +330,15 @@ NOTES["text_chunk_documents"] = (
     "the span text (count + min-(doc,pos), map-side combining — the "
     "hot-safe form, never a per-span ordered window) plus the per-doc "
     "rebuild agg; both parities collapse to 1-row broadcasts."
+)
+
+NOTES["dedup_exact_documents"] = (
+    "One shuffle on the md5 fingerprint (keep-first window). Two parity "
+    "folds ride as 1-row broadcasts: the SimHash banded pair join (r8; "
+    "16-bit band equi-join) and the r9 Bloom membership replay — bitmap "
+    "build is a bit_or aggregation bounded at n_bits/64 rows, probe is "
+    "a broadcast equi-join; at scale the literal map-only probe "
+    "(bloom_contains_lit) replaces the join entirely."
 )
 
 NOTES["embedding_near_dup"] = (
