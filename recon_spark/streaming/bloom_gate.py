@@ -1,0 +1,168 @@
+"""Bloom-backed streaming ingestion gate: bounded-state exact dedup.
+
+The signature-store gate (:mod:`recon_spark.streaming.dedup_ingest`)
+keeps ~100 bytes per accepted document — linear state, the right tool
+while the accepted corpus is merely large. Dolma's production answer
+for web-scale ingestion is the other point on the trade-off curve: a
+**Bloom filter** whose state is FIXED-SIZE no matter how many documents
+have been accepted, at the price of a measurable false-positive rate
+(a unique document occasionally judged seen -> over-dropped; never the
+reverse). This module is that gate, composed from
+:mod:`recon_spark.operators.bloom` and the repo's batch-id idempotence
+recipe:
+
+- **Store**: one ``(word, bits)`` bitmap fragment per micro-batch,
+  parquet-partitioned by ``__batch_id``. The prior-state read merges
+  fragments with one ``bit_or`` aggregation over at most
+  ``n_batches x n_bits/64`` rows — bitmaps are mergeable by OR, which
+  is what makes the per-batch-partition replay recipe work unchanged:
+  a replayed batch N excludes partition N from the merge, recomputes,
+  and overwrites its own partition (idempotent, same as dedup_ingest).
+- **Verdicts** per document: ``unique`` | ``seen_prior`` (Bloom hit
+  against the merged prior bitmap — includes the FP over-drops, which
+  is the documented Bloom trade) | ``exact_dup_in_batch`` (keep-first
+  per fingerprint WITHIN the batch, exact — the batch is in hand, so
+  no reason to pay FPs on it).
+- **State growth**: the accepted docs' probe bits fold into THIS
+  batch's fragment; the store grows by O(n_bits) per batch and the
+  merged state never exceeds n_bits bits, vs the signature store's
+  O(accepted corpus).
+
+Sizing note (same math as operators/bloom.py): at 10 bits/key the FP
+(= over-drop) rate stays under ~1%; the tests deliberately undersize
+to make the over-drop measurable and assert the never-under-drop
+property (every true duplicate of an accepted doc IS caught — Bloom
+has no false negatives).
+
+Near-dup support: out of scope by design — MinHash signatures cannot
+compress into a Bloom membership bit (similarity is not equality);
+pair this gate with the signature gate's near path, or run the batch
+near-dup operators offline over the accepted corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import bloom as BL
+from ..operators import text as T
+
+#: gate defaults: larger than the test-fold bitset — an ingestion gate
+#: wants FPs rare, and the tests measure them at this size too
+GATE_BITS = 1 << 14
+GATE_HASHES = 5
+
+STORE_SCHEMA = "word long, bits long, __batch_id long"
+
+
+def _prior_bitmap(spark: SparkSession, store_dir: str, batch_id: int) -> DataFrame:
+    """Merged (word, bits) of every fragment committed BEFORE
+    ``batch_id`` — one bit_or over the fragment rows; excluding the
+    current batch's own partition keeps replays idempotent."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return spark.createDataFrame([], "word long, bits long")
+    return (
+        spark.read.schema(STORE_SCHEMA)
+        .parquet(store_dir)
+        .filter(F.col("__batch_id") < batch_id)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_gate_writer(
+    store_dir: str,
+    verdicts_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = GATE_BITS,
+    n_hashes: int = GATE_HASHES,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function. Verdict rows:
+    ``(id, status, dup_of, __batch_id)`` — ``dup_of`` is the in-batch
+    first occurrence for ``exact_dup_in_batch`` and NULL for
+    ``seen_prior`` (a bitset stores membership, not provenance; that
+    anonymity is exactly what makes its state bounded)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = batch_df.select(
+            F.col(id_col).alias("id"), T.fingerprint(text_col).alias("fp")
+        ).persist()
+        prior = _prior_bitmap(spark, store_dir, batch_id)
+
+        probed = BL.bloom_probe(fps, prior, "fp", n_bits, n_hashes, out="seen")
+        firsts = fps.groupBy("fp").agg(F.min("id").alias("first_id"))
+        verdicts = (
+            probed.join(firsts, "fp", "left")
+            .select(
+                "id",
+                F.when(F.col("seen"), F.lit("seen_prior"))
+                .when(F.col("id") > F.col("first_id"), F.lit("exact_dup_in_batch"))
+                .otherwise(F.lit("unique"))
+                .alias("status"),
+                F.when(
+                    ~F.col("seen") & (F.col("id") > F.col("first_id")),
+                    F.col("first_id"),
+                ).alias("dup_of"),
+                F.lit(batch_id).alias("__batch_id"),
+            )
+        )
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(verdicts_dir)
+        )
+        accepted = fps.join(
+            verdicts.filter("status = 'unique'").select("id"), "id"
+        ).select("fp")
+        fragment = BL.bloom_build(accepted, "fp", n_bits, n_hashes).select(
+            "word", "bits", F.lit(batch_id).alias("__batch_id")
+        )
+        (
+            fragment.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(store_dir)
+        )
+        fps.unpersist()
+
+    return apply_batch
+
+
+def run_bloom_ingest(
+    docs_stream: DataFrame,
+    store_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = GATE_BITS,
+    n_hashes: int = GATE_HASHES,
+) -> None:
+    """Drain a document stream (availableNow) through the Bloom gate."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            bloom_gate_writer(
+                store_dir,
+                verdicts_dir,
+                id_col=id_col,
+                text_col=text_col,
+                n_bits=n_bits,
+                n_hashes=n_hashes,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
