@@ -83,24 +83,40 @@ def stratified_sample(
     )
 
 
+#: overlap-fraction threshold for the `contaminated` verdict — the
+#: GPT-3-appendix-C-style rule applied as a fraction (a test doc whose
+#: distinct-shingle overlap with train exceeds this is quarantined)
+CONTAM_FRAC = 0.2
+
+
 def contamination_check(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     salt: str = SPLIT_SALT,
+    frac_threshold: float = CONTAM_FRAC,
 ) -> DataFrame:
     """Eval-contamination scan: which test-split documents share any
     k-token shingle with ANY train-split document — the check a training
     pipeline runs before trusting its held-out metrics.
 
-    Returns (id, n_shared) for contaminated test docs (n_shared =
-    distinct overlapping shingles). Shape: one persisted
-    (id, split, shingles) frame; the train side collapses to a DISTINCT
-    shingle projection (vocab-bounded) before the equi-join, so the join
-    is index-sized, never |train| x |test|. Same bucketed-equi-join
-    scale story as the dedup family; the split reuses the md5 coin so
-    the whole check is deterministic end-to-end.
+    Returns, for every test doc with >= 1 shared shingle:
+    ``(id, n_shared, n_distinct_shared, n_shingles, overlap_micros,
+    contaminated)`` — ``n_shared`` counts shingle POSITIONS whose text
+    occurs in train (the pre-r9 column, kept), ``n_distinct_shared`` /
+    ``n_shingles`` are the distinct-shingle overlap and the doc's own
+    distinct-shingle count, and their ratio (reported in micros) drives
+    the GPT-3-style ``contaminated`` verdict at ``frac_threshold`` —
+    any-overlap flagging alone quarantines far too much on a
+    small-vocabulary corpus, while a fraction cut separates incidental
+    collisions from real leakage.
+
+    Shape: one persisted (id, split, shingles) frame; the train side
+    collapses to a DISTINCT shingle projection (vocab-bounded) before
+    the equi-join, so the join is index-sized, never |train| x |test|.
+    Same bucketed-equi-join scale story as the dedup family; the split
+    reuses the md5 coin so the whole check is deterministic end-to-end.
     """
     from . import text as T
 
@@ -115,13 +131,27 @@ def contamination_check(
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    test_idx = sh.filter(F.col("split") == "test").select(
-        "id", F.explode("sh").alias("shingle")
+    test_side = sh.filter(F.col("split") == "test")
+    totals = test_side.select(
+        "id", F.size(F.array_distinct("sh")).cast("long").alias("n_shingles")
     )
-    return (
+    test_idx = test_side.select("id", F.explode("sh").alias("shingle"))
+    hits = (
         test_idx.join(train_sh, "shingle")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.count_distinct("shingle").cast("long").alias("n_distinct_shared"),
+        )
+    )
+    frac = F.col("n_distinct_shared").cast("double") / F.col("n_shingles")
+    return hits.join(totals, "id").select(
+        "id",
+        "n_shared",
+        "n_distinct_shared",
+        "n_shingles",
+        F.round(frac * 1_000_000).cast("long").alias("overlap_micros"),
+        (frac >= F.lit(frac_threshold)).alias("contaminated"),
     )
 
 

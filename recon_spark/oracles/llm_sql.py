@@ -471,10 +471,23 @@ train_sh AS (
 ),
 test_idx AS (
   SELECT id, unnest(sh) AS shingle FROM sh WHERE split = 'test'
+),
+test_totals AS (
+  SELECT id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+  FROM sh WHERE split = 'test'
+),
+hits AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shared
+  FROM test_idx JOIN train_sh USING (shingle)
+  GROUP BY id
 )
-SELECT id, CAST(count(*) AS BIGINT) AS n_shared
-FROM test_idx JOIN train_sh USING (shingle)
-GROUP BY id"""
+SELECT h.id, h.n_shared, h.n_distinct_shared, t.n_shingles,
+       CAST(round(CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles * 1000000)
+            AS BIGINT) AS overlap_micros,
+       (CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles
+        >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated
+FROM hits h JOIN test_totals t USING (id)"""
 
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.

@@ -1327,13 +1327,15 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("data_contamination_check", llm_sql.CONTAMINATION_SQL)
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-contamination scan composing the hash split with the shingle
-    index: test docs sharing any 5-token shingle with a train doc."""
+    index: test docs sharing any 5-token shingle with a train doc.
+    Since round 9 the row also grades the GPT-3-style overlap-FRACTION
+    decontamination verdict (distinct shared shingles / the doc's own
+    distinct shingles, thresholded) — any-overlap flagging alone
+    quarantines incidental collisions on a small-vocab corpus."""
     from .operators import sampling
 
     docs = _load_table(spark, sf_dir, "documents")
-    return sampling.contamination_check(docs).select(
-        "id", "n_shared"
-    )
+    return sampling.contamination_check(docs)
 
 
 @register("text_tfidf_top_terms", llm_sql.TFIDF_SQL)

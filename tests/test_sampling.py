@@ -52,9 +52,33 @@ def test_contamination_check_flags_shared_shingles(spark):
         (test_ids[1], "completely different held out words entirely unrelated"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.id: r.n_shared for r in sampling.contamination_check(docs).collect()}
-    assert test_ids[0] in out and out[test_ids[0]] >= 1
+    out = {r.id: r for r in sampling.contamination_check(docs).collect()}
+    assert test_ids[0] in out and out[test_ids[0]].n_shared >= 1
     assert test_ids[1] not in out
+    # r9 fraction verdict: the leaked doc (11 tokens -> 7 5-shingles)
+    # shares 2 distinct shingles -> 2/7 = 0.2857 >= 0.2
+    r = out[test_ids[0]]
+    assert r.n_distinct_shared == 2 and r.n_shingles == 7
+    assert r.overlap_micros == 285_714 and r.contaminated is True
+
+
+def test_contamination_fraction_separates_incidental_overlap(spark):
+    """One shared shingle inside a long unrelated doc stays below the
+    fraction threshold -> flagged as overlap but NOT contaminated."""
+    probe = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    labels = {r.doc_id: r.split for r in sampling.with_split(probe).collect()}
+    train_id = next(i for i, s in labels.items() if s == "train")
+    test_id = next(i for i, s in labels.items() if s == "test")
+    leak = "alpha beta gamma delta epsilon"  # exactly one 5-shingle
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(train_id, "train doc containing " + leak),
+         (test_id, leak + " " + filler)],
+        "doc_id long, text string",
+    )
+    r = {x.id: x for x in sampling.contamination_check(docs).collect()}[test_id]
+    assert r.n_distinct_shared == 1 and r.n_shingles == 41
+    assert r.contaminated is False
 
 
 def test_tfidf_ranks_distinctive_terms(spark):
