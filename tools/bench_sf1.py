@@ -5,7 +5,7 @@ above the shipped testdata; every other family's 100 TB story still
 extrapolated from sf0.1. This tool synthesizes a COMPLETE sf1 table set
 (all ten tables, same schemas/cardinaliy ratios as the driver's
 sf0.001→0.01→0.1 ladder) under ``.scratch/full/sf1`` and runs the
-unmodified ``bench.py`` — all 30 headline queries, same cold/steady
+unmodified ``bench.py`` — every headline query (33 since round 9), same cold/steady
 protocol — against it, writing the full JSON to ``BENCH_sf1.json`` at
 the repo root (committed evidence; see SCALING.md's sf1 full-suite
 table).
