@@ -6,9 +6,15 @@
      "queries": {"engine_a_match_planid": sec, ...}, "sf": 0.1}
 
 ``value``/``queries`` are the cold-lap (first-execution) numbers; the
-best-of-2 steady state is reported in ``steady_queries``/
-``steady_total_sec``. Raw-fixture rendering and the clean-once bucketed
-layout are untimed setup, reported in ``setup_raw_sec``/``setup_clean_sec``.
+steady state (per-query MIN across interleaved full laps — contention-
+proofing per VERDICT r9 #2) is reported in ``steady_queries``/
+``steady_total_sec`` in the sidecar. Raw-fixture rendering and the
+clean-once bucketed layout are untimed setup, reported in
+``setup_raw_sec``/``setup_clean_sec``. The printed line is compact
+(headline + cold per-query dict); the full artifact — per-lap timings,
+loadavg traces, the ambient-load gate verdict — is written to the
+sidecar (``BENCH_full.json`` at the canonical sf0.1, SF-suffixed
+otherwise so smoke runs can't clobber it).
 
 Each query is materialized with the ``noop`` sink (full execution of
 every column, no driver-side collect, no disk write) — the honest
@@ -197,6 +203,33 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # ambient-load gate (VERDICT r9 #2): a lap started while the shared
+    # VM is already busy reads 2×+ slow on untouched queries, which
+    # poisons round-over-round comparison. Wait (bounded) for the 1-min
+    # loadavg to fall below the gate before starting; if it never does,
+    # proceed but FLAG the artifact as contended so no future diff
+    # mistakes ambient noise for a regression.
+    gate_thresh = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "4.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT", "90"))
+    waited = 0.0
+    start_load = os.getloadavg()[0]
+    while start_load > gate_thresh and waited < gate_wait:
+        time.sleep(10)
+        waited += 10.0
+        start_load = os.getloadavg()[0]
+    ambient_gate = {
+        "threshold": gate_thresh,
+        "waited_sec": round(waited, 1),
+        "loadavg_at_start": round(start_load, 2),
+        "contended": start_load > gate_thresh,
+    }
+    if ambient_gate["contended"]:
+        print(
+            f"bench: ambient loadavg {start_load:.1f} still > gate "
+            f"{gate_thresh} after {waited:.0f}s — run flagged contended",
+            file=sys.stderr,
+        )
+
     from pyspark.sql import functions as F
 
     from recon_spark.registry import QUERIES
@@ -284,39 +317,40 @@ def main() -> None:
 
     # per-query error isolation: one broken query must not zero the whole
     # bench signal (BENCH_r03 lesson — the run died on query 8 of 11 and
-    # reported nothing). Each query is timed BEST-OF-2 (classic DB-bench
-    # hygiene): ambient variance on this shared VM was measured at ±50%
-    # and occasionally far worse on single shots (SCALING.md's variance
-    # note), and the second lap also charges steady-state cost rather
-    # than one-time plan construction. Declared in the output as
-    # "timing": "best_of_2".
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    # reported nothing). Timing discipline (r10, per VERDICT r9 #2): the
+    # suite runs as FULL INTERLEAVED LAPS — lap 1 over every query (the
+    # cold numbers), then lap 2..N over every query again — and steady =
+    # per-query MIN across laps. Back-to-back best-of-2 put both
+    # executions of a query inside the same ambient-load window, so a
+    # transient spike on this shared VM poisoned both laps at once
+    # (r9's artifact read analytics_value_percentiles 3.29s steady vs
+    # 1.41s in a quieter same-code sweep). Interleaving separates a
+    # query's executions by a full suite pass (~1 min+), so a spike must
+    # persist across the whole run to survive the min.
+    laps_n = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2")))
+    lap_times: list[dict[str, float]] = []
+    lap_loads: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    loadavg: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        # ambient-load attribution: this shared VM swings single-shot
-        # timings ±50% (SCALING.md variance note), and the round-6 driver
-        # bench hit a multi-query slow window that standalone re-runs
-        # could not reproduce. Recording the 1-min loadavg at each
-        # query's start makes such windows attributable from the JSON
-        # alone instead of needing a forensic re-run.
-        loadavg[name] = round(os.getloadavg()[0], 1)
-        for _lap in range(2):
+    for _lap in range(laps_n):
+        lt: dict[str, float] = {}
+        la: dict[str, float] = {}
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            # ambient-load attribution: recording the 1-min loadavg at
+            # each query's start (per lap) makes slow windows
+            # attributable from the JSON alone instead of needing a
+            # forensic re-run.
+            la[name] = round(os.getloadavg()[0], 1)
             t0 = time.time()
             try:
                 fn = QUERIES.get(name) or EXTRA_QUERIES[name]
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                lap = time.time() - t0
-                if _lap == 0:
-                    cold[name] = round(lap, 3)
-                best = lap if best is None else min(best, lap)
+                lt[name] = round(time.time() - t0, 3)
             except Exception as exc:  # noqa: BLE001 — record and keep benching
                 msg = str(exc).split("\n", 1)[0][:300]
                 errors[name] = f"ERROR {type(exc).__name__}: {msg}"
                 print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
-                break
             finally:
                 # operators that persist() intermediates (minhash
                 # shingles, tfidf tf, ngram prefixes) hand cache
@@ -324,8 +358,14 @@ def main() -> None:
                 # keeps one query's cache from warming the next lap or
                 # occupying executor memory during the next query
                 spark.catalog.clearCache()
-        if best is not None:
-            timings[name] = round(best, 3)
+        lap_times.append(lt)
+        lap_loads.append(la)
+    cold = dict(lap_times[0])
+    timings = {
+        name: min(lt[name] for lt in lap_times if name in lt)
+        for name in cold
+    }
+    loadavg = lap_loads[0]
     # Headline accounting (round-7 fix per VERDICT r6 #1): the driver-parsed
     # "value" is the CONSERVATIVE number — the cold-lap sum, i.e. what each
     # query cost the first time it ran in this session, including plan
@@ -346,24 +386,50 @@ def main() -> None:
         "sf": sf,
         "setup_raw_sec": setup_raw_sec,
         "setup_clean_sec": setup_clean_sec,
-        "timing": "cold_lap_of_2",
-        # secondary: best-of-2 steady state per query and its sum
+        "timing": f"cold_lap_plus_min_of_{laps_n}_interleaved",
+        # secondary: per-query min across all interleaved laps and its sum
         "steady_queries": timings,
         "steady_total_sec": total_steady,
-        # 1-min system loadavg sampled at each query's start (ambient-load
-        # attribution on this shared VM; cores available: local[cpus])
+        # 1-min system loadavg sampled at each query's start, per lap
+        # (ambient-load attribution on this shared VM)
         "loadavg_1min": loadavg,
+        "loadavg_laps": lap_loads,
+        "lap_queries": lap_times,
+        "ambient_gate": ambient_gate,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The printed line is the driver's bounded-tail capture: keep it
+    # COMPACT (headline + required per-query dict only) so a 33-query
+    # suite can never truncate it again (VERDICT r8 #8 / r9 #2 nit).
+    # Full detail — per-lap timings, loadavg traces, gate — lives in the
+    # committed sidecar.
+    printed = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "timing",
+            "steady_total_sec",
+        )
+    }
+    if errors:
+        printed["errors"] = errors
+    if ambient_gate.get("contended"):
+        printed["contended"] = True
+    print(json.dumps(printed))
     # the driver records only a bounded tail of stdout, which truncated
-    # the r8 artifact's headline dict (VERDICT r8 #8) — ALSO write the
-    # full JSON to a committed sidecar so the numbers are never lost.
+    # the r8 artifact's headline dict (VERDICT r8 #8) — the full JSON
+    # goes to a committed sidecar so the numbers are never lost.
     # Overridable so tools/bench_sf1.py can direct its run elsewhere.
+    # The default name embeds the SF dir unless it is the canonical
+    # bench SF (sf0.1), so an ad-hoc smoke run at another SF cannot
+    # clobber the committed canonical artifact (ADVICE r9).
+    base = os.path.basename(sf_dir.rstrip("/"))
+    default_name = (
+        "BENCH_full.json" if base == "sf0.1" else f"BENCH_full_{base}.json"
+    )
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(sidecar, "w") as fh:

@@ -119,17 +119,26 @@ def span_dedup(
     k: int = SPAN_TOKENS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verdicts: DataFrame | None = None,
 ) -> DataFrame:
     """Cleaned corpus: (doc_id, n_spans, n_removed, clean_text) — one row
     per non-null-text document. ``clean_text`` is the token-normalized
     document with every non-first duplicate window removed and the
     trailing partial window preserved (whitespace is normalized to
-    single spaces by construction: tokens are the unit of editing)."""
+    single spaces by construction: tokens are the unit of editing).
+
+    ``verdicts`` lets a caller that already computed (and typically
+    persisted) :func:`span_dedup_verdicts` for the same ``docs``/``k``
+    feed it in instead of paying the tokenize + span explode +
+    first-occurrence aggregation a second time (the grading fold and
+    the corpus builder both consume the verdict table AND the rebuilt
+    corpus — same sharing contract as ``semdedup_verdicts(ranked=)``)."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         T.tokens(text_col).alias("__toks"),
     ).filter(F.col("__toks").isNotNull())
-    verdicts = span_dedup_verdicts(docs, k, id_col, text_col)
+    if verdicts is None:
+        verdicts = span_dedup_verdicts(docs, k, id_col, text_col)
     per_doc = verdicts.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.count_if(~F.col("keep")).alias("n_removed"),

@@ -1413,7 +1413,12 @@ def chunk_docs_with_span_parity(docs: DataFrame, aug: DataFrame) -> DataFrame:
 
     out = T.chunk_documents(docs, chunk_tokens=llm_sql.CHUNK_TOKENS,
                             overlap=llm_sql.CHUNK_OVERLAP)
-    verdicts = SP.span_dedup_verdicts(aug)
+    # One span-explode subtree for BOTH checksums: the verdict table is
+    # staged-persisted and fed into span_dedup(verdicts=...) so the
+    # tokenize + explode + first-occurrence agg runs once per lap, not
+    # twice (r9 VERDICT "What's wrong" #1 — the fold was paying its
+    # certificate double).
+    verdicts = _stage_persist(SP.span_dedup_verdicts(aug))
     v_ck = DD._hash32(
         F.concat_ws(
             "|",
@@ -1427,7 +1432,7 @@ def chunk_docs_with_span_parity(docs: DataFrame, aug: DataFrame) -> DataFrame:
         F.count_if(~F.col("keep")).cast("long").alias("n_span_removed"),
         F.coalesce(F.sum(v_ck), F.lit(0)).cast("long").alias("span_verdict_ck"),
     )
-    clean = SP.span_dedup(aug)
+    clean = SP.span_dedup(aug, verdicts=verdicts)
     c_ck = DD._hash32(
         F.concat_ws("|", F.col("doc_id").cast("string"), F.col("clean_text"))
     )
