@@ -1058,7 +1058,10 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
 
 #: IVF-PQ composition oracle: the IVF oracle's cell routing + the PQ
 #: oracle's codebooks/encode/LUT, ADC-scored only inside probed cells.
-IVFPQ_ANN_SQL = f"""WITH cents AS (
+#: Parameterized on the top-k cut so the exact-re-rank oracle can reuse
+#: the identical body as its top-C shortlist.
+def _ivfpq_sql(k: int) -> str:
+    return f"""WITH cents AS (
   SELECT vec_id AS cell_id, embedding AS centroid
   FROM embeddings WHERE vec_id < {S.IVF_K}
 ),
@@ -1121,6 +1124,33 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score, cell_id FROM (
            ORDER BY ({_PQ_SCORE}) DESC NULLS LAST, neighbor_id
          ) AS rank
   FROM pq_scored
+) WHERE rank <= {k}"""
+
+
+IVFPQ_ANN_SQL = _ivfpq_sql(10)
+
+#: exact re-rank oracle (operators/pq.py ivfpq_topk_rerank — Jégou et
+#: al. §V IVFADC+R): the identical IVF-PQ body cut at the top-C
+#: shortlist, then TRUE cosine against the original vectors and a
+#: re-rank to top-k. The cosine helper is the same expression the
+#: brute-force truth set uses, so the float path is parity-proven.
+IVFPQ_RERANK_SQL = f"""WITH shortlist AS (
+  SELECT query_id, neighbor_id FROM ({_ivfpq_sql(_PQ.RERANK_C)})
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {cosine('q.embedding', 'c.embedding')} AS score
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC NULLS LAST, neighbor_id
+         ) AS rank
+  FROM rr
 ) WHERE rank <= 10"""
 
 
@@ -1137,6 +1167,8 @@ cand AS (
   SELECT 'pq' AS method, query_id, neighbor_id FROM ({PQ_ANN_SQL})
   UNION ALL
   SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ({IVFPQ_ANN_SQL})
+  UNION ALL
+  SELECT 'ivfpq_rerank' AS method, query_id, neighbor_id FROM ({IVFPQ_RERANK_SQL})
   UNION ALL
   -- the Spark side runs the Arrow/BLAS matmul twin here; the oracle is
   -- the exact top-k, so the row grades green only if BLAS ranks

@@ -1652,9 +1652,26 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standalone ann_lsh / ann_lsh_multiprobe queries were folded here
     to fit the driver's grading budget (each index's top-k feeds the
     recall computation, so their outputs are still value-graded
-    transitively; IVF keeps its own row above)."""
+    transitively; IVF keeps its own row above). Round 10 adds the
+    'ivfpq_rerank' row (exact re-rank tail, pq.ivfpq_topk_rerank) and
+    stage-persists the two frames every arm shares — the brute-force
+    truth set (read by all seven recall joins + the totals agg) and the
+    PQ code table (read by the pq / ivfpq / ivfpq_rerank arms) — per
+    VERDICT r9 #5."""
     emb = _load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = _stage_persist(
+        similarity.brute_force_topk(emb, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    from .operators import pq as _pq
+
+    cb = _pq.pq_codebooks(emb)
+    codes = _stage_persist(_pq.pq_encode(emb, cb))
+    return similarity.ann_recall(
+        emb, queries, k=10, truth=truth, pq_codes=codes
+    )
 
 
 @register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)

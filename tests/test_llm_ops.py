@@ -379,7 +379,9 @@ def test_ann_recall_orders_methods(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
     rows = {r.method: r for r in SIM.ann_recall(emb, queries, k=10).collect()}
-    assert set(rows) == {"lsh", "lsh_exact", "ivf", "blas", "pq", "ivfpq"}
+    assert set(rows) == {
+        "lsh", "lsh_exact", "ivf", "blas", "pq", "ivfpq", "ivfpq_rerank",
+    }
     for r in rows.values():
         assert r.total == 50
         assert 0.0 <= r.recall <= 1.0
