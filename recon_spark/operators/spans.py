@@ -3,14 +3,31 @@
 Public-literature operator: C4 (Raffel et al. 2020, *Exploring the
 Limits of Transfer Learning*, §2.2) discards "all but one of any
 three-sentence span occurring more than once in the data set"; Dolma
-and RefinedWeb apply the same idea at paragraph granularity. The unit
-here is a NON-OVERLAPPING k-token window (the fixture corpus has no
-newline/sentence structure, and token windows are the
+and RefinedWeb apply the same idea at paragraph granularity. The
+default unit here is a NON-OVERLAPPING k-token window (the fixture
+corpus has no newline/sentence structure, and token windows are the
 punctuation-independent generalization): every window whose text
 occurs in more than one place in the corpus is removed everywhere
 except its global first occurrence, ordered by (doc_id, window
 position). Trailing tokens short of a full window are never hashed and
 always survive.
+
+KNOWN LIMITATION of the aligned default (and its fix): a duplicated
+block that starts at a DIFFERENT token offset in different documents
+hashes into different aligned windows and silently survives — C4's
+three-sentence unit self-aligns at sentence boundaries, token windows
+do not. ``stride < k`` (round 10) closes this: window starts every
+``stride`` tokens, and the rebuild subtracts the interval-merged union
+of removed windows from the token stream. The alignment guarantee is
+exact, not hand-wavy: two occurrences of a >= k-token block share a
+full window iff their token-offset difference is divisible by
+``stride`` — so ``stride=1`` catches ANY shift (w-shingling density,
+~one window per token, the k-times data cost every shingle-based dedup
+pays), and intermediate strides are the recall/cost dial (stride s
+catches 1/s of adversarial shifts but every self-aligned layout).
+Tests plant an offset-shifted boilerplate block and assert the aligned
+default misses it, stride=1 removes it at any shift, and stride=4
+removes exactly the shifts it promises.
 
 This is CROSS-document and SUB-document — different axis from every
 other dedup in the family: exact/MinHash/SimHash/semdedup give per-DOC
@@ -47,15 +64,18 @@ from . import text as T
 SPAN_TOKENS = 8
 
 
-def _span_strings(toks: Column, k: int) -> Column:
-    """Array of the doc's non-overlapping full-window texts (token-joined
-    with single spaces). ``toks`` must be a plain column reference."""
-    nwin = F.floor(F.size(toks) / k).cast("int")
+def _span_strings(toks: Column, k: int, stride: int | None = None) -> Column:
+    """Array of the doc's full-window texts (token-joined with single
+    spaces), one per window start 0, stride, 2*stride, ... while a full
+    k-token window fits. ``stride=None`` means non-overlapping
+    (stride=k). ``toks`` must be a plain column reference."""
+    s = stride or k
+    nwin = F.floor((F.size(toks) - k) / s + 1).cast("int")
     idx = F.when(nwin > 0, F.sequence(F.lit(0), nwin - 1)).otherwise(
         F.array().cast("array<int>")
     )
     return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i * k + 1, k), " ")
+        idx, lambda i: F.array_join(F.slice(toks, i * s + 1, k), " ")
     )
 
 
@@ -64,15 +84,20 @@ def token_spans(
     k: int = SPAN_TOKENS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int | None = None,
 ) -> DataFrame:
-    """(doc_id, pos, span) — one row per non-overlapping full k-token
-    window; docs shorter than ``k`` tokens produce no rows."""
+    """(doc_id, pos, span) — one row per full k-token window starting at
+    token offset ``pos * stride`` (``stride=None`` -> non-overlapping
+    aligned windows, stride=k); docs shorter than ``k`` tokens produce
+    no rows."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
     )
     return staged.select(
         "doc_id",
-        F.posexplode(_span_strings(F.col("__toks"), k)).alias("pos", "span"),
+        F.posexplode(
+            _span_strings(F.col("__toks"), k, stride)
+        ).alias("pos", "span"),
     )
 
 
@@ -82,6 +107,7 @@ def span_dedup_verdicts(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_safe: bool = True,
+    stride: int | None = None,
 ) -> DataFrame:
     """(doc_id, pos, span, keep): ``keep`` is true iff this occurrence is
     the corpus-wide FIRST (lowest doc_id, then lowest pos) of its span
@@ -93,15 +119,31 @@ def span_dedup_verdicts(
     millions of times cannot serialize into one reducer.
     ``hot_safe=False`` is the textbook row_number form (kept because it
     is the obvious formulation; value-identical, asserted in tests).
+
+    ``stride`` < k enables OVERLAPPING windows (round 10, closing the
+    aligned-window recall gap — r9 VERDICT "What's missing" #4): a
+    boilerplate block starting at a different token offset in different
+    documents hashes into different aligned windows and survives
+    stride=k dedup. With stride s, two occurrences of a >= k-token
+    block share a full window iff their offset difference is divisible
+    by s — stride=1 therefore catches ANY shift (window count ~= token
+    count, the standard w-shingling density); larger strides trade that
+    recall for a 1/s window count.
     """
-    spans = token_spans(docs, k, id_col, text_col)
+    spans = token_spans(docs, k, id_col, text_col, stride)
     if not hot_safe:
         w = Window.partitionBy("span").orderBy("doc_id", "pos")
-        return spans.withColumn(
-            "keep", F.row_number().over(w) == 1
+        wc = Window.partitionBy("span")
+        return spans.select(
+            "doc_id",
+            "pos",
+            "span",
+            (F.row_number().over(w) == 1).alias("keep"),
+            F.count(F.lit(1)).over(wc).alias("n_occ"),
         )
     first = spans.groupBy("span").agg(
-        F.min_by(F.struct("doc_id", "pos"), F.struct("doc_id", "pos")).alias("__f")
+        F.min_by(F.struct("doc_id", "pos"), F.struct("doc_id", "pos")).alias("__f"),
+        F.count(F.lit(1)).alias("__n"),
     )
     return spans.join(first, "span").select(
         "doc_id",
@@ -111,6 +153,7 @@ def span_dedup_verdicts(
             (F.col("doc_id") == F.col("__f.doc_id"))
             & (F.col("pos") == F.col("__f.pos"))
         ).alias("keep"),
+        F.col("__n").alias("n_occ"),
     )
 
 
@@ -120,6 +163,7 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     verdicts: DataFrame | None = None,
+    stride: int | None = None,
 ) -> DataFrame:
     """Cleaned corpus: (doc_id, n_spans, n_removed, clean_text) — one row
     per non-null-text document. ``clean_text`` is the token-normalized
@@ -128,17 +172,73 @@ def span_dedup(
     single spaces by construction: tokens are the unit of editing).
 
     ``verdicts`` lets a caller that already computed (and typically
-    persisted) :func:`span_dedup_verdicts` for the same ``docs``/``k``
-    feed it in instead of paying the tokenize + span explode +
+    persisted) :func:`span_dedup_verdicts` for the same ``docs``/``k``/
+    ``stride`` feed it in instead of paying the tokenize + span explode +
     first-occurrence aggregation a second time (the grading fold and
     the corpus builder both consume the verdict table AND the rebuilt
-    corpus — same sharing contract as ``semdedup_verdicts(ranked=)``)."""
+    corpus — same sharing contract as ``semdedup_verdicts(ranked=)``).
+
+    ``stride`` < k switches to OVERLAPPING windows with an
+    INTERVAL-MERGED rebuild: a token is dropped iff some removed
+    (non-first duplicate) window covers it and no kept-DUPLICATED
+    window does — the kept-window exception preserves the one retained
+    copy of a duplicated span when overlapping later occurrences would
+    otherwise erode it (periodic text), while unique straddle windows
+    deliberately protect nothing. This is what catches boilerplate that
+    starts at a different token offset in different documents (the
+    aligned-window miss, r9 VERDICT "What's missing" #4; see the
+    divisibility contract on :func:`span_dedup_verdicts`). Per-doc cost
+    of the mask is n_tokens x n_flagged window-start comparisons inside
+    one codegen'd higher-order filter — bounded by one document, no
+    extra shuffle vs the aligned path."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         T.tokens(text_col).alias("__toks"),
     ).filter(F.col("__toks").isNotNull())
     if verdicts is None:
-        verdicts = span_dedup_verdicts(docs, k, id_col, text_col)
+        verdicts = span_dedup_verdicts(docs, k, id_col, text_col, stride=stride)
+    s = stride or k
+    if s != k:
+        # Interval-merged mask rebuild. A token is dropped iff some
+        # REMOVED window covers it AND no KEPT-duplicated window does:
+        # overlapping removed occurrences would otherwise erode the one
+        # retained copy of a duplicated span (periodic text: windows at
+        # pos 1..n are dups of pos 0 and their union covers pos 0's
+        # tail). Only windows whose span is actually duplicated
+        # (n_occ > 1) protect — a unique straddle window touching a
+        # duplicated block must not shield the block from removal.
+        per_doc = verdicts.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(~F.col("keep")).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(F.when(~F.col("keep"), F.col("pos") * s))
+            ).alias("__rm"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep") & (F.col("n_occ") > 1), F.col("pos") * s)
+                )
+            ).alias("__kp"),
+        )
+        rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+        kp = F.coalesce(F.col("__kp"), F.array().cast("array<int>"))
+        clean_toks = F.filter(
+            F.col("__toks"),
+            lambda _tok, i: ~(
+                F.exists(rm, lambda st: (st <= i) & (i < st + k))
+                & ~F.exists(kp, lambda st: (st <= i) & (i < st + k))
+            ),
+        )
+        return (
+            staged.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+                F.coalesce(F.col("n_removed"), F.lit(0))
+                .cast("long")
+                .alias("n_removed"),
+                F.array_join(clean_toks, " ").alias("clean_text"),
+            )
+        )
     per_doc = verdicts.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.count_if(~F.col("keep")).alias("n_removed"),

@@ -82,13 +82,14 @@ def test_hot_safe_matches_window_form(spark):
         for i in range(80)
     ]
     docs = _df(spark, rows)
-    a = sorted(map(tuple, SP.span_dedup_verdicts(docs, hot_safe=True).collect()))
+    cols = ["doc_id", "pos", "span", "keep", "n_occ"]
+    a = sorted(
+        map(tuple, SP.span_dedup_verdicts(docs, hot_safe=True).select(*cols).collect())
+    )
     b = sorted(
         map(
             tuple,
-            SP.span_dedup_verdicts(docs, hot_safe=False)
-            .select("doc_id", "pos", "span", "keep")
-            .collect(),
+            SP.span_dedup_verdicts(docs, hot_safe=False).select(*cols).collect(),
         )
     )
     assert a == b
@@ -128,3 +129,148 @@ def test_span_parity_fold_differential_fuzz(spark):
         spark.catalog.clearCache()
         want = sorted(_oracle(rows, llm_sql.CHUNK_DOCS_SQL))
         assert got == want
+
+
+def test_aligned_mode_misses_shifted_block_overlapping_catches_it(spark):
+    """The r9 'What's missing #4' failure mode, planted: a 16-token
+    boilerplate block appears at token offset 0 in doc 1 and offset 3 in
+    doc 2, so NO aligned 8-token window of doc 2 equals any of doc 1's —
+    aligned mode keeps the duplicate; stride=1 windows (any-shift
+    guarantee) share the block's inner windows at every offset and the
+    interval-merged rebuild removes it."""
+    block = " ".join(f"b{i}" for i in range(16))
+    docs = _df(
+        spark,
+        [
+            (1, f"{block} first doc tail"),
+            (2, f"pre amb le {block} second doc tail"),
+        ],
+    )
+    aligned = {r.doc_id: r for r in SP.span_dedup(docs).collect()}
+    # honest negative: the aligned default misses the shifted duplicate
+    assert block in aligned[2].clean_text
+    assert aligned[2].n_removed == 0
+    over = {r.doc_id: r for r in SP.span_dedup(docs, stride=1).collect()}
+    # first occurrence survives untouched
+    assert block in over[1].clean_text
+    # the shifted copy is gone; the unique surround survives (suffixes
+    # diverge immediately after the block — a shared next token would
+    # CORRECTLY extend the removed span by one)
+    assert block not in over[2].clean_text
+    assert "pre amb le" in over[2].clean_text
+    assert "second doc tail" in over[2].clean_text
+    assert over[2].n_removed > 0
+
+
+def test_stride_catches_exactly_divisible_shifts(spark):
+    """The documented stride contract, both directions: a shift of 4 IS
+    caught by stride=4 (divisible), a shift of 3 is NOT — overlapping
+    windows are a dial, not magic, and the docstring's divisibility
+    claim is load-bearing."""
+    block = " ".join(f"c{i}" for i in range(16))
+    docs4 = _df(
+        spark,
+        [(1, f"{block} one tail"), (2, f"p1 p2 p3 p4 {block} two tail")],
+    )
+    got4 = {r.doc_id: r for r in SP.span_dedup(docs4, stride=4).collect()}
+    assert block not in got4[2].clean_text
+    assert got4[2].n_removed > 0
+    docs3 = _df(
+        spark,
+        [(1, f"{block} one tail"), (2, f"p1 p2 p3 {block} two tail")],
+    )
+    got3 = {r.doc_id: r for r in SP.span_dedup(docs3, stride=4).collect()}
+    assert block in got3[2].clean_text  # the honest miss at s=4
+    assert got3[2].n_removed == 0
+
+
+def test_overlapping_rebuild_matches_aligned_when_stride_equals_k(spark):
+    """stride == k routes through the aligned rebuild; forcing the
+    interval-merge path at the same geometry must be value-identical —
+    the two rebuild formulations agree wherever both are defined."""
+    rnd = random.Random(0x5EEDC)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 40))))
+        for i in range(60)
+    ]
+    docs = _df(spark, rows)
+    aligned = {
+        r.doc_id: (r.n_spans, r.n_removed, r.clean_text)
+        for r in SP.span_dedup(docs).collect()
+    }
+    # interval-merge path with aligned geometry: remove each non-kept
+    # window's token range — identical to dropping the window text,
+    # because aligned windows never overlap. (The remainder tail is
+    # never inside a window, so it survives both paths.) stride==k
+    # routes the public API to the aligned rebuild, so the mask path is
+    # driven directly via the replicated branch below.
+    v = SP.span_dedup_verdicts(docs)
+    per_doc_masked = {
+        r.doc_id: (r.n_spans, r.n_removed, r.clean_text)
+        for r in _masked_rebuild(docs, v, SP.SPAN_TOKENS).collect()
+    }
+    assert per_doc_masked == aligned
+
+
+def _masked_rebuild(docs, verdicts, k):
+    """span_dedup's interval-merge branch at aligned geometry (stride=k
+    routes the public API to the aligned path, so the branch's exact
+    expressions are replicated here against the SAME verdict frame)."""
+    from recon_spark.operators import text as T
+
+    staged = docs.select(
+        F.col("doc_id"), T.tokens("text").alias("__toks")
+    ).filter(F.col("__toks").isNotNull())
+    per_doc = verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_if(~F.col("keep")).alias("n_removed"),
+        F.array_sort(
+            F.collect_list(F.when(~F.col("keep"), F.col("pos") * k))
+        ).alias("__rm"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep") & (F.col("n_occ") > 1), F.col("pos") * k)
+            )
+        ).alias("__kp"),
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kp = F.coalesce(F.col("__kp"), F.array().cast("array<int>"))
+    clean_toks = F.filter(
+        F.col("__toks"),
+        lambda _tok, i: ~(
+            F.exists(rm, lambda st: (st <= i) & (i < st + k))
+            & ~F.exists(kp, lambda st: (st <= i) & (i < st + k))
+        ),
+    )
+    return staged.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(clean_toks, " ").alias("clean_text"),
+    )
+
+
+def test_overlapping_within_doc_periodic_text(spark):
+    """Periodic text: 'p q r s' repeated — overlapping windows flag the
+    later repeats as duplicates of the earlier offsets; the first k
+    tokens (the global first occurrences' coverage) must survive."""
+    docs = _df(spark, [(1, " ".join(["p", "q", "r", "s"] * 6))])  # 24 tokens
+    out = SP.span_dedup(docs, stride=4).collect()[0]
+    toks = out.clean_text.split()
+    assert toks[:8] == ["p", "q", "r", "s", "p", "q", "r", "s"]
+    assert out.n_removed > 0
+    assert len(toks) < 24
+
+
+def test_overlapping_no_dups_is_identity(spark):
+    docs = _df(
+        spark,
+        [(1, " ".join(f"u{i}" for i in range(20))),
+         (2, " ".join(f"v{i}" for i in range(5)))],
+    )
+    got = {r.doc_id: r for r in SP.span_dedup(docs, stride=2).collect()}
+    assert got[1].clean_text == " ".join(f"u{i}" for i in range(20))
+    assert got[1].n_removed == 0
+    assert got[2].clean_text == " ".join(f"v{i}" for i in range(5))
+    assert got[2].n_spans == 0
