@@ -689,7 +689,14 @@ bl_parity AS (
   FROM bl_verdicts
 )"""
 
-DEDUP_EXACT_SQL = f"""WITH {DOCS_AUG_CTE},
+#: body form WITHOUT the round-10 streaming-gate fold — the differential
+#: fuzz (tests/test_dedup_fuzz.py) drives the frame-level Spark body
+#: over random corpora against THIS constant; the gate replay gets its
+#: own dedicated oracle test (tests/test_bloom_gate_oracle.py) because
+#: it drains real availableNow streams per run. The GRADED
+#: DEDUP_EXACT_SQL (defined at module end, after bloom_gate_ctes) is
+#: this body CROSS JOINed with bgate_parity.
+DEDUP_EXACT_BODY_SQL = f"""WITH {DOCS_AUG_CTE},
 fp AS (
   SELECT doc_id, {fingerprint('text')} AS fingerprint FROM docs_aug
 ),
@@ -1478,3 +1485,147 @@ def gate_replay_ctes(
 )"""
     )
     return ",\n".join(parts)
+
+
+from ..streaming.bloom_gate import (  # noqa: E402
+    GATE_FOLD_BITS,
+    GATE_HASHES,
+    GATE_INBATCH_MOD,
+    GATE_INBATCH_OFFSET,
+)
+
+
+def bloom_gate_ctes(
+    n_batches: int = GATE_REPLAY_BATCHES,
+    n_bits: int = GATE_FOLD_BITS,
+    n_hashes: int = GATE_HASHES,
+) -> str:
+    """CTE chain ``bg_corpus, ..., bgate_parity`` replaying the
+    Bloom-backed streaming ingestion gate (streaming/bloom_gate.py,
+    round-10 zero-slot fold): the SAME deterministic replay corpus as
+    the signature gate's fold, with the batch-evolving BITSET unrolled
+    as per-batch accepted-position sets — batch b's 'seen_prior'
+    verdict is an all-``n_hashes``-positions-present probe against the
+    positions of every PRIOR batch's accepted fingerprints, so a
+    checksum mismatch means any verdict cell, any probe-position hash,
+    or any step of the store evolution diverged. ``bgate_parity`` also
+    counts the OVER-DROPS (seen_prior verdicts whose fingerprint no
+    prior batch actually accepted — the Bloom FP trade, deliberately
+    provoked by the small ``n_bits``). Embed after a WITH and CROSS
+    JOIN ``bgate_parity`` onto the host query's rows."""
+    tail = GATE_NEAR_TAIL.replace("'", "''")
+
+    def pos(j: int) -> str:
+        probe = hash32("fp || '#" + str(j) + "'")
+        return f"({probe} % {n_bits})"
+
+    parts = [
+        f"""bg_corpus AS MATERIALIZED (
+  SELECT doc_id % {n_batches} AS batch_id, doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT (doc_id + 1) % {n_batches}, doc_id + {GATE_EXACT_OFFSET}, text
+  FROM documents WHERE doc_id % {GATE_EXACT_MOD} = 0
+  UNION ALL
+  SELECT (doc_id + 2) % {n_batches}, doc_id + {GATE_NEAR_OFFSET}, text || '{tail}'
+  FROM documents WHERE doc_id % {GATE_NEAR_MOD} = 0
+  UNION ALL
+  SELECT doc_id % {n_batches}, doc_id + {GATE_INBATCH_OFFSET}, text
+  FROM documents WHERE doc_id % {GATE_INBATCH_MOD} = 0
+)""",
+        """bgpos0 AS (SELECT CAST(NULL AS BIGINT) AS pos WHERE false)""",
+    ]
+    def probe_union(src: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT id, {pos(j)} AS pos FROM {src} WHERE fp IS NOT NULL"
+            for j in range(n_hashes)
+        )
+    for b in range(n_batches):
+        parts.append(
+            f"""bgb{b}_fp AS MATERIALIZED (
+  SELECT id, {fingerprint('text')} AS fp FROM bg_corpus WHERE batch_id = {b}
+)"""
+        )
+        parts.append(
+            f"""bgb{b}_hits AS (
+  SELECT p.id,
+         count(*) FILTER (WHERE x.pos IS NOT NULL) AS nh
+  FROM (
+{probe_union(f'bgb{b}_fp')}
+  ) p LEFT JOIN (SELECT DISTINCT pos FROM bgpos{b}) x USING (pos)
+  GROUP BY p.id
+)"""
+        )
+        parts.append(
+            f"""bgb{b}_verdicts AS MATERIALIZED (
+  SELECT f.id, f.fp,
+         CASE WHEN COALESCE(h.nh, 0) = {n_hashes} THEN 'seen_prior'
+              WHEN f.id > fi.first_id THEN 'exact_dup_in_batch'
+              ELSE 'unique' END AS status,
+         CASE WHEN COALESCE(h.nh, 0) <> {n_hashes} AND f.id > fi.first_id
+              THEN fi.first_id END AS dup_of,
+         CAST({b} AS BIGINT) AS batch_id
+  FROM bgb{b}_fp f
+  LEFT JOIN bgb{b}_hits h USING (id)
+  LEFT JOIN (SELECT fp, min(id) AS first_id FROM bgb{b}_fp GROUP BY fp) fi
+    USING (fp)
+)"""
+        )
+        parts.append(
+            f"""bgpos{b + 1} AS MATERIALIZED (
+  SELECT pos FROM bgpos{b}
+  UNION
+  SELECT pos FROM (
+{probe_union(f'bgb{b}_fp')}
+  ) WHERE id IN (SELECT id FROM bgb{b}_verdicts WHERE status = 'unique')
+)"""
+        )
+    all_v = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM bgb{b}_verdicts" for b in range(n_batches)
+    )
+    ck = hash32(
+        "CAST(id AS VARCHAR) || '|' || status || '|' || "
+        "CAST(COALESCE(dup_of, -1) AS VARCHAR) || '|' || CAST(batch_id AS VARCHAR)"
+    )
+    parts.append(f"bgate_verdicts AS (\n{all_v}\n)")
+    parts.append(
+        f"""bgate_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bgate_verdicts,
+         CAST(count(*) FILTER (
+           WHERE v.status = 'seen_prior' AND NOT EXISTS (
+             SELECT 1 FROM bgate_verdicts a
+             WHERE a.status = 'unique' AND a.fp = v.fp
+               AND a.batch_id < v.batch_id
+           )
+         ) AS BIGINT) AS n_bgate_overdrop,
+         CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS bgate_ck
+  FROM bgate_verdicts v
+)"""
+    )
+    return ",\n".join(parts)
+
+
+#: graded dedup_exact_documents oracle (round 10): the simhash +
+#: bloom-membership body plus the Bloom streaming-gate replay fold —
+#: every output row carries (n_bgate_verdicts, n_bgate_overdrop,
+#: bgate_ck) recomputed from the unrolled batch-evolving bitset, so the
+#: real foreachBatch gate's three-drain verdict table is driver-graded
+#: at zero slot cost (r9 VERDICT task #6).
+DEDUP_EXACT_SQL = (
+    DEDUP_EXACT_BODY_SQL.replace(
+        "\nSELECT f.doc_id, f.fingerprint,",
+        f",\n{bloom_gate_ctes()}\n"
+        "SELECT f.doc_id, f.fingerprint,",
+        1,
+    )
+    .replace(
+        "bp.n_bloom_fp, bp.bloom_ck",
+        "bp.n_bloom_fp, bp.bloom_ck,\n"
+        "       bg.n_bgate_verdicts, bg.n_bgate_overdrop, bg.bgate_ck",
+        1,
+    )
+    .replace(
+        "CROSS JOIN bl_parity bp",
+        "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg",
+        1,
+    )
+)

@@ -100,6 +100,9 @@ def bloom_gate_writer(
 
         probed = BL.bloom_probe(fps, prior, "fp", n_bits, n_hashes, out="seen")
         firsts = fps.groupBy("fp").agg(F.min("id").alias("first_id"))
+        # persisted: the verdict plan re-reads the prior-bitmap store and
+        # re-probes otherwise, so deriving `accepted` from the lazy plan
+        # paid the probe twice per micro-batch (ADVICE r9)
         verdicts = (
             probed.join(firsts, "fp", "left")
             .select(
@@ -114,6 +117,7 @@ def bloom_gate_writer(
                 ).alias("dup_of"),
                 F.lit(batch_id).alias("__batch_id"),
             )
+            .persist()
         )
         (
             verdicts.write.mode("overwrite")
@@ -133,9 +137,99 @@ def bloom_gate_writer(
             .partitionBy("__batch_id")
             .parquet(store_dir)
         )
+        verdicts.unpersist()
         fps.unpersist()
 
     return apply_batch
+
+
+#: fold geometry: deliberately small bitset so the graded replay corpus
+#: produces over-drops (Bloom FPs) to checksum — same philosophy as
+#: operators/bloom.py's BLOOM_BITS fold default
+GATE_FOLD_BITS = 2048
+
+#: extra plant class for THIS gate's replay corpus: the shared
+#: signature-gate corpus plants exact copies one batch later (cross-
+#: batch), which never exercises the in-batch keep-first branch — so
+#: every GATE_INBATCH_MOD-th doc is also replanted verbatim in its OWN
+#: batch (constants mirrored by oracles/llm_sql.bloom_gate_ctes)
+GATE_INBATCH_MOD = 29
+GATE_INBATCH_OFFSET = 300_000
+
+
+def run_bloom_gate_replay(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    n_batches: int | None = None,
+    n_bits: int = GATE_FOLD_BITS,
+    n_hashes: int = GATE_HASHES,
+) -> DataFrame:
+    """Run the REAL ``foreachBatch`` Bloom gate over the deterministic
+    replay corpus (the SAME corpus the signature gate's graded fold
+    uses — streaming/dedup_ingest.gate_replay_corpus, organic docs in
+    doc_id%n batches plus planted cross/in-batch exact copies and
+    near-copy tails) — one sequential availableNow drain per batch, so
+    the bitmap store evolves batch-over-batch exactly as in production —
+    and return the verdict table ``(id, fp, status, dup_of, batch_id)``.
+
+    This is the round-10 zero-slot grading path (r9 VERDICT task #6):
+    the caller folds the verdicts to a checksum on a graded row and the
+    DuckDB oracle replays the whole batch-evolving bitset in unrolled
+    SQL (oracles/llm_sql.bloom_gate_ctes). Near-copy plants pass the
+    Bloom gate as 'unique' BY DESIGN (membership is equality, not
+    similarity — the module docstring's scope note), so the fold also
+    pins the gate's documented non-goal.
+
+    Verdicts are collected to a local frame (bounded: one row per
+    corpus document) so the temp store/checkpoint dirs can be removed
+    before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from .dedup_ingest import GATE_REPLAY_BATCHES, gate_replay_corpus
+
+    n = n_batches or GATE_REPLAY_BATCHES
+    did = F.col("doc_id")
+    inbatch = docs.filter(did % GATE_INBATCH_MOD == 0).select(
+        (did % n).alias("batch_id"),
+        (did + GATE_INBATCH_OFFSET).alias("id"),
+        "text",
+    )
+    corpus = gate_replay_corpus(docs, n).unionByName(inbatch).persist()
+    base = tempfile.mkdtemp(prefix="bloom_gate_replay_")
+    src, store, verdicts, ckpt = (
+        os.path.join(base, d) for d in ("src", "store", "verdicts", "ckpt")
+    )
+    try:
+        for b in range(n):
+            (
+                corpus.filter(F.col("batch_id") == b)
+                .select("id", "text")
+                .coalesce(1)
+                .write.mode("overwrite" if b == 0 else "append")
+                .parquet(src)
+            )
+            stream = spark.readStream.schema("id long, text string").parquet(src)
+            run_bloom_ingest(
+                stream, store, verdicts, ckpt,
+                id_col="id", n_bits=n_bits, n_hashes=n_hashes,
+            )
+        fps = corpus.select("id", T.fingerprint("text").alias("fp"))
+        rows = (
+            spark.read.parquet(verdicts)
+            .select("id", "status", "dup_of", F.col("__batch_id").alias("batch_id"))
+            .join(fps, "id")
+            .select("id", "fp", "status", "dup_of", "batch_id")
+            .collect()
+        )
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id long, fp string, status string, dup_of long, batch_id long"
+    )
 
 
 def run_bloom_ingest(

@@ -8,7 +8,9 @@ through the EXACT graded compositions —
   pair join's count/(id_a, id_b, hamming)-checksum parity columns —
 
 and through the VERBATIM grading SQL (llm_sql.NGRAM_JACCARD_SQL /
-DEDUP_EXACT_SQL, docs_aug planting included — registry.plant_duplicates
+DEDUP_EXACT_BODY_SQL (the graded SQL minus the streaming-gate
+fold, which drains real streams and has its own oracle test), docs_aug
+planting included — registry.plant_duplicates
 applies the identical doc_id-mod rules Spark-side), compared
 row-for-row. The graded gate covers fixture corpora, whose text is
 well-formed by construction; this drives tokenizer/hash corners at both
@@ -102,5 +104,5 @@ def test_simhash_parity_fold_differential_fuzz(spark):
             for r in registry.dedup_exact_with_simhash_parity(aug).collect()
         )
         spark.catalog.clearCache()
-        want = sorted(_oracle(rows, llm_sql.DEDUP_EXACT_SQL))
+        want = sorted(_oracle(rows, llm_sql.DEDUP_EXACT_BODY_SQL))
         assert got == want
