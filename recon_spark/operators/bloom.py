@@ -114,6 +114,12 @@ def bloom_probe(
     the (broadcast-sized) bitmap, and a key is seen iff its hit count
     equals ``n_hashes``. Engine-replayable: no literals, no driver
     state.
+
+    CONTRACT: rows of ``df`` must be unique — the probe restores input
+    rows via groupBy over all of ``df``'s columns, so fully-duplicate
+    rows collapse into one output row (ADVICE r9). Every caller here
+    passes an id-keyed frame; dedupe or add a row id first if yours
+    doesn't.
     """
     key = F.col(key_col)
     probes = F.array(

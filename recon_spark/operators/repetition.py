@@ -152,10 +152,20 @@ def gopher_repetition_flags(
     substrate: DataFrame,
     top_max: dict[int, float] | None = None,
     dup_max: dict[int, float] | None = None,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document pass/fail against Gopher Table A1's thresholds:
     top {2: .20, 3: .18, 4: .16}, dup {5: .15, 6: .14, 7: .13, 8: .12,
-    9: .11, 10: .10}. Returns (doc_id, repetition_ok, n_breaches)."""
+    9: .11, 10: .10}. Returns (doc_id, repetition_ok, n_breaches).
+
+    Documents shorter than min(n) tokens produce NO substrate rows, so
+    by default they are ABSENT from the output (a consumer joining on
+    repetition_ok would silently drop them — ADVICE r9). Pass the input
+    ``docs`` frame to re-anchor the flags on every document id: rows
+    with no substrate default to n_breaches=0 / repetition_ok=true (a
+    doc too short to form an n-gram cannot breach a repetition
+    threshold)."""
     top_max = top_max or {2: 0.20, 3: 0.18, 4: 0.16}
     dup_max = dup_max or {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
     breach = F.lit(False)
@@ -167,7 +177,19 @@ def gopher_repetition_flags(
         breach = breach | (
             (F.col("n") == n) & (F.col("dup_char_frac") > F.lit(lim))
         )
-    return substrate.groupBy("doc_id").agg(
+    flags = substrate.groupBy("doc_id").agg(
         F.count_if(breach).cast("long").alias("n_breaches"),
         (F.count_if(breach) == 0).alias("repetition_ok"),
+    )
+    if docs is None:
+        return flags
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_breaches"), F.lit(0)).cast("long").alias("n_breaches"),
+            F.coalesce(F.col("repetition_ok"), F.lit(True)).alias("repetition_ok"),
+        )
     )

@@ -169,6 +169,18 @@ def instrumented_engine_a(
 SKEW_FACTOR = 5.0
 
 
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int — platforms that let AQE
+    pick the count report a non-numeric value (e.g. Databricks "auto"),
+    which must fall back to the cluster's default parallelism rather
+    than raise mid-probe (ADVICE r9)."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def key_profile(
     df: DataFrame,
     key: str,
@@ -195,7 +207,7 @@ def key_profile(
     """
     spark = df.sparkSession
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = _shuffle_partitions(spark)
     top = (
         df.groupBy(key)
         .count()

@@ -175,3 +175,28 @@ def test_sessionize_auto_switches_on_measured_skew(spark):
     # the switched plan is the bucketed twin: value-identical to plain
     plain = sessions.sessionize(hot)
     assert out_hot.exceptAll(plain).union(plain.exceptAll(out_hot)).isEmpty()
+
+
+def test_key_profile_survives_auto_shuffle_partitions(spark):
+    """Platforms running AQE-managed partition counts report a
+    non-numeric spark.sql.shuffle.partitions (e.g. "auto" on
+    Databricks); the probe's partition lookup must fall back to
+    defaultParallelism instead of raising ValueError (ADVICE r9). OSS
+    Spark refuses to SET a non-numeric value, so the parse path is
+    driven through a stub session."""
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 8
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert manifest._shuffle_partitions(_Fake()) == 8
+    assert manifest._shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

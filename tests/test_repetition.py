@@ -105,3 +105,24 @@ def test_tfidf_repetition_fold_differential_fuzz(spark):
         want = sorted(con.sql(llm_sql.TFIDF_SQL).fetchall())
         con.close()
         assert got == want
+
+
+def test_flags_reanchor_includes_short_docs(spark):
+    """Docs shorter than min(n) tokens produce no substrate rows and are
+    absent from the bare flags output; docs= re-anchors them with the
+    pass-by-default verdict (ADVICE r9)."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, " ".join(["x y z w"] * 20))],
+        "doc_id long, text string",
+    )
+    sub = R.repetition_ngram_substrate(docs)
+    bare = {r.doc_id for r in R.gopher_repetition_flags(sub).collect()}
+    assert 1 not in bare  # the silent-drop footgun, pinned
+    full = {
+        r.doc_id: r
+        for r in R.gopher_repetition_flags(sub, docs=docs).collect()
+    }
+    assert set(full) == {1, 2, 3}
+    assert full[1].repetition_ok is True and full[1].n_breaches == 0
+    assert full[2].repetition_ok is True
+    assert full[3].repetition_ok is False  # pure repetition breaches
