@@ -88,8 +88,12 @@ def test_long_session_staged_persist_growth_bounded(spark):
             assert registry.QUERIES[name](spark, SF).count() > 0
             high_water = max(high_water, jsc.getPersistentRDDs().size())
     # at most the CURRENT query's staged frames are ever live; a leak
-    # would accumulate 2 laps x 3 queries of token/shingle caches
-    assert high_water <= 3
+    # would accumulate 2 laps x 3 queries of token/shingle caches.
+    # Bound = 4 since round 10: dedup_exact's Bloom-gate replay holds
+    # its replay corpus + one micro-batch's fps + verdicts persists
+    # concurrently mid-drain (all released before the builder returns —
+    # the zero-at-end assertion below is the leak check proper).
+    assert high_water <= 4
     # two-tier contract: the ledger releases registry-staged frames;
     # operator-internal persists (dedup.py module docstring) are
     # caller-owned and fall to clearCache, as bench/check_correctness do
