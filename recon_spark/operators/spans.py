@@ -58,10 +58,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as T
+from .dedup import _hash32
 
 #: default window width (tokens); 8 keeps multi-window docs common on
 #: the 10-100-token fixture documents
 SPAN_TOKENS = 8
+
+#: content-defined segmentation: expected segment length in tokens —
+#: a token CLOSES a segment when hash32(token) % CDC_P == 0
+CDC_P = 8
 
 
 def _span_strings(toks: Column, k: int, stride: int | None = None) -> Column:
@@ -273,4 +278,124 @@ def span_dedup(
                 F.concat_ws(" ", F.coalesce(F.col("__kept"), F.lit("")), remainder)
             ).alias("clean_text"),
         )
+    )
+
+
+# --- content-defined segmentation (round 10) ---------------------------------
+
+def cdc_spans(
+    docs: DataFrame,
+    p: int = CDC_P,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, span): CONTENT-DEFINED segments — a token closes a
+    segment when ``hash32(token) % p == 0`` (the rolling-hash breakpoint
+    rule from content-defined chunking / winnowing; Muthitacharoen et
+    al. 2001 LBFS, Schleimer et al. 2003). Expected segment length is
+    ``p`` tokens; ``pos`` is the segment's 0-based index in the doc.
+
+    Why this exists next to the fixed-window forms: breakpoints depend
+    ONLY on token content, so a duplicated block re-segments
+    IDENTICALLY at any token offset in any document — the property
+    C4's sentence unit gets from punctuation, recovered without
+    stride=1's k-times window blowup (interior segments of a shared
+    block always align; only the partial head/tail segments at the
+    block's edges differ — the standard CDC guarantee).
+
+    Scale shape: one posexplode to token rows, one running-count window
+    PARTITIONED BY doc (bounded per doc, never global), one (doc, seg)
+    groupBy — all keyed by doc_id, no cross-doc shuffle until the
+    caller's span-key aggregation. Engine-replayable: md5-derived
+    breakpoints, no JVM hashes.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+    ).filter(F.col("__toks").isNotNull())
+    tok = toked.select(
+        "doc_id", F.posexplode(F.col("__toks")).alias("idx", "tok")
+    )
+    brk = F.when((_hash32(F.col("tok")) % p) == 0, 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = F.coalesce(F.sum(brk).over(w), F.lit(0)).cast("int")
+    return (
+        tok.withColumn("pos", seg)
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("span")
+        )
+    )
+
+
+def cdc_span_dedup(
+    docs: DataFrame,
+    p: int = CDC_P,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_safe: bool = True,
+) -> DataFrame:
+    """Cleaned corpus over content-defined segments: every segment text
+    occurring more than once in the corpus is removed everywhere except
+    its global first occurrence (lowest doc_id, then lowest pos) — the
+    same C4 rule as :func:`span_dedup`, on the self-aligning unit.
+    Returns (doc_id, n_spans, n_removed, clean_text); segments
+    partition the token stream completely, so the rebuild is the
+    pos-ordered join of kept segments (no remainder tail).
+
+    Verdict computation reuses the hot-safe grouped first-occurrence
+    shape (two map-side-combinable aggs, no per-span-key ordered
+    window) — the same hot-key discipline as the fixed-window form.
+    """
+    spans = cdc_spans(docs, p, id_col, text_col)
+    if hot_safe:
+        first = spans.groupBy("span").agg(
+            F.min_by(
+                F.struct("doc_id", "pos"), F.struct("doc_id", "pos")
+            ).alias("__f")
+        )
+        verdicts = spans.join(first, "span").select(
+            "doc_id",
+            "pos",
+            "span",
+            (
+                (F.col("doc_id") == F.col("__f.doc_id"))
+                & (F.col("pos") == F.col("__f.pos"))
+            ).alias("keep"),
+        )
+    else:
+        w = Window.partitionBy("span").orderBy("doc_id", "pos")
+        verdicts = spans.withColumn("keep", F.row_number().over(w) == 1)
+    per_doc = verdicts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count_if(~F.col("keep")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
+                ),
+                lambda s: s.getField("span"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # docs whose token array is empty produce no segments -> re-anchor
+    # with the identity verdict (same contract as span_dedup)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
+    ).filter(F.col("__toks").isNotNull())
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

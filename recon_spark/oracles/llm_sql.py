@@ -1629,3 +1629,48 @@ DEDUP_EXACT_SQL = (
         1,
     )
 )
+
+
+def cdc_dedup_sql(p: int = _SP.CDC_P) -> str:
+    """Full replay of the content-defined-segmentation dedup
+    (operators/spans.py cdc_span_dedup, round 10): md5 breakpoint rule,
+    per-doc running segment count, first-occurrence verdicts, and the
+    pos-ordered kept-segment rebuild — compared cell-for-cell by
+    tests/test_spans.py's CDC differential fuzz (zero grading slot,
+    same discipline as the bloom-gate oracle). Reads ``documents``."""
+    return f"""WITH cdc_toked AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM documents
+  WHERE {tokens('text')} IS NOT NULL
+),
+cdc_tok AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT) + 1] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM cdc_toked)
+),
+cdc_seg AS (
+  SELECT doc_id, idx, tok,
+    CAST(COALESCE(SUM(CASE WHEN {hash32('tok')} % {p} = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS pos
+  FROM cdc_tok
+),
+cdc_spans AS (
+  SELECT doc_id, pos, string_agg(tok, ' ' ORDER BY idx) AS span
+  FROM cdc_seg GROUP BY doc_id, pos
+),
+cdc_verd AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
+  FROM cdc_spans
+),
+cdc_per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+         string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY pos) AS clean_text
+  FROM cdc_verd GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_removed, 0) AS n_removed,
+       COALESCE(p.clean_text, '') AS clean_text
+FROM cdc_toked t LEFT JOIN cdc_per_doc p USING (doc_id)"""

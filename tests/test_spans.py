@@ -274,3 +274,73 @@ def test_overlapping_no_dups_is_identity(spark):
     assert got[1].n_removed == 0
     assert got[2].clean_text == " ".join(f"v{i}" for i in range(5))
     assert got[2].n_spans == 0
+
+
+# --- content-defined segmentation (round 10) ---------------------------------
+
+
+def test_cdc_segments_partition_tokens_and_align_anywhere(spark):
+    """The CDC property the operator exists for: a duplicated block
+    re-segments identically at ANY token offset (breakpoints depend on
+    content only), so cdc_span_dedup removes an offset-3 shifted copy
+    the aligned window form misses — without stride=1's k-times window
+    blowup. Interior segments align; only partial edge segments differ."""
+    block = " ".join(f"b{i}" for i in range(32))
+    docs = _df(
+        spark,
+        [
+            (1, f"{block} first doc tail"),
+            (2, f"pre amb le {block} second doc tail"),
+        ],
+    )
+    got = {r.doc_id: r for r in SP.cdc_span_dedup(docs).collect()}
+    # segments partition the stream: doc 1's rebuild with nothing
+    # removed is the normalized original
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == f"{block} first doc tail"
+    # the shifted copy loses every interior shared segment
+    assert block not in got[2].clean_text
+    assert got[2].n_removed > 0
+    assert "second doc tail" in got[2].clean_text or "tail" in got[2].clean_text
+
+
+def test_cdc_dedup_differential_fuzz(spark):
+    """Random ugly corpora through cdc_span_dedup vs the VERBATIM
+    cdc_dedup_sql replay — breakpoint hashes, per-doc running segment
+    count, first-occurrence order, and the rebuilt text must all agree
+    (zero-slot oracle discipline, as for the bloom gate)."""
+    from tests.test_dedup_fuzz import _corpus
+
+    rnd = random.Random(0x5EEDD)
+    for _trial in range(3):
+        rows = _corpus(rnd, 70)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.n_spans, r.n_removed, r.clean_text)
+            for r in SP.cdc_span_dedup(docs).collect()
+        )
+        spark.catalog.clearCache()
+        want = sorted(_oracle(rows, llm_sql.cdc_dedup_sql()))
+        assert got == want
+
+
+def test_cdc_hot_safe_matches_window_form(spark):
+    rnd = random.Random(11)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 30))))
+        for i in range(60)
+    ]
+    docs = _df(spark, rows)
+    a = sorted(map(tuple, SP.cdc_span_dedup(docs, hot_safe=True).collect()))
+    b = sorted(map(tuple, SP.cdc_span_dedup(docs, hot_safe=False).collect()))
+    assert a == b
+    assert any(t[2] > 0 for t in a)  # tiny vocab guarantees removals
+
+
+def test_cdc_short_null_empty_docs(spark):
+    docs = _df(spark, [(1, "solo"), (2, None), (3, ""), (4, "   ")])
+    got = {r.doc_id: r for r in SP.cdc_span_dedup(docs).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[1].clean_text == "solo" and got[1].n_spans == 1
+    assert got[3].clean_text == "" and got[3].n_spans == 0
