@@ -1,0 +1,178 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+*Data Selection for Language Models via Importance Resampling*,
+NeurIPS). Given a large RAW corpus and a small TARGET corpus (the
+distribution you want more of — e.g. curated reference text), score
+every raw document by how much more likely its hashed n-gram features
+are under the target's bag-of-features model than under the raw
+model, and keep the highest-importance documents.
+
+The paper's recipe, re-expressed Spark-first:
+
+1. **Features** — unigrams + bigrams hashed into ``n_buckets`` buckets
+   (the paper uses hashed n-grams precisely so the feature space is
+   fixed-size and the models are two count vectors, not vocabularies).
+   Here the hash is the repo-standard md5-derived :func:`~.dedup._hash32`
+   so the DuckDB oracle replays bucket assignment bit-for-bit.
+2. **Models** — unigram bag models over buckets with Laplace smoothing
+   ``alpha``: ``p(f) = (count_f + alpha) / (total + alpha * n_buckets)``.
+   Each model is at most ``n_buckets`` rows -> broadcast.
+3. **Importance** — per raw doc, ``log w = sum_f c_f * (log p_target(f)
+   - log p_raw(f))``. Selection = deterministic top-k by
+   ``(log_weight desc, doc_id)``. (The paper resamples with Gumbel
+   noise; the deterministic rank is the replayable default and the
+   paper's own ablation shows top-k ~ resampling at small temperature.
+   Seeded Gumbel can be layered on by the caller via an md5 uniform.)
+
+Parity discipline (same split as the Gopher battery): the INTEGER
+substrate — bucket assignment, per-doc feature counts, per-model bucket
+totals — is differential-fuzzed against a verbatim DuckDB replay
+(oracles/llm_sql.dsir_features_sql, tests/test_dsir.py); the float
+log-weight layer is pytest-graded against an independent numpy
+recomputation (float log across engines is last-ulp territory, the
+same reason the LM perplexity floats are pytest-graded).
+
+Scale shape (100 TB): feature extraction is one explode + one
+(doc, bucket) groupBy — map-side combinable, partitioned by the doc
+key; both models are bounded at ``n_buckets`` rows (broadcast); the
+scoring join is raw-features x broadcast(model), one narrow stage; the
+final top-k/threshold is the same two-phase distributed rank every
+other selection operator here uses. Nothing global except the two
+bounded count vectors.
+
+Reference parity: no reference counterpart — beyond-reference
+LLM-pipeline surface (data mixing/selection family, next to
+data_mixing_weights and the perplexity filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+from .dedup import _hash32
+
+#: feature-space size: the paper uses 10k hashed buckets; 4096 keeps
+#: the broadcast tables trivially small while leaving the fixture
+#: corpus's ~31-token vocabulary + bigrams well spread
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 1.0
+
+
+def _bigrams(toks: Column) -> Column:
+    """Token bigrams joined with a single space; empty below 2 tokens."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_features(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, cnt) — hashed unigram+bigram counts per doc.
+    Null-text docs produce no rows (no features, importance 0 — the
+    caller's join anchors them)."""
+    toks = T.tokens(text_col)
+    feats = F.concat(toks, _bigrams(toks))
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), feats.alias("__f"))
+        .filter(F.col("__f").isNotNull())
+        .select("doc_id", F.explode("__f").alias("feat"))
+    )
+    return (
+        exploded.withColumn("bucket", (_hash32(F.col("feat")) % n_buckets).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_bucket_counts(features: DataFrame) -> DataFrame:
+    """(bucket, cnt) model substrate — at most n_buckets rows."""
+    return features.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_feats, log_weight): per raw document, the importance
+    log-ratio under the two Laplace-smoothed hashed-feature models.
+    Docs with no features (null/empty text) anchor at log_weight 0.0.
+    """
+    raw_feats = dsir_features(raw_docs, n_buckets, id_col, text_col)
+    t_counts = dsir_bucket_counts(
+        dsir_features(target_docs, n_buckets, id_col, text_col)
+    )
+    r_counts = dsir_bucket_counts(raw_feats)
+    t_total = t_counts.agg(F.sum("cnt").alias("__tt"))
+    r_total = r_counts.agg(F.sum("cnt").alias("__rt"))
+    model = (
+        r_counts.withColumnRenamed("cnt", "r_cnt")
+        .join(t_counts.withColumnRenamed("cnt", "t_cnt"), "bucket", "full")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__rt") + F.lit(alpha * n_buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        raw_feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )
+    base = raw_docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic top-k selection by (log_weight desc, doc_id asc):
+    (doc_id, n_feats, log_weight, rank). At 100 TB replace the single
+    global window with the two-phase distributed rank (ranking.py) —
+    here k is config-cardinality and the weights frame is one row per
+    doc, so the window input is already the reduced form."""
+    w = dsir_log_weights(
+        raw_docs, target_docs, n_buckets, alpha, id_col, text_col
+    )
+    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

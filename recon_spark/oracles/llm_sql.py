@@ -1674,3 +1674,32 @@ SELECT t.doc_id,
        COALESCE(p.n_removed, 0) AS n_removed,
        COALESCE(p.clean_text, '') AS clean_text
 FROM cdc_toked t LEFT JOIN cdc_per_doc p USING (doc_id)"""
+
+
+from ..operators import dsir as _DSIR  # noqa: E402
+
+
+def dsir_features_sql(n_buckets: int = _DSIR.DSIR_BUCKETS) -> str:
+    """Verbatim replay of DSIR's integer substrate (operators/dsir.py
+    dsir_features over ``documents``): tokenization, unigram+bigram
+    feature stream, md5 bucket assignment, per-doc counts. The float
+    log-weight layer is pytest-graded against numpy (same split as the
+    Gopher battery's integer fold vs float flags)."""
+    return f"""WITH dsir_tok AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM documents
+  WHERE {tokens('text')} IS NOT NULL
+),
+dsir_feat AS (
+  SELECT doc_id, unnest(list_concat(
+    toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END
+  )) AS feat
+  FROM dsir_tok
+)
+SELECT doc_id,
+       CAST({hash32('feat')} % {n_buckets} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dsir_feat
+GROUP BY doc_id, bucket"""

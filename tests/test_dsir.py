@@ -1,0 +1,105 @@
+"""DSIR importance resampling (operators/dsir.py): integer-substrate
+differential fuzz vs the verbatim DuckDB replay, float log-weights vs
+an independent numpy recomputation, and the planted selection property
+the operator exists for (target-like raw docs outrank the rest)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from recon_spark.operators import dsir
+from recon_spark.oracles import llm_sql
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _oracle(rows, sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    out = con.sql(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_features_differential_fuzz(spark):
+    """Random ugly corpora through dsir_features vs the VERBATIM
+    dsir_features_sql — tokenization, bigram stream, md5 bucket
+    assignment and per-doc counts must all agree."""
+    from tests.test_dedup_fuzz import _corpus
+
+    rnd = random.Random(0x5EEDE1)
+    for _trial in range(3):
+        rows = _corpus(rnd, 70)
+        docs = _df(spark, rows)
+        got = sorted(
+            (r.doc_id, r.bucket, r.cnt)
+            for r in dsir.dsir_features(docs).collect()
+        )
+        spark.catalog.clearCache()
+        want = sorted(_oracle(rows, llm_sql.dsir_features_sql()))
+        assert got == want
+
+
+def test_log_weights_match_numpy_recompute(spark):
+    """The float layer, independently recomputed: Laplace-smoothed bag
+    models over the SAME hashed features -> per-doc log ratio."""
+    rnd = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    raw_rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 12))))
+        for i in range(40)
+    ]
+    tgt_rows = [(100 + i, "alpha beta alpha") for i in range(5)]
+    raw, tgt = _df(spark, raw_rows), _df(spark, tgt_rows)
+    got = {r.doc_id: r.log_weight for r in dsir.dsir_log_weights(raw, tgt).collect()}
+
+    B, a = dsir.DSIR_BUCKETS, dsir.DSIR_ALPHA
+    rf = {(r.doc_id, r.bucket): r.cnt for r in dsir.dsir_features(raw).collect()}
+    tf = {}
+    for r in dsir.dsir_features(tgt).collect():
+        tf[r.bucket] = tf.get(r.bucket, 0) + r.cnt
+    rc = {}
+    for (_d, b), c in rf.items():
+        rc[b] = rc.get(b, 0) + c
+    T, R = sum(tf.values()), sum(rc.values())
+    want = {d: 0.0 for d, _t in raw_rows}
+    for (d, b), c in rf.items():
+        lr = math.log((tf.get(b, 0) + a) / (T + a * B)) - math.log(
+            (rc.get(b, 0) + a) / (R + a * B)
+        )
+        want[d] = want.get(d, 0.0) + c * lr
+    for d, w in want.items():
+        assert got[d] == pytest.approx(w, abs=1e-9)
+
+
+def test_select_prefers_target_like_docs(spark):
+    """The operator's reason to exist: raw docs drawn from the target
+    distribution outrank off-distribution docs."""
+    on = [(i, "alpha beta alpha beta gamma") for i in range(10)]
+    off = [(100 + i, "zeta eta theta iota kappa") for i in range(10)]
+    raw = _df(spark, on + off)
+    tgt = _df(spark, [(900 + i, "alpha beta gamma alpha beta") for i in range(4)])
+    top = dsir.dsir_select(raw, tgt, k=10).collect()
+    assert {r.doc_id for r in top} == {i for i, _ in on}
+    # rank is the deterministic (weight desc, doc_id) order
+    assert [r.rank for r in sorted(top, key=lambda r: r.doc_id)] == list(range(1, 11))
+
+
+def test_null_empty_docs_anchor_at_zero(spark):
+    # doc 4 skews the raw model away from the target so doc 3's ratio
+    # is strictly positive (raw == target would be exactly 0)
+    raw = _df(spark, [(1, None), (2, ""), (3, "alpha beta"), (4, "zeta eta")])
+    tgt = _df(spark, [(9, "alpha beta")])
+    got = {r.doc_id: r for r in dsir.dsir_log_weights(raw, tgt).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].n_feats == 0 and got[1].log_weight == 0.0
+    assert got[2].n_feats == 0 and got[2].log_weight == 0.0
+    assert got[3].log_weight > 0.0  # exactly the target text
+    assert got[4].log_weight < 0.0  # off-distribution
