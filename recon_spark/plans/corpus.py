@@ -32,6 +32,8 @@ def build_training_corpus(
     perplexity_keep: float | None = None,
     perplexity_ref: DataFrame | None = None,
     boilerplate_spans: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -49,6 +51,11 @@ def build_training_corpus(
     quality and create spurious near-dup pairs). NOTE: the stage edits
     text, so document fingerprints downstream are fingerprints of the
     CLEANED text by construction.
+
+    ``dsir_target`` + ``dsir_keep`` (round 10) append DSIR importance
+    selection (operators/dsir.py) as the LAST filter: of the cleaned
+    survivors, keep the ``dsir_keep`` documents whose hashed-n-gram
+    importance log-ratio toward the target distribution is highest.
     NOTE: the perplexity stage runs the threshold percentile eagerly
     (one driver action over the scored frame); every other stage stays
     lazy.
@@ -142,6 +149,19 @@ def build_training_corpus(
         )
         scored.unpersist()
         kept = kept.join(keep_ids, id_col, "left_semi")
+
+    if dsir_target is not None and dsir_keep is not None:
+        # DSIR selection (round 10, operators/dsir.py): keep the
+        # dsir_keep survivors whose hashed-n-gram importance under the
+        # target distribution is highest — runs AFTER quality/dedup/
+        # perplexity so the raw model is fit on the already-cleaned
+        # pool (the paper's setup: selection is the last filter).
+        from ..operators import dsir as _dsir
+
+        picked = _dsir.dsir_select(
+            kept, dsir_target, k=dsir_keep, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        kept = kept.join(picked, id_col, "left_semi")
 
     split = sampling.with_split(kept, id_col=id_col)
     return packing.pack_sequences(

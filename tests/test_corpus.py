@@ -128,3 +128,37 @@ def test_boilerplate_span_stage_dedups_through_pipeline(spark):
     # occurrence); doc 3 loses body_b (doc 2 pos 1 is its first
     # occurrence), goes empty, and the quality gate drops it
     assert stage_ids == {1, 2, 4}
+
+
+def test_corpus_dsir_stage_keeps_target_like_survivors(spark):
+    """dsir_target+dsir_keep as the LAST filter: of the cleaned
+    survivors, exactly dsir_keep remain and they are the target-like
+    ones (operators/dsir.py selection run on the post-dedup pool)."""
+    on = [
+        (i, "alpha beta gamma delta " + " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(8)
+    ]
+    off = [
+        (100 + i, "zeta eta theta iota " + " ".join(f"q{i}y{j}" for j in range(8)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(on + off, "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(900 + i, "alpha beta gamma delta alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    base_ids = {
+        r.doc_id for r in corpus.build_training_corpus(docs, budget=64).collect()
+    }
+    picked = {
+        r.doc_id
+        for r in corpus.build_training_corpus(
+            docs, budget=64, dsir_target=tgt, dsir_keep=8
+        ).collect()
+    }
+    assert len(picked) == 8
+    assert picked <= base_ids
+    assert picked == {i for i, _ in on if i in base_ids} or picked == {
+        i for i, _ in on
+    }
+    spark.catalog.clearCache()
