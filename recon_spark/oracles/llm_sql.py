@@ -1323,6 +1323,71 @@ sp_parity AS (
     )}), 0) AS BIGINT) FROM sp_clean) AS span_clean_ck
 )"""
 
+def cdc_parity_ctes(src: str = "docs_aug", p: int = _SP.CDC_P) -> str:
+    """CTE chain ``cdc_toked .. cdc_out, cdc_parity`` replaying the
+    content-defined-segmentation dedup (operators/spans.py
+    cdc_span_dedup) over ``src``: md5 breakpoint rule, per-doc running
+    segment count, first-occurrence verdicts, pos-ordered rebuild, and
+    a (removed-count, checksum) parity over the anchored per-doc
+    output. Embed after a WITH and CROSS JOIN ``cdc_parity``."""
+    ck = hash32(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(n_spans AS VARCHAR) || '|' "
+        "|| CAST(n_removed AS VARCHAR) || '|' || clean_text"
+    )
+    return f"""cdc_toked AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM {src}
+  WHERE {tokens('text')} IS NOT NULL
+),
+cdc_tok AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT) + 1] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM cdc_toked)
+),
+cdc_seg AS (
+  SELECT doc_id, idx, tok,
+    CAST(COALESCE(SUM(CASE WHEN {hash32('tok')} % {p} = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS pos
+  FROM cdc_tok
+),
+cdc_spans AS (
+  SELECT doc_id, pos, string_agg(tok, ' ' ORDER BY idx) AS span
+  FROM cdc_seg GROUP BY doc_id, pos
+),
+cdc_verd AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
+  FROM cdc_spans
+),
+cdc_per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+         string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY pos) AS clean_text
+  FROM cdc_verd GROUP BY doc_id
+),
+cdc_out AS (
+  SELECT t.doc_id,
+         COALESCE(d.n_spans, 0) AS n_spans,
+         COALESCE(d.n_removed, 0) AS n_removed,
+         COALESCE(d.clean_text, '') AS clean_text
+  FROM cdc_toked t LEFT JOIN cdc_per_doc d USING (doc_id)
+),
+cdc_parity AS (
+  SELECT CAST(COALESCE(SUM(n_removed), 0) AS BIGINT) AS n_cdc_removed,
+         CAST(COALESCE(SUM({ck}), 0) AS BIGINT) AS cdc_ck
+  FROM cdc_out
+)"""
+
+
+def cdc_dedup_sql(p: int = _SP.CDC_P) -> str:
+    """Full per-doc replay of cdc_span_dedup over ``documents`` — the
+    CDC differential fuzz's oracle (tests/test_spans.py)."""
+    return (
+        f"WITH {cdc_parity_ctes(src='documents', p=p)}\n"
+        "SELECT doc_id, n_spans, n_removed, clean_text FROM cdc_out"
+    )
+
+
 CHUNK_DOCS_SQL = f"""WITH t AS (
   SELECT doc_id, {tokens('text')} AS toks FROM documents
 ),
@@ -1335,15 +1400,17 @@ starts AS (
   FROM nz
 ),
 {DOCS_AUG_CTE},
-{SPAN_DEDUP_CTES}
+{SPAN_DEDUP_CTES},
+{cdc_parity_ctes()}
 SELECT doc_id,
   CAST(tok_start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
   CAST(tok_start AS BIGINT) AS tok_start,
   CAST(tok_start + least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS tok_end,
   CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_tokens,
   array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text,
-  p.n_span_removed, p.span_verdict_ck, p.span_clean_ck
-FROM starts CROSS JOIN sp_parity p"""
+  p.n_span_removed, p.span_verdict_ck, p.span_clean_ck,
+  cp.n_cdc_removed, cp.cdc_ck
+FROM starts CROSS JOIN sp_parity p CROSS JOIN cdc_parity cp"""
 
 
 # --- streaming ingestion gate replay (graded fold, VERDICT r8 #6) ------------
@@ -1631,51 +1698,6 @@ DEDUP_EXACT_SQL = (
 )
 
 
-def cdc_dedup_sql(p: int = _SP.CDC_P) -> str:
-    """Full replay of the content-defined-segmentation dedup
-    (operators/spans.py cdc_span_dedup, round 10): md5 breakpoint rule,
-    per-doc running segment count, first-occurrence verdicts, and the
-    pos-ordered kept-segment rebuild — compared cell-for-cell by
-    tests/test_spans.py's CDC differential fuzz (zero grading slot,
-    same discipline as the bloom-gate oracle). Reads ``documents``."""
-    return f"""WITH cdc_toked AS (
-  SELECT doc_id, {tokens('text')} AS toks FROM documents
-  WHERE {tokens('text')} IS NOT NULL
-),
-cdc_tok AS (
-  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT) + 1] AS tok
-  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM cdc_toked)
-),
-cdc_seg AS (
-  SELECT doc_id, idx, tok,
-    CAST(COALESCE(SUM(CASE WHEN {hash32('tok')} % {p} = 0 THEN 1 ELSE 0 END)
-      OVER (PARTITION BY doc_id ORDER BY idx
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS pos
-  FROM cdc_tok
-),
-cdc_spans AS (
-  SELECT doc_id, pos, string_agg(tok, ' ' ORDER BY idx) AS span
-  FROM cdc_seg GROUP BY doc_id, pos
-),
-cdc_verd AS (
-  SELECT doc_id, pos, span,
-         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
-  FROM cdc_spans
-),
-cdc_per_doc AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_spans,
-         CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
-         string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY pos) AS clean_text
-  FROM cdc_verd GROUP BY doc_id
-)
-SELECT t.doc_id,
-       COALESCE(p.n_spans, 0) AS n_spans,
-       COALESCE(p.n_removed, 0) AS n_removed,
-       COALESCE(p.clean_text, '') AS clean_text
-FROM cdc_toked t LEFT JOIN cdc_per_doc p USING (doc_id)"""
-
-
 from ..operators import dsir as _DSIR  # noqa: E402
 
 
@@ -1703,3 +1725,33 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS cnt
 FROM dsir_feat
 GROUP BY doc_id, bucket"""
+
+
+#: graded data_mixing_weights oracle (round 10): the mixing table plus
+#: the DSIR integer-substrate fold — every row carries (n_dsir_rows,
+#: dsir_ck), a checksum over the full hashed-feature table (doc_id,
+#: bucket, cnt) recomputed by dsir_features_sql, so tokenization, the
+#: bigram stream, md5 bucket assignment, and per-doc counts are all
+#: driver-graded at zero slot cost. (The float log-weight layer stays
+#: pytest-graded vs numpy — tests/test_dsir.py.)
+_DSIR_CK = hash32(
+    "CAST(doc_id AS VARCHAR) || '|' || CAST(bucket AS VARCHAR) || '|' "
+    "|| CAST(cnt AS VARCHAR)"
+)
+
+MIXING_WEIGHTS_SQL = f"""WITH per AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len({tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per),
+dsirf AS ({dsir_features_sql()}),
+dsir_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dsir_rows,
+         CAST(COALESCE(SUM({_DSIR_CK}), 0) AS BIGINT) AS dsir_ck
+  FROM dsirf
+)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+  CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros,
+  dp.n_dsir_rows, dp.dsir_ck
+FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp"""

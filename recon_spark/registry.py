@@ -1200,14 +1200,37 @@ def q_privacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing table: per (lang, source) doc/token tallies and each
     cell's token share — the input to a data-mixture sampling config.
-    One groupBy + a 1-row broadcast total."""
+    One groupBy + a 1-row broadcast total.
+
+    Round-10 fold: DSIR's integer substrate (operators/dsir.py — hashed
+    unigram+bigram features, the data-selection sibling of this mixing
+    table) is drive-graded at zero slot cost through (n_dsir_rows,
+    dsir_ck): a checksum over the FULL (doc_id, bucket, cnt) feature
+    table, which the oracle recomputes from its own tokenize + bigram
+    stream + md5 bucket assignment (llm_sql.dsir_features_sql). The
+    float log-weight layer stays pytest-graded vs numpy."""
+    from .operators import dsir as _dsir
+
     docs = _load_table(spark, sf_dir, "documents")
     per = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
     )
     tot = per.agg(F.sum("n_tokens").alias("t"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    feats = _dsir.dsir_features(docs)
+    d_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("cnt").cast("string"),
+        )
+    )
+    dsir_parity = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dsir_rows"),
+        F.coalesce(F.sum(d_ck), F.lit(0)).cast("long").alias("dsir_ck"),
+    )
+    return per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dsir_parity)).select(
         "lang",
         "source",
         "n_docs",
@@ -1215,6 +1238,8 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / F.col("t") * 1_000_000)
         .cast("long")
         .alias("token_share_micros"),
+        "n_dsir_rows",
+        "dsir_ck",
     )
 
 
@@ -1439,7 +1464,32 @@ def chunk_docs_with_span_parity(docs: DataFrame, aug: DataFrame) -> DataFrame:
     p2 = clean.agg(
         F.coalesce(F.sum(c_ck), F.lit(0)).cast("long").alias("span_clean_ck")
     )
-    return out.crossJoin(F.broadcast(p1)).crossJoin(F.broadcast(p2))
+    # Round-10 fold: the CONTENT-DEFINED segmentation dedup
+    # (operators/spans.py cdc_span_dedup — the self-aligning span unit)
+    # is drive-graded at zero slot cost through (n_cdc_removed, cdc_ck):
+    # a checksum over the full anchored per-doc output (doc_id, n_spans,
+    # n_removed, clean_text), which the oracle recomputes from its own
+    # breakpoint hashes + running segment count + first-occurrence +
+    # pos-ordered rebuild (llm_sql.cdc_parity_ctes).
+    cdc = SP.cdc_span_dedup(aug)
+    cdc_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("n_spans").cast("string"),
+            F.col("n_removed").cast("string"),
+            F.col("clean_text"),
+        )
+    )
+    p3 = cdc.agg(
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("n_cdc_removed"),
+        F.coalesce(F.sum(cdc_ck), F.lit(0)).cast("long").alias("cdc_ck"),
+    )
+    return (
+        out.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .crossJoin(F.broadcast(p3))
+    )
 
 
 @register("dedup_exact_documents", llm_sql.DEDUP_EXACT_SQL)

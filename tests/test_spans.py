@@ -122,7 +122,7 @@ def test_span_parity_fold_differential_fuzz(spark):
             (
                 r.doc_id, r.chunk_id, r.tok_start, r.tok_end, r.n_tokens,
                 r.chunk_text, r.n_span_removed, r.span_verdict_ck,
-                r.span_clean_ck,
+                r.span_clean_ck, r.n_cdc_removed, r.cdc_ck,
             )
             for r in registry.chunk_docs_with_span_parity(docs, aug).collect()
         )
