@@ -288,6 +288,7 @@ def cdc_spans(
     p: int = CDC_P,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "fold",
 ) -> DataFrame:
     """(doc_id, pos, span): CONTENT-DEFINED segments — a token closes a
     segment when ``hash32(token) % p == 0`` (the rolling-hash breakpoint
@@ -303,15 +304,49 @@ def cdc_spans(
     block always align; only the partial head/tail segments at the
     block's edges differ — the standard CDC guarantee).
 
-    Scale shape: one posexplode to token rows, one running-count window
-    PARTITIONED BY doc (bounded per doc, never global), one (doc, seg)
-    groupBy — all keyed by doc_id, no cross-doc shuffle until the
-    caller's span-key aggregation. Engine-replayable: md5-derived
-    breakpoints, no JVM hashes.
+    Two value-identical physical forms (asserted in tests):
+
+    - ``method='fold'`` (default): ONE narrow per-doc array fold
+      (F.aggregate accumulating segments) + a segment posexplode — no
+      token-row explode, no per-doc window shuffle. Measured 2.6s ->
+      ~0.5s for the grading fold at sf0.1; per-doc cost is the array
+      appends, fine for web-scale docs (<~100k tokens).
+    - ``method='window'``: token posexplode + running-count window
+      partitioned by doc + (doc, seg) groupBy — the obvious relational
+      form the DuckDB oracle mirrors; prefer it only for pathological
+      single-document lengths where array reallocation would bite.
     """
     toked = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks")
     ).filter(F.col("__toks").isNotNull())
+    if method == "fold":
+        empty = F.array().cast("array<string>")
+        init = F.struct(empty.alias("segs"), empty.alias("cur"))
+
+        def step(acc, t):
+            cur2 = F.concat(acc.getField("cur"), F.array(t))
+            closed = F.struct(
+                F.concat(
+                    acc.getField("segs"), F.array(F.array_join(cur2, " "))
+                ).alias("segs"),
+                empty.alias("cur"),
+            )
+            open_ = F.struct(acc.getField("segs").alias("segs"), cur2.alias("cur"))
+            return F.when((_hash32(t) % p) == 0, closed).otherwise(open_)
+
+        def fin(acc):
+            return F.when(
+                F.size(acc.getField("cur")) > 0,
+                F.concat(
+                    acc.getField("segs"),
+                    F.array(F.array_join(acc.getField("cur"), " ")),
+                ),
+            ).otherwise(acc.getField("segs"))
+
+        segs = F.aggregate(F.col("__toks"), init, step, fin)
+        return toked.select(
+            "doc_id", F.posexplode(segs).alias("pos", "span")
+        )
     tok = toked.select(
         "doc_id", F.posexplode(F.col("__toks")).alias("idx", "tok")
     )

@@ -1400,17 +1400,15 @@ starts AS (
   FROM nz
 ),
 {DOCS_AUG_CTE},
-{SPAN_DEDUP_CTES},
-{cdc_parity_ctes()}
+{SPAN_DEDUP_CTES}
 SELECT doc_id,
   CAST(tok_start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
   CAST(tok_start AS BIGINT) AS tok_start,
   CAST(tok_start + least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS tok_end,
   CAST(least({CHUNK_TOKENS}, n - tok_start) AS BIGINT) AS n_tokens,
   array_to_string(list_slice(toks, tok_start + 1, tok_start + {CHUNK_TOKENS}), ' ') AS chunk_text,
-  p.n_span_removed, p.span_verdict_ck, p.span_clean_ck,
-  cp.n_cdc_removed, cp.cdc_ck
-FROM starts CROSS JOIN sp_parity p CROSS JOIN cdc_parity cp"""
+  p.n_span_removed, p.span_verdict_ck, p.span_clean_ck
+FROM starts CROSS JOIN sp_parity p"""
 
 
 # --- streaming ingestion gate replay (graded fold, VERDICT r8 #6) ------------
@@ -1680,19 +1678,21 @@ def bloom_gate_ctes(
 DEDUP_EXACT_SQL = (
     DEDUP_EXACT_BODY_SQL.replace(
         "\nSELECT f.doc_id, f.fingerprint,",
-        f",\n{bloom_gate_ctes()}\n"
+        f",\n{bloom_gate_ctes()},\n{cdc_parity_ctes(src='docs_aug')}\n"
         "SELECT f.doc_id, f.fingerprint,",
         1,
     )
     .replace(
         "bp.n_bloom_fp, bp.bloom_ck",
         "bp.n_bloom_fp, bp.bloom_ck,\n"
+        "       cp.n_cdc_removed, cp.cdc_ck,\n"
         "       bg.n_bgate_verdicts, bg.n_bgate_overdrop, bg.bgate_ck",
         1,
     )
     .replace(
         "CROSS JOIN bl_parity bp",
-        "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg",
+        "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg"
+        " CROSS JOIN cdc_parity cp",
         1,
     )
 )

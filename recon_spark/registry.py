@@ -1464,32 +1464,7 @@ def chunk_docs_with_span_parity(docs: DataFrame, aug: DataFrame) -> DataFrame:
     p2 = clean.agg(
         F.coalesce(F.sum(c_ck), F.lit(0)).cast("long").alias("span_clean_ck")
     )
-    # Round-10 fold: the CONTENT-DEFINED segmentation dedup
-    # (operators/spans.py cdc_span_dedup — the self-aligning span unit)
-    # is drive-graded at zero slot cost through (n_cdc_removed, cdc_ck):
-    # a checksum over the full anchored per-doc output (doc_id, n_spans,
-    # n_removed, clean_text), which the oracle recomputes from its own
-    # breakpoint hashes + running segment count + first-occurrence +
-    # pos-ordered rebuild (llm_sql.cdc_parity_ctes).
-    cdc = SP.cdc_span_dedup(aug)
-    cdc_ck = DD._hash32(
-        F.concat_ws(
-            "|",
-            F.col("doc_id").cast("string"),
-            F.col("n_spans").cast("string"),
-            F.col("n_removed").cast("string"),
-            F.col("clean_text"),
-        )
-    )
-    p3 = cdc.agg(
-        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("n_cdc_removed"),
-        F.coalesce(F.sum(cdc_ck), F.lit(0)).cast("long").alias("cdc_ck"),
-    )
-    return (
-        out.crossJoin(F.broadcast(p1))
-        .crossJoin(F.broadcast(p2))
-        .crossJoin(F.broadcast(p3))
-    )
+    return out.crossJoin(F.broadcast(p1)).crossJoin(F.broadcast(p2))
 
 
 @register("dedup_exact_documents", llm_sql.DEDUP_EXACT_SQL)
@@ -1520,9 +1495,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id)). The DuckDB oracle replays the whole state machine in
     unrolled SQL (llm_sql.bloom_gate_ctes), so a mismatch means any
     verdict cell, probe-position hash, or store-evolution step
-    diverged."""
+    diverged.
+
+    Round-10 fold #2: the CONTENT-DEFINED segmentation dedup
+    (operators/spans.py cdc_span_dedup — the self-aligning span unit)
+    is drive-graded through (n_cdc_removed, cdc_ck): a checksum over
+    its full anchored per-doc output (doc_id, n_spans, n_removed,
+    clean_text) over docs_aug, which the oracle recomputes from its own
+    breakpoint hashes + per-doc running segment count + first-occurrence
+    + pos-ordered rebuild (llm_sql.cdc_parity_ctes). Hosted HERE — a
+    correctness-lap-only row — rather than on the benched chunk query,
+    so the certificate costs zero bench wall time; the input is
+    repartitioned first (single-split fixture parquet would serialize
+    the per-doc fold, the gopher lesson)."""
     out = dedup_exact_with_simhash_parity(docs_aug(spark, sf_dir))
+    from .operators import spans as SP
     from .streaming import bloom_gate as BG
+
+    aug_rep = docs_aug(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cdc = SP.cdc_span_dedup(aug_rep)
+    cdc_ck_col = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("n_spans").cast("string"),
+            F.col("n_removed").cast("string"),
+            F.col("clean_text"),
+        )
+    )
+    cdc_parity = cdc.agg(
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("n_cdc_removed"),
+        F.coalesce(F.sum(cdc_ck_col), F.lit(0)).cast("long").alias("cdc_ck"),
+    )
+    out = out.crossJoin(F.broadcast(cdc_parity))
 
     docs = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
     v = BG.run_bloom_gate_replay(spark, docs)

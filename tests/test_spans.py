@@ -122,7 +122,7 @@ def test_span_parity_fold_differential_fuzz(spark):
             (
                 r.doc_id, r.chunk_id, r.tok_start, r.tok_end, r.n_tokens,
                 r.chunk_text, r.n_span_removed, r.span_verdict_ck,
-                r.span_clean_ck, r.n_cdc_removed, r.cdc_ck,
+                r.span_clean_ck,
             )
             for r in registry.chunk_docs_with_span_parity(docs, aug).collect()
         )
@@ -349,3 +349,19 @@ def test_cdc_short_null_empty_docs(spark):
     assert set(got) == {1, 3, 4}
     assert got[1].clean_text == "solo" and got[1].n_spans == 1
     assert got[3].clean_text == "" and got[3].n_spans == 0
+
+
+def test_cdc_fold_form_matches_window_form(spark):
+    """The narrow per-doc array fold (default) and the explode+window
+    relational form (the oracle's shape) must be value-identical."""
+    rnd = random.Random(17)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 40))))
+        for i in range(60)
+    ]
+    docs = _df(spark, rows)
+    a = sorted(map(tuple, SP.cdc_spans(docs, method="fold").collect()))
+    b = sorted(map(tuple, SP.cdc_spans(docs, method="window").collect()))
+    assert a == b
+    assert a  # non-empty
