@@ -346,12 +346,14 @@ NOTES["dedup_exact_documents"] = (
     "16-bit band equi-join) and the r9 Bloom membership replay — bitmap "
     "build is a bit_or aggregation bounded at n_bits/64 rows, probe is "
     "a broadcast equi-join; at scale the literal map-only probe "
-    "(bloom_contains_lit) replaces the join entirely. The r10 "
-    "streaming-gate fold adds three 1-row broadcast parities computed "
-    "from an EAGER three-drain availableNow replay inside the builder "
-    "(real foreachBatch gate, batch-evolving bitmap store); the replay "
-    "corpus is bounded (one row per document) and collected to a local "
-    "frame before the lazy plan is assembled."
+    "(bloom_contains_lit) replaces the join entirely. Two r10 folds "
+    "ride this row BECAUSE it is correctness-lap-only (unbenched), so "
+    "their certificates cost zero bench wall time: the streaming-gate "
+    "parity (EAGER three-drain availableNow replay inside the builder; "
+    "bounded corpus collected to a local frame before the lazy plan is "
+    "assembled) and the CDC segmentation parity (narrow per-doc "
+    "F.aggregate fold over a repartitioned input — the single-split "
+    "fixture lesson — plus the span-key first-occurrence aggs)."
 )
 
 NOTES["embedding_near_dup"] = (
