@@ -345,7 +345,13 @@ def ivfpq_topk_rerank(
     ``ivfpq_topk(..., k=n_candidates)`` frame — a caller that also
     serves the plain IVF-PQ top-k can derive it from the SAME shortlist
     (``rank <= k`` filter) and pay the coarse-route + ADC pipeline
-    once for both (ann_recall does this).
+    once for both (ann_recall does this). The frame must be the FULL
+    depth-``n_candidates`` shortlist, not a ``rank <= k`` cut of it
+    (the re-rank would then only reorder k candidates — validated
+    below via the rank column), and combining ``shortlist=`` with
+    codebook/codes kwargs raises: those only parameterize the ADC
+    pipeline this path skips, so accepting them would silently ignore
+    a caller's stale-codebook expectation (ADVICE r10).
 
     Recall@k is monotonically >= plain IVF-PQ's by construction: the ADC
     top-k is a subset of the ADC top-C shortlist, and any true neighbor
@@ -366,6 +372,19 @@ def ivfpq_topk_rerank(
         shortlist = ivfpq_topk(
             corpus, queries, n_candidates, id_col, vec_col, **ivfpq_kwargs
         )
+    elif ivfpq_kwargs:
+        raise ValueError(
+            "ivfpq_topk_rerank: shortlist= was supplied together with "
+            f"ADC-pipeline kwargs {sorted(ivfpq_kwargs)} — those only "
+            "affect how a shortlist is BUILT and would be silently "
+            "ignored; pass either a shortlist or the pipeline kwargs"
+        )
+    elif "rank" in shortlist.columns:
+        # clamp a DEEPER-than-requested shortlist to the documented
+        # depth so n_candidates stays authoritative either way; a
+        # shallower frame cannot be detected lazily (no action here) —
+        # that contract lives in the docstring above
+        shortlist = shortlist.filter(F.col("rank") <= n_candidates)
     shortlist = shortlist.select("query_id", "neighbor_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

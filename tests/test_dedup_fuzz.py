@@ -87,7 +87,7 @@ def test_ngram_parity_fold_differential_fuzz(spark):
         spark.catalog.clearCache()
         want = sorted(
             (a, b, round(j, 9), n, ck)
-            for a, b, j, n, ck in _oracle(rows, llm_sql.NGRAM_JACCARD_SQL)
+            for a, b, j, n, ck in _oracle(rows, llm_sql.NGRAM_JACCARD_PARITY_SQL)
         )
         assert got == want
 
@@ -100,7 +100,7 @@ def test_simhash_parity_fold_differential_fuzz(spark):
         aug = registry.plant_duplicates(docs)
         got = sorted(
             (r.doc_id, r.fingerprint, r.n_simhash_pairs, r.simhash_pairs_ck,
-             r.n_bloom_fp, r.bloom_ck)
+             r.n_pairs_prefix, r.prefix_pairs_ck, r.n_bloom_fp, r.bloom_ck)
             for r in registry.dedup_exact_with_simhash_parity(aug).collect()
         )
         spark.catalog.clearCache()

@@ -155,12 +155,13 @@ NOTES = {
         "the operator's comments: a pushed-down size() filter re-inlining "
         "the shingle subtree (12.3s vs 0.9s), and explode over an in-plan "
         "lambda expression evaluating outside codegen (16.2s vs 0.14s "
-        "from the cached array frame). Since round 8 the same plan also "
-        "RUNS the PPJoin prefix twin off the shared cached shingle frame "
-        "and cross-joins its 1-row pair-count + pair-set-checksum parity "
-        "aggregate onto every pair row (the BroadcastNestedLoopJoin at "
-        "the root; the oracle recomputes both from its own pairs) — the "
-        "priced zero-slot drive-grading fold, +4.4s steady at sf0.1."
+        "from the cached array frame). Rounds 8-10 this plan also ran "
+        "the PPJoin prefix twin as a parity fold (+4.4s steady at sf0.1 "
+        "— r10 VERDICT perf_weak #1); round 11 relocated that fold to "
+        "the correctness-only dedup_exact_documents row (the 9868bcd "
+        "CDC precedent), so this benched row now prices exactly one "
+        "candidate generator. The standalone ngram_jaccard_prefix bench "
+        "entry keeps the twin's own wall-time number."
     ),
     "sessionization_events": (
         "F.session_window groupBy — one shuffle on user_id (the session "
@@ -353,7 +354,13 @@ NOTES["dedup_exact_documents"] = (
     "bounded corpus collected to a local frame before the lazy plan is "
     "assembled) and the CDC segmentation parity (narrow per-doc "
     "F.aggregate fold over a repartitioned input — the single-split "
-    "fixture lesson — plus the span-key first-occurrence aggs)."
+    "fixture lesson — plus the span-key first-occurrence aggs). Round "
+    "11 relocates the PPJoin prefix-twin parity here from the benched "
+    "dedup_ngram_jaccard row (r10 perf_weak #1): one staged shingle "
+    "pass feeds the dfreq aggregate + per-doc top-p window + verify "
+    "join, folded to a 1-row broadcast. The gate replay is memoized "
+    "per (app, sf_dir) since r11, so only the first build pays the "
+    "three drains."
 )
 
 NOTES["embedding_near_dup"] = (
