@@ -224,3 +224,28 @@ def test_ivfpq_rerank_is_exact_order_of_shortlist(spark):
             key=lambda p: (-exact[p], p[1]),
         )[: len(rs)]
         assert [(r.query_id, r.neighbor_id) for r in rs] == want
+
+
+def test_ivfpq_rerank_rejects_shortlist_plus_pipeline_kwargs(spark):
+    """ADVICE r10 contract: passing shortlist= together with ADC-pipeline
+    kwargs (codebooks/codes) raises — those only parameterize how a
+    shortlist is BUILT and would otherwise be silently ignored. A deeper
+    shortlist than n_candidates is clamped via its rank column."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    shortlist = pq.ivfpq_topk(emb, q, k=pq.RERANK_C)
+    cb = pq.pq_codebooks(emb)
+    with pytest.raises(ValueError, match="codebooks"):
+        pq.ivfpq_topk_rerank(emb, q, k=10, shortlist=shortlist, codebooks=cb)
+    # clamp: a depth-C shortlist re-ranked at n_candidates=5 must only
+    # draw candidates from each query's ADC top-5
+    top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in shortlist.filter(F.col("rank") <= 5).collect()
+    }
+    out = pq.ivfpq_topk_rerank(
+        emb, q, k=3, n_candidates=5, shortlist=shortlist
+    ).collect()
+    assert out
+    for r in out:
+        assert (r.query_id, r.neighbor_id) in top5

@@ -365,3 +365,24 @@ def test_cdc_fold_form_matches_window_form(spark):
     b = sorted(map(tuple, SP.cdc_spans(docs, method="window").collect()))
     assert a == b
     assert a  # non-empty
+
+
+def test_cdc_fold_linear_on_long_doc(spark):
+    """ADVICE r10: the old fold accumulated segments via per-token
+    ``concat(acc, array(t))`` — O(n_tokens²) array copies per doc, so a
+    single 100k-token doc implied ~10^10 element copies on one task.
+    The round-11 breakpoint-positions + zip_with/slice build is O(n):
+    a 50k-token doc must complete quickly AND match the window form."""
+    import time
+
+    rnd = random.Random(23)
+    text = " ".join("w%d" % rnd.randrange(2000) for _ in range(50_000))
+    docs = _df(spark, [(1, text), (2, "short tail doc")])
+    t0 = time.time()
+    a = sorted(map(tuple, SP.cdc_spans(docs, method="fold").collect()))
+    fold_secs = time.time() - t0
+    b = sorted(map(tuple, SP.cdc_spans(docs, method="window").collect()))
+    assert a == b
+    assert len(a) > 100
+    # quadratic copying would take minutes here; linear is ~1-3s
+    assert fold_secs < 30
