@@ -1414,6 +1414,94 @@ def cdc_dedup_sql(p: int = _SP.CDC_P) -> str:
     )
 
 
+# --- exact-substring dedup (Lee et al. 2021, round 11) -----------------------
+
+from ..operators import exactsubstr as _ES  # noqa: E402
+
+#: offset-SHIFTED whole-block plants for the graded ExactSubstr row:
+#: every 40th document also appears with a 3-token doc-unique prefix,
+#: so the shared block sits at a DIFFERENT token offset — the exact
+#: case aligned-window dedup misses and stride-1 fingerprinting must
+#: catch (the plant's block is removed, its unique prefix survives).
+ESUB_SHIFT_MOD = 40
+ESUB_ID_OFFSET = 400_000
+
+ESUB_AUG_CTE = f"""esub_aug AS (
+  SELECT doc_id, text FROM docs_aug
+  UNION ALL
+  SELECT doc_id + {ESUB_ID_OFFSET},
+         'esq' || CAST(doc_id AS VARCHAR) || 'a esq' || CAST(doc_id AS VARCHAR)
+           || 'b esq' || CAST(doc_id AS VARCHAR) || 'c ' || text
+  FROM documents WHERE doc_id % {ESUB_SHIFT_MOD} = 0 AND text IS NOT NULL
+)"""
+
+
+def exact_substr_ctes(l: int = _ES.GRADE_TOKENS, src: str = "esub_aug") -> str:
+    """CTE chain ``es_base .. es_out`` replaying exact-substring dedup
+    (operators/exactsubstr.py) over ``src``: md5 stride-1 window
+    fingerprints, first-occurrence verdicts over the sorted index, and
+    the interval-masked rebuild (a token survives unless a removed
+    window covers it and no kept-DUPLICATED window does — the
+    kept-copy protection shared with span_dedup's stride path)."""
+    return f"""es_base AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM {src}
+  WHERE {tokens('text')} IS NOT NULL
+),
+es_idx AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - {l} + 1, 0))) AS i
+  FROM es_base
+),
+es_wins AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(toks, i + 1, i + {l}), ' ')) AS fp
+  FROM es_idx
+),
+es_rn AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n_occ
+  FROM es_wins
+),
+es_lists AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+         list(pos ORDER BY pos) FILTER (WHERE rn > 1) AS rm,
+         list(pos ORDER BY pos) FILTER (WHERE rn = 1 AND n_occ > 1) AS kp
+  FROM es_rn GROUP BY doc_id
+),
+es_out AS (
+  SELECT b.doc_id,
+         COALESCE(e.n_spans, 0) AS n_spans,
+         COALESCE(e.n_removed, 0) AS n_removed,
+         COALESCE(array_to_string(list_filter(b.toks, (t, i) ->
+           NOT (len(list_filter(COALESCE(e.rm, CAST([] AS INT[])),
+                  st -> st <= i - 1 AND i - 1 < st + {l})) > 0
+                AND len(list_filter(COALESCE(e.kp, CAST([] AS INT[])),
+                  st -> st <= i - 1 AND i - 1 < st + {l})) = 0)
+         ), ' '), '') AS clean_text
+  FROM es_base b LEFT JOIN es_lists e USING (doc_id)
+)"""
+
+
+def exact_substr_dedup_sql(l: int, src: str = "documents") -> str:
+    """Full per-doc replay over a bare ``src`` table — the differential
+    fuzz's oracle (tests/test_exactsubstr.py)."""
+    return (
+        f"WITH {exact_substr_ctes(l, src)}\n"
+        "SELECT doc_id, n_spans, n_removed, clean_text FROM es_out"
+    )
+
+
+#: graded dedup_exact_substr oracle: docs_aug plants (same-offset exact
+#: + near copies) PLUS the offset-shift plants, full row-level per-doc
+#: compare (not a checksum fold — the operator gets a first-class row).
+EXACT_SUBSTR_SQL = f"""WITH {DOCS_AUG_CTE},
+{ESUB_AUG_CTE},
+{exact_substr_ctes()}
+SELECT doc_id, n_spans, n_removed, clean_text FROM es_out"""
+
+
 CHUNK_DOCS_SQL = f"""WITH t AS (
   SELECT doc_id, {tokens('text')} AS toks FROM documents
 ),
@@ -1701,22 +1789,37 @@ def bloom_gate_ctes(
 #: bgate_ck) recomputed from the unrolled batch-evolving bitset, so the
 #: real foreachBatch gate's three-drain verdict table is driver-graded
 #: at zero slot cost (r9 VERDICT task #6).
+_ESUB_CK = hash32(
+    "CAST(doc_id AS VARCHAR) || '|' || CAST(n_spans AS VARCHAR) || '|' "
+    "|| CAST(n_removed AS VARCHAR) || '|' || clean_text"
+)
+
+_ESUB_PARITY_CTES = f"""{ESUB_AUG_CTE},
+{exact_substr_ctes()},
+es_parity AS (
+  SELECT CAST(COALESCE(SUM(n_removed), 0) AS BIGINT) AS n_esub_removed,
+         CAST(COALESCE(SUM({_ESUB_CK}), 0) AS BIGINT) AS esub_ck
+  FROM es_out
+)"""
+
 DEDUP_EXACT_SQL = _splice(
     _splice(
         _splice(
             DEDUP_EXACT_BODY_SQL,
             "\nSELECT f.doc_id, f.fingerprint,",
-            f",\n{bloom_gate_ctes()},\n{cdc_parity_ctes(src='docs_aug')}\n"
+            f",\n{bloom_gate_ctes()},\n{cdc_parity_ctes(src='docs_aug')},\n"
+            f"{_ESUB_PARITY_CTES}\n"
             "SELECT f.doc_id, f.fingerprint,",
         ),
         "bp.n_bloom_fp, bp.bloom_ck",
         "bp.n_bloom_fp, bp.bloom_ck,\n"
         "       cp.n_cdc_removed, cp.cdc_ck,\n"
+        "       ep.n_esub_removed, ep.esub_ck,\n"
         "       bg.n_bgate_verdicts, bg.n_bgate_overdrop, bg.bgate_ck",
     ),
     "CROSS JOIN bl_parity bp",
     "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg"
-    " CROSS JOIN cdc_parity cp",
+    " CROSS JOIN cdc_parity cp CROSS JOIN es_parity ep",
 )
 
 

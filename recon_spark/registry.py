@@ -1072,6 +1072,25 @@ def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def plant_shifted_blocks(docs: DataFrame) -> DataFrame:
+    """Offset-SHIFTED whole-block plants (mirrors llm_sql.ESUB_AUG_CTE's
+    second branch): every ESUB_SHIFT_MOD-th document reappears under an
+    offset id with a 3-token doc-unique prefix, so the shared block sits
+    at a different token offset — the case aligned-window dedup misses
+    and ExactSubstr's stride-1 fingerprints must catch."""
+    did = F.col("doc_id").cast("string")
+    return docs.filter(
+        (F.col("doc_id") % llm_sql.ESUB_SHIFT_MOD == 0)
+        & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + llm_sql.ESUB_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("esq"), did, F.lit("a esq"), did, F.lit("b esq"), did,
+            F.lit("c "), F.col("text"),
+        ).alias("text"),
+    )
+
+
 def plant_embedding_copies(emb: DataFrame) -> DataFrame:
     """Embeddings with planted exact copies (mirrors llm_sql.EMB_AUG_CTE
     so the embedding queries are self-validating)."""
@@ -1537,6 +1556,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SET. The standalone ``ngram_jaccard_prefix`` bench entry keeps the
     operator's wall-time accountability.
 
+    Round-11 fold #2: EXACTSUBSTR dedup (Lee et al. 2021;
+    operators/exactsubstr.py — r10 VERDICT task #4) drive-graded through
+    ``n_esub_removed`` + ``esub_ck``, a checksum over the full anchored
+    per-doc output (doc_id, n_spans, n_removed, clean_text) of
+    :func:`exact_substr_corpus_clean` — whose corpus adds the
+    offset-SHIFT plants, so the certificate pins the any-alignment
+    catch; the oracle replays windows, verdicts and the interval mask
+    itself (llm_sql.exact_substr_ctes).
+
     Build-time note (ADVICE r10): run_bloom_gate_replay drains three
     REAL availableNow streams, which cannot be expressed lazily — the
     verdict frame is memoized per (app, sf_dir) below so only the first
@@ -1562,6 +1590,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(cdc_ck_col), F.lit(0)).cast("long").alias("cdc_ck"),
     )
     out = out.crossJoin(F.broadcast(cdc_parity))
+
+    # round-11 fold #2 (r10 VERDICT task #4): EXACTSUBSTR dedup (Lee et
+    # al. 2021) — sorted md5 window-fingerprint index + interval-masked
+    # rebuild (operators/exactsubstr.py) over docs_aug PLUS the
+    # offset-shift plants; checksum over the full anchored per-doc
+    # output, recomputed by the oracle's own window/verdict/mask replay
+    # (llm_sql.exact_substr_ctes)
+    es = exact_substr_corpus_clean(spark, sf_dir)
+    es_ck_col = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("n_spans").cast("string"),
+            F.col("n_removed").cast("string"),
+            F.col("clean_text"),
+        )
+    )
+    es_parity = es.agg(
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("long").alias("n_esub_removed"),
+        F.coalesce(F.sum(es_ck_col), F.lit(0)).cast("long").alias("esub_ck"),
+    )
+    out = out.crossJoin(F.broadcast(es_parity))
 
     v = _bgate_replay_cached(spark, sf_dir)
     ck = DD._hash32(
@@ -1679,6 +1729,30 @@ def dedup_exact_with_simhash_parity(aug: DataFrame) -> DataFrame:
 @register("dedup_minhash_lsh", llm_sql.MINHASH_LSH_SQL)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup(docs_aug(spark, sf_dir), threshold=0.4)
+
+
+def exact_substr_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ExactSubstr output (doc_id, n_spans, n_removed,
+    clean_text) over docs_aug's exact/near copies PLUS the offset-SHIFT
+    plants (plant_shifted_blocks) — the graded composition behind the
+    ``dedup_exact_documents`` parity fold, frame-level so pytest can
+    row-compare it against llm_sql.EXACT_SUBSTR_SQL. L=12
+    (exactsubstr.GRADE_TOKENS) against the 10-99-token fixture docs:
+    most docs carry windows, the shortest exercise the no-window
+    pass-through; the shift plants certify the any-alignment catch
+    that distinguishes this family from aligned windows."""
+    from .operators import exactsubstr as ES
+
+    base = _load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = (
+        plant_duplicates(base)
+        .unionByName(plant_shifted_blocks(base))
+        # per-doc lambda work (window hashing, rebuild mask) must not
+        # serialize on the single-split fixture parquet (gopher lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    staged = _stage_persist(ES.staged_window_fps(aug, ES.GRADE_TOKENS))
+    return ES.exact_substr_dedup(aug, ES.GRADE_TOKENS, staged=staged)
 
 
 @register("dedup_cluster_resolution", llm_sql.DEDUP_CLUSTERS_SQL)
