@@ -1864,6 +1864,40 @@ _DSIR_CK = hash32(
     "|| CAST(cnt AS VARCHAR)"
 )
 
+
+def qclf_substrate_sql(n_buckets: int = _DSIR.DSIR_BUCKETS) -> str:
+    """Verbatim replay of the quality classifier's INTEGER substrate
+    (operators/quality_clf.py qclf_substrate over ``documents``): the
+    DSIR hashed-feature counts joined with the rule-based battery label
+    (1 iff quality_flags empty — same flag expressions the graded
+    text_stats/data_quality_bins rows already pin). The float GD layer
+    (weights/logits) is pytest-graded vs numpy, mirroring the DSIR
+    split."""
+    return f"""WITH qlab AS (
+  SELECT doc_id,
+    CASE WHEN len({_QUALITY_FLAGS}) = 0 THEN 1 ELSE 0 END AS label
+  FROM (
+    SELECT doc_id, text, {tokens('text')} AS toks,
+      CAST(len({tokens('text')}) AS BIGINT) AS n_tokens,
+      (CASE WHEN len({tokens('text')}) > 0 THEN
+        CAST(list_sum(list_transform({tokens('text')}, t -> length(t))) AS DOUBLE)
+        / len({tokens('text')}) END) AS mean_wl,
+      (CASE WHEN length(text) > 0 THEN
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text) END) AS sym_ratio
+    FROM documents
+  )
+),
+qfeat AS ({dsir_features_sql(n_buckets)})
+SELECT f.doc_id, l.label, f.bucket, f.cnt
+FROM qfeat f JOIN qlab l USING (doc_id)"""
+
+
+_QCLF_CK = hash32(
+    "CAST(doc_id AS VARCHAR) || '|' || CAST(label AS VARCHAR) || '|' "
+    "|| CAST(bucket AS VARCHAR) || '|' || CAST(cnt AS VARCHAR)"
+)
+
 MIXING_WEIGHTS_SQL = f"""WITH per AS (
   SELECT lang, source, count(*) AS n_docs,
          CAST(sum(len({tokens('text')})) AS BIGINT) AS n_tokens
@@ -1875,8 +1909,14 @@ dsir_parity AS (
   SELECT CAST(count(*) AS BIGINT) AS n_dsir_rows,
          CAST(COALESCE(SUM({_DSIR_CK}), 0) AS BIGINT) AS dsir_ck
   FROM dsirf
+),
+qclff AS ({qclf_substrate_sql()}),
+qclf_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_qclf_rows,
+         CAST(COALESCE(SUM({_QCLF_CK}), 0) AS BIGINT) AS qclf_ck
+  FROM qclff
 )
 SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros,
-  dp.n_dsir_rows, dp.dsir_ck
-FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp"""
+  dp.n_dsir_rows, dp.dsir_ck, qp.n_qclf_rows, qp.qclf_ck
+FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp CROSS JOIN qclf_parity qp"""

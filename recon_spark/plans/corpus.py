@@ -34,6 +34,8 @@ def build_training_corpus(
     boilerplate_spans: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    quality_clf_target: DataFrame | None = None,
+    quality_clf_keep: float | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -51,6 +53,12 @@ def build_training_corpus(
     quality and create spurious near-dup pairs). NOTE: the stage edits
     text, so document fingerprints downstream are fingerprints of the
     CLEANED text by construction.
+
+    ``quality_clf_target`` + ``quality_clf_keep`` (round 11) insert the
+    fastText-style classifier filter (operators/quality_clf.py) after
+    the perplexity stage: logistic regression trained
+    target-vs-survivors over the DSIR hashed-feature buckets, keeping
+    the top ``quality_clf_keep`` fraction by probability.
 
     ``dsir_target`` + ``dsir_keep`` (round 10) append DSIR importance
     selection (operators/dsir.py) as the LAST filter: of the cleaned
@@ -149,6 +157,34 @@ def build_training_corpus(
         )
         scored.unpersist()
         kept = kept.join(keep_ids, id_col, "left_semi")
+
+    if quality_clf_target is not None and quality_clf_keep is not None:
+        # fastText-style classifier filter (round 11, operators/
+        # quality_clf.py): train target-vs-pool logistic regression over
+        # the DSIR hashed-feature buckets (the CCNet shape — curated
+        # positives, the corpus itself as negatives), score every
+        # survivor, keep the top quality_clf_keep fraction by
+        # probability. Threshold is the one eager exact-percentile
+        # action (same pattern as the perplexity stage); training's
+        # per-iteration collects are bounded at n_buckets rows.
+        from ..operators import quality_clf as _qclf
+
+        spark = docs.sparkSession
+        sub = _qclf.labeled_substrate(
+            quality_clf_target, kept, id_col=id_col, text_col=text_col
+        )
+        qw, qb = _qclf.train_quality_clf(spark, sub)
+        qscored = _qclf.with_quality_prob(
+            spark, kept, qw, qb, id_col=id_col, text_col=text_col
+        ).persist()
+        qthr = _qclf.quality_prob_threshold(qscored, quality_clf_keep)
+        q_ids = (
+            qscored.filter(F.col("prob") >= qthr)
+            .select(F.col("doc_id").alias(id_col))
+            .localCheckpoint()
+        )
+        qscored.unpersist()
+        kept = kept.join(q_ids, id_col, "left_semi")
 
     if dsir_target is not None and dsir_keep is not None:
         # DSIR selection (round 10, operators/dsir.py): keep the

@@ -1227,8 +1227,18 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir_ck): a checksum over the FULL (doc_id, bucket, cnt) feature
     table, which the oracle recomputes from its own tokenize + bigram
     stream + md5 bucket assignment (llm_sql.dsir_features_sql). The
-    float log-weight layer stays pytest-graded vs numpy."""
+    float log-weight layer stays pytest-graded vs numpy.
+
+    Round-11 fold: the fastText-style quality classifier's INTEGER
+    substrate (operators/quality_clf.py qclf_substrate — the same
+    hashed-feature table joined with the rule-based battery label) is
+    drive-graded through (n_qclf_rows, qclf_ck); the oracle recomputes
+    label assignment AND every feature row (llm_sql.qclf_substrate_sql).
+    The float GD layer (weights/logits/keep verdicts) is pytest-graded
+    vs an independent numpy twin — the DSIR split applied verbatim
+    (r10 VERDICT task #5)."""
     from .operators import dsir as _dsir
+    from .operators import quality_clf as _qclf
 
     docs = _load_table(spark, sf_dir, "documents")
     per = docs.groupBy("lang", "source").agg(
@@ -1249,16 +1259,37 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_dsir_rows"),
         F.coalesce(F.sum(d_ck), F.lit(0)).cast("long").alias("dsir_ck"),
     )
-    return per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dsir_parity)).select(
-        "lang",
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("t") * 1_000_000)
-        .cast("long")
-        .alias("token_share_micros"),
-        "n_dsir_rows",
-        "dsir_ck",
+    sub = _qclf.qclf_substrate(docs)
+    q_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("label").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("cnt").cast("string"),
+        )
+    )
+    qclf_parity = sub.agg(
+        F.count(F.lit(1)).cast("long").alias("n_qclf_rows"),
+        F.coalesce(F.sum(q_ck), F.lit(0)).cast("long").alias("qclf_ck"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dsir_parity))
+        .crossJoin(F.broadcast(qclf_parity))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t") * 1_000_000)
+            .cast("long")
+            .alias("token_share_micros"),
+            "n_dsir_rows",
+            "dsir_ck",
+            "n_qclf_rows",
+            "qclf_ck",
+        )
     )
 
 

@@ -1,0 +1,176 @@
+"""Quality classifier (operators/quality_clf.py): float GD layer vs an
+independent numpy twin (the DSIR grading split — the integer substrate
+is drive-graded through the data_mixing_weights fold), substrate parity
+vs the DuckDB replay, separability on a planted corpus, and the corpus
+stage wiring."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators import quality_clf as Q
+from recon_spark.oracles import llm_sql
+
+N_B = 512  # small bucket space keeps the numpy twin dense and fast
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark):
+    # positives: ordinary prose-like docs; negatives: symbol soup and
+    # over-long words (exactly what the rule battery flags)
+    rows = []
+    for i in range(40):
+        rows.append((i, f"the quick brown fox number {i} jumps over the lazy dog"))
+    for i in range(40, 70):
+        rows.append((i, "@@@###$$$ %%%^^^&&& " * 3 + f"!!{i}!!"))
+    rows.append((70, None))
+    rows.append((71, ""))
+    return _df(spark, rows)
+
+
+def _numpy_twin(sub_rows, n_buckets, iters, lr):
+    """Independent GD replay from the collected integer substrate."""
+    docs = {}
+    for doc_id, label, bucket, cnt in sub_rows:
+        docs.setdefault(doc_id, [label, {}])[1][bucket] = cnt
+    ids = sorted(docs)
+    n = len(ids)
+    X = np.zeros((n, n_buckets))
+    y = np.zeros(n)
+    for r, d in enumerate(ids):
+        label, feats = docs[d]
+        tot = sum(feats.values())
+        for b, c in feats.items():
+            X[r, b] = c / tot
+        y[r] = label
+    w = np.zeros(n_buckets)
+    bias = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + bias)))
+        resid = p - y
+        w -= lr * (X.T @ resid) / n
+        bias -= lr * resid.sum() / n
+    return w, bias
+
+
+def test_gd_matches_numpy_twin(spark):
+    docs = _corpus(spark)
+    sub = Q.qclf_substrate(docs, n_buckets=N_B)
+    rows = [tuple(r) for r in sub.collect()]
+    w_np, b_np = _numpy_twin(rows, N_B, Q.QCLF_ITERS, Q.QCLF_LR)
+    w_sp, b_sp = Q.train_quality_clf(spark, sub, n_buckets=N_B)
+    assert b_sp == pytest.approx(b_np, rel=1e-6, abs=1e-9)
+    np.testing.assert_allclose(np.array(w_sp), w_np, rtol=1e-6, atol=1e-9)
+    # scoring layer: logits/probs must match the twin's forward pass
+    scored = {
+        r.doc_id: r
+        for r in Q.with_quality_prob(spark, docs, w_sp, b_sp, n_buckets=N_B).collect()
+    }
+    sub_np = {}
+    for doc_id, label, bucket, cnt in rows:
+        sub_np.setdefault(doc_id, {})[bucket] = cnt
+    for d, feats in sub_np.items():
+        tot = sum(feats.values())
+        logit = b_np + sum(w_np[b] * c / tot for b, c in feats.items())
+        assert scored[d].logit == pytest.approx(logit, rel=1e-6, abs=1e-9)
+        assert scored[d].prob == pytest.approx(
+            1.0 / (1.0 + math.exp(-logit)), rel=1e-6
+        )
+    # featureless docs anchor at logit = bias
+    assert scored[70].n_feats == 0 and scored[70].logit == pytest.approx(b_np)
+
+
+def test_classifier_separates_planted_classes(spark):
+    """After training, every prose doc must outscore every symbol-soup
+    doc — the linear model must actually learn the battery labels from
+    hashed n-grams (not just converge)."""
+    docs = _corpus(spark)
+    w, b = Q.train_quality_clf(spark, Q.qclf_substrate(docs, n_buckets=N_B), n_buckets=N_B)
+    scored = {r.doc_id: r.prob for r in Q.with_quality_prob(
+        spark, docs, w, b, n_buckets=N_B).collect()}
+    pos = [scored[i] for i in range(40)]
+    neg = [scored[i] for i in range(40, 70)]
+    assert min(pos) > max(neg)
+    # with a longer schedule the decision boundary itself lands between
+    # the classes (the default 20 iters is sized for the quantile-cut
+    # corpus stage, which only needs the ORDER to be right)
+    w2, b2 = Q.train_quality_clf(
+        spark, Q.qclf_substrate(docs, n_buckets=N_B), n_buckets=N_B,
+        iters=120, lr=5.0,
+    )
+    scored2 = {r.doc_id: r.prob for r in Q.with_quality_prob(
+        spark, docs, w2, b2, n_buckets=N_B).collect()}
+    assert min(scored2[i] for i in range(40)) > 0.5
+    assert max(scored2[i] for i in range(40, 70)) < 0.5
+
+
+def test_substrate_matches_duckdb_replay(spark):
+    """Differential check of the INTEGER substrate (label + features)
+    against llm_sql.qclf_substrate_sql — the same SQL the graded
+    data_mixing_weights fold recomputes at full bucket width."""
+    rows = [(i, t) for i, t in enumerate([
+        "plain words here again and again",
+        "zz " * 40,
+        "@@@@ #### $$$$",
+        None,
+        "",
+        "mixed words @@@ with 9 symbols ok",
+    ])]
+    docs = _df(spark, rows)
+    got = sorted(tuple(r) for r in Q.qclf_substrate(docs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(con.sql(llm_sql.qclf_substrate_sql()).fetchall())
+    con.close()
+    assert got == want and got
+
+
+def test_labeled_substrate_and_corpus_stage(spark):
+    """The CCNet-shaped pos/neg substrate prefixes ids per class, and
+    the opt-in build_training_corpus stage drops low-scoring survivors
+    while keeping the pipeline's output contract."""
+    from recon_spark.plans import corpus
+
+    # every doc passes the battery and no pair is a near-dup, so the
+    # classifier stage is the only thing that can drop rows: 12 "prose"
+    # docs sharing topic vocab with the target, 12 disjoint-vocab docs
+    rows = []
+    for i in range(12):
+        rows.append((
+            i,
+            f"alpha beta gamma delta epsilon u{i}a u{i}b u{i}c u{i}d "
+            f"u{i}e zeta eta theta",
+        ))
+    for j in range(12, 24):
+        rows.append((
+            j,
+            f"krz{j}x wqp{j}y mnb{j}z jkl{j}q bvc{j}w xsw{j}e cde{j}r vfr{j}t",
+        ))
+    docs = _df(spark, rows)
+    target = docs.filter(F.col("doc_id") < 6)  # curated positives
+    sub = Q.labeled_substrate(target, docs, n_buckets=N_B)
+    labels = dict(sub.select("doc_id", "label").distinct().collect())
+    assert all(k.startswith("p") for k, v in labels.items() if v == 1)
+    assert all(k.startswith("n") for k, v in labels.items() if v == 0)
+
+    out_all = corpus.build_training_corpus(docs, budget=64)
+    out_cut = corpus.build_training_corpus(
+        docs, budget=64, quality_clf_target=target, quality_clf_keep=0.5
+    )
+    kept_all = {r.doc_id for r in out_all.select("doc_id").distinct().collect()}
+    kept_cut = {r.doc_id for r in out_cut.select("doc_id").distinct().collect()}
+    assert len(kept_all) == 24  # nothing else drops anything
+    assert 0 < len(kept_cut) < 24
+    # the cut must prefer the target-like (prose) family
+    assert all(d < 12 for d in kept_cut)
+    assert out_cut.columns == out_all.columns
+    spark.catalog.clearCache()
