@@ -91,6 +91,11 @@ HEADLINE = [
     # rebuild (operators/spans.py, r9); graded at sf0.01 as the parity
     # fold inside text_chunk_documents
     "span_dedup_rebuild",
+    # ExactSubstr dedup (Lee et al. 2021; operators/exactsubstr.py,
+    # r11); graded at sf0.01 as the parity fold inside
+    # dedup_exact_documents — this entry prices the sorted
+    # fingerprint-index formulation standalone
+    "exact_substr_dedup",
     # Gopher n-gram repetition battery -> per-doc threshold flags
     # (operators/repetition.py, r9); integer substrate graded at sf0.01
     # as the parity fold inside text_tfidf_top_terms
@@ -159,6 +164,19 @@ def _q_span_dedup(spark, sf_dir):
     return spans.span_dedup(docs_aug(spark, sf_dir))
 
 
+def _q_exact_substr(spark, sf_dir):
+    from recon_spark.operators import exactsubstr
+    from recon_spark.registry import docs_aug
+
+    # graded at sf0.01 as the parity fold inside dedup_exact_documents
+    # (r11); this entry prices the operator standalone at the bench SF,
+    # at the graded window width
+    aug = docs_aug(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return exactsubstr.exact_substr_dedup(aug, exactsubstr.GRADE_TOKENS)
+
+
 def _q_gopher_repetition(spark, sf_dir):
     from recon_spark.operators import repetition
     from recon_spark.sources.tpch import load
@@ -192,6 +210,7 @@ EXTRA_QUERIES = {
     "ngram_jaccard_prefix": _q_ngram_prefix,
     "semdedup_prune": _q_semdedup,
     "span_dedup_rebuild": _q_span_dedup,
+    "exact_substr_dedup": _q_exact_substr,
     "gopher_repetition": _q_gopher_repetition,
 }
 

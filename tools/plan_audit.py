@@ -46,6 +46,8 @@ AUDITED = [
     "text_chunk_documents",
     "embedding_near_dup",
     "dedup_exact_documents",
+    # bench EXTRA (non-registry): the ExactSubstr operator standalone
+    "exact_substr_dedup",
 ]
 
 #: hand-written 100 TB notes surfaced next to each measured plan
@@ -278,7 +280,12 @@ def main() -> None:
         "",
     ]
     for name in AUDITED:
-        df = QUERIES[name](spark, sf_dir)
+        if name in QUERIES:
+            df = QUERIES[name](spark, sf_dir)
+        else:
+            from bench import EXTRA_QUERIES
+
+            df = EXTRA_QUERIES[name](spark, sf_dir)
         import contextlib
         import io
 
@@ -361,6 +368,21 @@ NOTES["dedup_exact_documents"] = (
     "join, folded to a 1-row broadcast. The gate replay is memoized "
     "per (app, sf_dir) since r11, so only the first build pays the "
     "three drains."
+)
+
+NOTES["exact_substr_dedup"] = (
+    "Lee et al. 2021 EXACTSUBSTR as a sorted fingerprint index: the "
+    "stride-1 L-token windows are hashed to md5 INSIDE codegen (O(n*L) "
+    "compute, but each exploded index row carries a fixed 32-byte "
+    "payload — shuffle volume is O(corpus tokens), independent of L; "
+    "span_dedup(stride=1) would carry L tokens of text per row, the "
+    "50x wire cost at the paper's L=50). One shuffle on the "
+    "fingerprint (count + min-position, both map-side combinable — no "
+    "per-key ordered window, so a boilerplate 50-gram occurring "
+    "millions of times never serializes one reducer), one join back, "
+    "and the per-doc interval-mask rebuild reused verbatim from "
+    "span_dedup's stride path (task memory bounded by one document's "
+    "flagged-window list)."
 )
 
 NOTES["embedding_near_dup"] = (
