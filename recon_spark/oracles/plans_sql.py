@@ -6,6 +6,7 @@ and analytics aggregations (A2-A7), built on the engine CTE prefixes from
 from __future__ import annotations
 
 from . import engines_sql as E
+from .llm_sql import hash32 as _hash32
 
 NL = "chr(10)"
 
@@ -174,14 +175,38 @@ GROUP BY 1, 2"""
 #: grand total) — an aggregate shape the reference has nowhere (SURVEY
 #: §2.5 "no grouping sets/cube/rollup"); subtotal rows carry SQL-standard
 #: NULL group markers in both engines.
-EVENTS_ROLLUP_SQL = """SELECT
-  CAST(date_trunc('month', ts) AS DATE) AS month,
-  event_type,
-  CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
-FROM events
-WHERE ts IS NOT NULL
-GROUP BY ROLLUP(1, 2)"""
+#: r11 fold: the salted skew join's certificate — the oracle computes
+#: the PLAIN equi-join of every event to its per-type tally; the Spark
+#: side runs the REAL salted path (operators/partitioning.salted_join),
+#: so checksum equality certifies salting neither drops nor duplicates
+#: a row (the salt values themselves are irrelevant to the row set).
+_SALTED_PARITY_CTES = f"""sj_dim AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+  FROM events GROUP BY 1
+),
+sj_join AS (
+  SELECT e.event_id, d.type_n
+  FROM events e JOIN sj_dim d ON e.event_type = d.event_type
+),
+sj_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_salted_rows,
+         CAST(COALESCE(SUM({_hash32("CAST(event_id AS VARCHAR) || '|' || CAST(type_n AS VARCHAR)")}), 0) AS BIGINT) AS salted_ck
+  FROM sj_join
+)"""
+
+EVENTS_ROLLUP_SQL = f"""WITH {_SALTED_PARITY_CTES},
+er AS (
+  SELECT
+    CAST(date_trunc('month', ts) AS DATE) AS month,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS value_total_micros
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY ROLLUP(1, 2)
+)
+SELECT er.*, sp.n_salted_rows, sp.salted_ck
+FROM er CROSS JOIN sj_parity sp"""
 
 #: per-type value distribution: exact interpolated percentiles (Spark
 #: `percentile` == DuckDB `quantile_cont`), serialized at micro
@@ -200,14 +225,62 @@ GROUP BY event_type"""
 
 #: distinct-count aggregate (reference has no distinct-agg, SURVEY §2.5):
 #: per-type user reach + events-per-user ratio.
-USER_REACH_SQL = """SELECT
-  event_type,
-  CAST(count(*) AS BIGINT) AS n,
-  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
-FROM events
-WHERE ts IS NOT NULL
-GROUP BY event_type"""
+def _zorder_cell(col: str, mn: str, mx: str, levels: int = 255) -> str:
+    """Mirror of operators/zorder.py's minmax quantizer: linear scale,
+    floor, clamp to [0, levels], NULL -> 0; degenerate (empty / constant)
+    dimensions collapse to cell 0. Both engines evaluate the identical
+    IEEE-double expression tree, so floor cannot straddle an ulp."""
+    scaled = f"((CAST({col} AS DOUBLE) - {mn}) / ({mx} - {mn}))"
+    q = f"CAST(floor({scaled} * {levels}) AS BIGINT)"
+    return (
+        f"CASE WHEN {mn} IS NULL OR {mx} IS NULL OR {mx} = {mn} THEN 0 "
+        f"ELSE COALESCE(GREATEST(LEAST({q}, {levels}), 0), 0) END"
+    )
+
+
+def zorder_parity_ctes(bits: int = 8) -> str:
+    """r11 fold: replay of zorder_value over orders on
+    (o_totalprice, o_custkey) — quantize + Morton bit-interleave
+    (bit i of dim d at position i*n_dims + d, LSB first)."""
+    interleave = " | ".join(
+        f"(((q{d} >> {i}) & 1) << {i * 2 + d})"
+        for d in range(2)
+        for i in range(bits)
+    )
+    return f"""z_stats AS (
+  SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn0, CAST(max(o_totalprice) AS DOUBLE) AS mx0,
+         CAST(min(o_custkey) AS DOUBLE) AS mn1, CAST(max(o_custkey) AS DOUBLE) AS mx1
+  FROM orders
+),
+z_q AS (
+  SELECT o_orderkey,
+         {_zorder_cell('o_totalprice', 'mn0', 'mx0')} AS q0,
+         {_zorder_cell('o_custkey', 'mn1', 'mx1')} AS q1
+  FROM orders CROSS JOIN z_stats
+),
+z_vals AS (
+  SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zvalue FROM z_q
+),
+z_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_zorder_rows,
+         CAST(COALESCE(SUM({_hash32("CAST(o_orderkey AS VARCHAR) || '|' || CAST(zvalue AS VARCHAR)")}), 0) AS BIGINT) AS zorder_ck
+  FROM z_vals
+)"""
+
+
+USER_REACH_SQL = f"""WITH {zorder_parity_ctes()},
+ur AS (
+  SELECT
+    event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY event_type
+)
+SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck
+FROM ur CROSS JOIN z_parity zp"""
 
 #: stream-stream interval join replay: with availableNow over complete
 #: data, an INNER stream-stream join emits exactly the batch inequality

@@ -898,9 +898,22 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count aggregate (the reference has no distinct-agg shape):
     per-type user reach + events-per-user. Exact count_distinct grades;
     the 100 TB swap-in is approx_count_distinct (HLL, no second shuffle),
-    asserted within 5% in test_llm_ops."""
+    asserted within 5% in test_llm_ops.
+
+    Round-11 fold: the Z-ORDER (Morton) clustering key
+    (operators/zorder.py zorder_value — previously pytest-only) is
+    drive-graded through (n_zorder_rows, zorder_ck): a checksum over
+    every order's interleaved z-value on (o_totalprice, o_custkey) at
+    bits=8 minmax quantization. The oracle replays min/max scaling,
+    floor-quantize, clamp and the bit interleave in SQL
+    (plans_sql.zorder_parity_ctes), so a single bit position off in any
+    row flips the hash. The quantizer's 2-value stats aggregate is the
+    operator's one (tiny, eager) driver action — noted, same class as
+    the IVF centroid collect."""
+    from .operators import zorder as Z
+
     ev = _load_table(spark, sf_dir, "events")
-    return (
+    out = (
         ev.filter(F.col("ts").isNotNull())
         .groupBy("event_type")
         .agg(
@@ -911,6 +924,23 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    orders = _load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdf = orders.select(
+        "o_orderkey",
+        Z.zorder_value(orders, ["o_totalprice", "o_custkey"], bits=8),
+    )
+    z_ck = DD._hash32(
+        F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("zvalue").cast("string")
+        )
+    )
+    z_parity = zdf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_zorder_rows"),
+        F.coalesce(F.sum(z_ck), F.lit(0)).cast("long").alias("zorder_ck"),
+    )
+    return out.crossJoin(F.broadcast(z_parity))
 
 
 @register("streaming_click_purchase_join", plans_sql.STREAM_JOIN_SQL)
@@ -958,9 +988,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over events: (month, type) + monthly subtotals
     + grand total in ONE pass — Spark plans a single Expand + aggregate,
     not three scans (beyond-reference: SURVEY §2.5 notes the reference
-    has no grouping sets)."""
+    has no grouping sets).
+
+    Round-11 fold: the SALTED SKEW JOIN (operators/partitioning.py
+    salted_join — previously pytest-only) is drive-graded through
+    (n_salted_rows, salted_ck): the REAL salted path (per-row salt on
+    the big side, explode-replicated small side, join on keys+salt)
+    joins every event to its per-type tally, and the checksum over
+    (event_id, type_n) must equal the oracle's PLAIN join — certifying
+    the salting machinery neither drops nor duplicates a single row.
+    The salt column itself is monotonically_increasing_id-derived
+    (per-row varying, value-irrelevant), so the certificate is
+    deterministic even though the salt values aren't."""
+    from .operators import partitioning as P
+
     ev = _load_table(spark, sf_dir, "events")
-    return (
+    out = (
         ev.filter(F.col("ts").isNotNull())
         .rollup(
             F.date_trunc("month", "ts").cast("date").alias("month"),
@@ -973,6 +1016,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_total_micros"),
         )
     )
+    typedim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_n")
+    )
+    joined = P.salted_join(
+        ev.select("event_id", "event_type"), typedim, ["event_type"]
+    )
+    s_ck = DD._hash32(
+        F.concat_ws(
+            "|", F.col("event_id").cast("string"), F.col("type_n").cast("string")
+        )
+    )
+    s_parity = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_salted_rows"),
+        F.coalesce(F.sum(s_ck), F.lit(0)).cast("long").alias("salted_ck"),
+    )
+    return out.crossJoin(F.broadcast(s_parity))
 
 
 # --- QA layer (J5 join coverage, V7 warning metrics) -------------------------
