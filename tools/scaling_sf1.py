@@ -44,6 +44,8 @@ FAMILY = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_resolution",
+    # r11: the ExactSubstr fingerprint index (bench EXTRA, not registry)
+    "exact_substr_dedup",
 ]
 
 
@@ -92,6 +94,9 @@ def synthesize_documents(spark, out_dir: str, n_docs: int) -> str:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    # optional: restrict to named queries (e.g. a fresh operator's point)
+    only = set(sys.argv[2:])
+    from bench import EXTRA_QUERIES
     from recon_spark.registry import QUERIES
     from recon_spark.session import get_spark
 
@@ -105,10 +110,13 @@ def main() -> None:
 
     for sf_dir, label in (("/root/testdata/sf0.1", "sf0.1"), (scratch, "sf1_synth")):
         for name in FAMILY:
+            if only and name not in only:
+                continue
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
             best, cold = None, None
             for lap in range(2):
                 t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 lap_s = time.time() - t0
                 cold = lap_s if lap == 0 else cold
                 best = lap_s if best is None else min(best, lap_s)
