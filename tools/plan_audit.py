@@ -365,9 +365,12 @@ NOTES["dedup_exact_documents"] = (
     "11 relocates the PPJoin prefix-twin parity here from the benched "
     "dedup_ngram_jaccard row (r10 perf_weak #1): one staged shingle "
     "pass feeds the dfreq aggregate + per-doc top-p window + verify "
-    "join, folded to a 1-row broadcast. The gate replay is memoized "
-    "per (app, sf_dir) since r11, so only the first build pays the "
-    "three drains."
+    "join, folded to a 1-row broadcast. Round 11 also adds the "
+    "EXACTSUBSTR fold (sorted md5 window-fingerprint index over "
+    "docs_aug + offset-shift plants; one fingerprint shuffle with "
+    "map-side-combinable count+min aggs, interval-mask rebuild). The "
+    "gate replay is memoized per (app, sf_dir) since r11, so only the "
+    "first build pays the three drains."
 )
 
 NOTES["exact_substr_dedup"] = (
