@@ -102,3 +102,73 @@ def test_zorder_quantile_mode_handles_skew(spark, tmp_path):
     assert m_span > 90  # minmax: outliers make bulk cells useless
     assert q_span < m_span * 0.8, (q_span, m_span)
     assert spark.read.parquet(qpath).count() == n
+
+
+def test_zvalue_matches_duckdb_replay_incl_degenerate_dims(spark):
+    """Cross-engine parity of the r11 graded fold's quantize+interleave
+    (plans_sql.zorder_parity_ctes) on a synthetic orders table that also
+    exercises what the fixture data doesn't: NULL values (cell 0) and a
+    near-boundary grid that would expose any ulp drift in the shared
+    IEEE-double floor expression."""
+    import duckdb
+
+    from recon_spark.oracles import plans_sql
+
+    rows = [
+        (i, float(i % 17) * 7.3 + (0.001 * i), i % 23)
+        for i in range(200)
+    ]
+    rows += [(200, None, 5), (201, 42.0, None)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_custkey int"
+    )
+    got = sorted(
+        (r.o_orderkey, r.zvalue)
+        for r in df.select(
+            "o_orderkey",
+            Z.zorder_value(df, ["o_totalprice", "o_custkey"], bits=8),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_totalprice DOUBLE, o_custkey INT)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", rows)
+    want = sorted(
+        con.sql(
+            f"WITH {plans_sql.zorder_parity_ctes()}\n"
+            "SELECT o_orderkey, zvalue FROM z_vals"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+    # degenerate dimension (constant) collapses to cell 0 on both sides
+    cdf = spark.createDataFrame(
+        [(i, 5.0, i) for i in range(20)],
+        "o_orderkey long, o_totalprice double, o_custkey int",
+    )
+    got_c = {
+        r.o_orderkey: r.zvalue
+        for r in cdf.select(
+            "o_orderkey",
+            Z.zorder_value(cdf, ["o_totalprice", "o_custkey"], bits=8),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_totalprice DOUBLE, o_custkey INT)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)", [(i, 5.0, i) for i in range(20)]
+    )
+    want_c = dict(
+        con.sql(
+            f"WITH {plans_sql.zorder_parity_ctes()}\n"
+            "SELECT o_orderkey, zvalue FROM z_vals"
+        ).fetchall()
+    )
+    con.close()
+    assert got_c == want_c
+    # constant dim contributes zero bits: z-values depend on custkey only
+    assert len(set(got_c.values())) > 1
