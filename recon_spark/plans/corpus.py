@@ -32,6 +32,7 @@ def build_training_corpus(
     perplexity_keep: float | None = None,
     perplexity_ref: DataFrame | None = None,
     boilerplate_spans: int | None = None,
+    exact_substr_tokens: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     quality_clf_target: DataFrame | None = None,
@@ -53,6 +54,12 @@ def build_training_corpus(
     quality and create spurious near-dup pairs). NOTE: the stage edits
     text, so document fingerprints downstream are fingerprints of the
     CLEANED text by construction.
+
+    ``exact_substr_tokens`` (round 11) prepends ExactSubstr dedup (Lee
+    et al. 2021, operators/exactsubstr.py) ahead of everything — the
+    paper applies it to raw text before any other signal; when combined
+    with ``boilerplate_spans`` the exact any-alignment pass runs first
+    and the aligned C4 window sweeps the residual.
 
     ``quality_clf_target`` + ``quality_clf_keep`` (round 11) insert the
     fastText-style classifier filter (operators/quality_clf.py) after
@@ -93,6 +100,22 @@ def build_training_corpus(
     # per-core CPU, which is what binds on a real cluster scan, and the
     # text_stats trim (same technique, map-dominated query) measured
     # 8.2 -> 6.1s — so the shape is kept with the cache cost named.
+    if exact_substr_tokens is not None:
+        # ExactSubstr (round 11, operators/exactsubstr.py): Lee et al.
+        # 2021 run it exactly here — edit the raw text before any
+        # quality/dedup signal is computed, removing every >= L-token
+        # substring that repeats anywhere in the corpus (keep-first).
+        # Runs BEFORE the aligned span stage when both are requested:
+        # the exact any-alignment pass first, the cheaper aligned C4
+        # window as the residual boilerplate sweep.
+        from ..operators import exactsubstr as ES
+
+        docs = ES.exact_substr_dedup(
+            docs, l_tokens=exact_substr_tokens, id_col=id_col, text_col=text_col
+        ).select(
+            F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
+        )
+
     if boilerplate_spans is not None:
         from ..operators import spans as SP
 

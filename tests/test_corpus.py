@@ -162,3 +162,43 @@ def test_corpus_dsir_stage_keeps_target_like_survivors(spark):
         i for i, _ in on
     }
     spark.catalog.clearCache()
+
+
+def test_exact_substr_stage_catches_shifted_block(spark):
+    """exact_substr_tokens (r11): an offset-SHIFTED shared block — the
+    case the aligned boilerplate_spans stage misses by construction —
+    is removed from the later occurrence before any downstream signal,
+    so the stripped doc falls to the quality gate."""
+    block = "licensed under the apache license version two zero"  # 8 toks
+    rows = [
+        (1, f"{block} alpha beta gamma delta epsilon zeta"),
+        # the block again, at token offset 3 — aligned windows miss it
+        (2, f"pre1 pre2 pre3 {block}"),
+        (3, "other content entirely different from everything else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base_ids = {
+        r.doc_id
+        for r in corpus.build_training_corpus(docs, budget=64).collect()
+    }
+    spark.catalog.clearCache()
+    aligned_ids = {
+        r.doc_id
+        for r in corpus.build_training_corpus(
+            docs, budget=64, boilerplate_spans=8
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    stage_ids = {
+        r.doc_id
+        for r in corpus.build_training_corpus(
+            docs, budget=64, exact_substr_tokens=8
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert base_ids == {1, 2, 3}
+    assert aligned_ids == {1, 2, 3}  # the shift defeats aligned windows
+    # ExactSubstr strips doc 2 to "pre1 pre2 pre3" (3 tokens) -> the
+    # too_few_tokens quality gate drops it; doc 1 (first occurrence)
+    # keeps its text
+    assert stage_ids == {1, 3}
