@@ -357,25 +357,34 @@ def main() -> None:
         # re-hold the same bounded gate at each LAP boundary so a spike
         # between laps delays the lap instead of poisoning it, and
         # record the per-lap verdict so diffs can discount what the
-        # wait couldn't cure.
+        # wait couldn't cure. Decay awareness: right after a heavy lap
+        # the 1-min loadavg is dominated by the bench's OWN just-
+        # finished work (an sf1 lap leaves it at ~20-30 on local[32]),
+        # which drains monotonically and cannot pollute the next lap —
+        # so a lap is flagged contended only if the load both stays
+        # over the gate after the bounded wait AND is NOT decaying
+        # (still >= 70% of where the wait started: external load holds
+        # level; self-load roughly halves per minute of idle wait).
         lap_wait = 0.0
-        lap_load = os.getloadavg()[0]
+        first_load = lap_load = os.getloadavg()[0]
         while lap_load > gate_thresh and lap_wait < gate_wait:
             time.sleep(10)
             lap_wait += 10.0
             lap_load = os.getloadavg()[0]
+        lap_contended = lap_load > gate_thresh and lap_load >= first_load * 0.7
         lap_gates.append(
             {
                 "waited_sec": round(lap_wait, 1),
+                "loadavg_at_wait_start": round(first_load, 2),
                 "loadavg_at_lap_start": round(lap_load, 2),
-                "contended": lap_load > gate_thresh,
+                "contended": lap_contended,
             }
         )
-        if lap_load > gate_thresh:
+        if lap_contended:
             print(
                 f"bench: lap {_lap} starting contended "
                 f"(loadavg {lap_load:.1f} > gate {gate_thresh} "
-                f"after {lap_wait:.0f}s wait)",
+                f"after {lap_wait:.0f}s wait, not decaying)",
                 file=sys.stderr,
             )
         lt: dict[str, float] = {}
