@@ -96,6 +96,12 @@ HEADLINE = [
     # dedup_exact_documents — this entry prices the sorted
     # fingerprint-index formulation standalone
     "exact_substr_dedup",
+    # HLL sketch-partial rollup (operators/sketches.py, r11): the
+    # hypertable pattern — daily (day, type) distinct-user partials
+    # rolled up to type + total without a raw rescan; pytest-graded
+    # (DataSketches estimates aren't DuckDB-replayable; the exact twin
+    # is the graded analytics_user_reach row)
+    "hll_reach_rollup",
     # Gopher n-gram repetition battery -> per-doc threshold flags
     # (operators/repetition.py, r9); integer substrate graded at sf0.01
     # as the parity fold inside text_tfidf_top_terms
@@ -164,6 +170,25 @@ def _q_span_dedup(spark, sf_dir):
     return spans.span_dedup(docs_aug(spark, sf_dir))
 
 
+def _q_hll_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import sketches
+    from recon_spark.sources.tpch import load
+
+    # the hypertable pattern end-to-end: build (day, type) HLL partials
+    # once, then answer per-type AND grand-total distinct-user reach
+    # from the partials alone (no raw rescan); the exact twin of the
+    # same question is the graded analytics_user_reach row
+    ev = load(spark, sf_dir, "events")
+    partials = sketches.daily_reach_partials(ev)
+    by_type = sketches.rollup_distinct(partials, ["event_type"])
+    total = sketches.rollup_distinct(partials, []).select(
+        F.lit("__total__").alias("event_type"), "n_distinct_est", "n_rows"
+    )
+    return by_type.unionByName(total)
+
+
 def _q_exact_substr(spark, sf_dir):
     from recon_spark.operators import exactsubstr
     from recon_spark.registry import docs_aug
@@ -211,6 +236,7 @@ EXTRA_QUERIES = {
     "semdedup_prune": _q_semdedup,
     "span_dedup_rebuild": _q_span_dedup,
     "exact_substr_dedup": _q_exact_substr,
+    "hll_reach_rollup": _q_hll_rollup,
     "gopher_repetition": _q_gopher_repetition,
 }
 

@@ -1,0 +1,121 @@
+"""HLL sketch rollup (operators/sketches.py): merge-vs-direct EXACT
+estimate equality, error band vs true distincts, order/partitioning
+invariance, null handling, and the bounded-partial-size contract."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from recon_spark.operators import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from recon_spark.sources.tpch import load
+
+    return load(spark, SF, "events")
+
+
+def test_rollup_tracks_direct_sketch(spark):
+    """estimate(union(daily partials)) must agree with estimate(one-shot
+    sketch over raw) within the lgK error band — the register union is
+    a lossless max, but DataSketches' estimator is not plan-invariant
+    (HIP is insertion-order sensitive and unions drop it), so exact
+    equality is NOT the contract (see the module docstring)."""
+    ev = _events(spark).filter(F.col("ts").isNotNull())
+    partials = SK.daily_reach_partials(ev).persist()
+    try:
+        by_type = {
+            r.event_type: r.n_distinct_est
+            for r in SK.rollup_distinct(partials, ["event_type"]).collect()
+        }
+        direct = {
+            r.event_type: r.n_distinct_est
+            for r in SK.distinct_sketch_partials(
+                ev, ["event_type"], "user_id"
+            ).select(
+                "event_type",
+                F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+            ).collect()
+        }
+        assert set(by_type) == set(direct) and by_type
+        for t, e in by_type.items():
+            assert abs(e - direct[t]) <= max(3, 0.05 * max(e, direct[t])), (t, e, direct[t])
+        total = SK.rollup_distinct(partials, []).collect()[0]
+        direct_total = ev.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(SK.HLL_LGK))
+            ).alias("e")
+        ).collect()[0].e
+        assert abs(total.n_distinct_est - direct_total) <= max(
+            3, 0.05 * direct_total
+        )
+        # plain counts add exactly
+        assert total.n_rows == ev.filter(F.col("user_id").isNotNull()).count()
+    finally:
+        partials.unpersist()
+
+
+def test_estimate_within_error_band_vs_exact(spark):
+    ev = _events(spark).filter(F.col("ts").isNotNull())
+    partials = SK.daily_reach_partials(ev)
+    est = {
+        r.event_type: r.n_distinct_est
+        for r in SK.rollup_distinct(partials, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        # ~1.6% band at lgK=12; allow 5x slack for small-n bias
+        assert abs(est[t] - n) <= max(3, 0.08 * n), (t, est[t], n)
+
+
+def test_estimates_stable_within_band_across_partitionings(spark):
+    """The measured non-invariance stays bounded: re-partitioned /
+    re-ordered input moves each estimate only within the error band
+    (474 vs 481 on ~480 true was the observed magnitude)."""
+    rnd = random.Random(31)
+    rows = [(rnd.randrange(500), "t%d" % (i % 3)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    a = sorted(
+        (r.event_type, r.n_distinct_est)
+        for r in SK.rollup_distinct(
+            SK.distinct_sketch_partials(df, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    )
+    shuffled = df.orderBy(F.reverse(F.col("user_id").cast("string"))).repartition(13)
+    b = sorted(
+        (r.event_type, r.n_distinct_est)
+        for r in SK.rollup_distinct(
+            SK.distinct_sketch_partials(shuffled, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    )
+    assert [t for t, _ in a] == [t for t, _ in b]
+    for (t, ea), (_, eb) in zip(a, b):
+        assert abs(ea - eb) <= max(3, 0.05 * max(ea, eb)), (t, ea, eb)
+
+
+def test_nulls_skipped_and_partials_bounded(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (None, "b")],
+        "user_id: long, event_type: string",
+    )
+    part = SK.distinct_sketch_partials(df, ["event_type"], "user_id")
+    rows = {r.event_type: r for r in part.collect()}
+    est = {
+        r.event_type: r.n_distinct_est
+        for r in SK.rollup_distinct(part, ["event_type"]).collect()
+    }
+    assert est["a"] == 2 and est["b"] == 0
+    assert rows["a"].n_rows == 2 and rows["b"].n_rows == 0
+    # fixed-size state: registers bounded by ~2^lgK bytes + header
+    assert all(len(r.sketch) <= (1 << SK.HLL_LGK) + 64 for r in rows.values())
