@@ -102,6 +102,11 @@ HEADLINE = [
     # (DataSketches estimates aren't DuckDB-replayable; the exact twin
     # is the graded analytics_user_reach row)
     "hll_reach_rollup",
+    # theta set algebra (audience overlap without a distinct-key
+    # self-join) + KLL mergeable quantile rollup, from daily partials
+    # (operators/sketches.py, r11; exact twins = analytics_user_reach /
+    # analytics_value_percentiles)
+    "sketch_audience_quantiles",
     # Gopher n-gram repetition battery -> per-doc threshold flags
     # (operators/repetition.py, r9); integer substrate graded at sf0.01
     # as the parity fold inside text_tfidf_top_terms
@@ -189,6 +194,28 @@ def _q_hll_rollup(spark, sf_dir):
     return by_type.unionByName(total)
 
 
+def _q_sketch_audience_quantiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import sketches
+    from recon_spark.sources.tpch import load
+
+    # theta set algebra (click∩purchase distinct users) + KLL quantile
+    # rollup (per-type p50/p90 from daily partials), composed as one
+    # frame: the overlap row broadcast onto the quantile rows — the
+    # sketch answers to the graded analytics_user_reach /
+    # analytics_value_percentiles questions, from partials alone
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+    tpart = sketches.theta_sketch_partials(ev, ["day", "event_type"], "user_id")
+    overlap = sketches.audience_overlap(tpart, "event_type", "click", "purchase")
+    kpart = sketches.quantile_sketch_partials(
+        ev.filter(F.col("value").isNotNull()), ["day", "event_type"], "value"
+    )
+    quants = sketches.rollup_quantiles(kpart, ["event_type"])
+    return quants.crossJoin(F.broadcast(overlap))
+
+
 def _q_exact_substr(spark, sf_dir):
     from recon_spark.operators import exactsubstr
     from recon_spark.registry import docs_aug
@@ -237,6 +264,7 @@ EXTRA_QUERIES = {
     "span_dedup_rebuild": _q_span_dedup,
     "exact_substr_dedup": _q_exact_substr,
     "hll_reach_rollup": _q_hll_rollup,
+    "sketch_audience_quantiles": _q_sketch_audience_quantiles,
     "gopher_repetition": _q_gopher_repetition,
 }
 

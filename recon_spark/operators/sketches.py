@@ -1,6 +1,12 @@
-"""HLL sketch partials + mergeable distinct-count rollups (the
-"hypertable" pattern: continuous-aggregate tables you can re-aggregate
-to ANY coarser grain without touching raw data).
+"""DataSketches partials + mergeable rollups (the "hypertable"
+pattern: continuous-aggregate tables you can re-aggregate to ANY
+coarser grain without touching raw data) — three sketch families:
+
+- **HLL** distinct counts (union-only merges, smallest state);
+- **Theta** distinct-set ALGEBRA (union/intersection/difference —
+  audience overlap without a distinct-key self-join);
+- **KLL** quantiles (mergeable percentile partials — the continuous
+  twin of analytics_value_percentiles' exact ``percentile``).
 
 Public-literature operator: Apache DataSketches HLL (Heule et al. 2013
 HyperLogLog++ lineage) exposed through Spark 3.5+'s built-in
@@ -34,11 +40,12 @@ rollups aggregate ``n_groups`` binary blobs. Driver never sees a
 sketch unless the caller collects estimates.
 
 Grading: estimates are DataSketches-internal and NOT replayable in
-DuckDB, so this module is pytest-graded (merge-vs-direct exact
-equality, error band vs exact distinct, order/partitioning
-invariance) and priced in bench.py (``hll_reach_rollup``); the EXACT
-distinct-count twin of the same question is driver-graded through
-``analytics_user_reach``. Reference parity: no reference counterpart —
+DuckDB, so this module is pytest-graded (merge-vs-direct
+band, error band vs exact distinct/overlap/percentiles, bounded
+non-invariance across partitionings) and priced in bench.py
+(``hll_reach_rollup``, ``sketch_audience_quantiles``); the EXACT twins
+of the same questions are driver-graded through
+``analytics_user_reach`` and ``analytics_value_percentiles``. Reference parity: no reference counterpart —
 beyond-reference LLM-pipeline surface (the brief's "hypertable
 rollup / novel sketch" custom-operator family).
 """
@@ -100,3 +107,114 @@ def daily_reach_partials(events: DataFrame, lgk: int = HLL_LGK) -> DataFrame:
         "day", F.date_trunc("day", "ts").cast("date")
     )
     return distinct_sketch_partials(days, ["day", "event_type"], "user_id", lgk)
+
+
+# --- Theta: distinct-set ALGEBRA (intersections, not just unions) ------------
+
+def theta_sketch_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group DataSketches THETA partials — like the HLL partials
+    but supporting full set algebra downstream: theta sketches
+    intersect and difference, which HLL registers cannot (HLL only
+    unions). The cost is a larger state (~4k hashes retained at the
+    default lgK)."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col).alias("sketch"),
+        F.count(value_col).alias("n_rows"),
+    )
+
+
+def audience_overlap(
+    partials: DataFrame,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Set algebra over two groups' partials WITHOUT touching raw data:
+    one row ``(n_a, n_b, n_union, n_intersection, n_only_a)`` of
+    distinct-count estimates for groups ``key_a`` / ``key_b`` of
+    ``key_col`` (each group's partials are union-merged first, so the
+    input may be at a finer grain, e.g. daily). The raw-data
+    equivalent of ``n_intersection`` is a distinct-key self-join —
+    this is the query sketch partials exist to avoid at 100 TB."""
+    a = partials.filter(F.col(key_col) == key_a).agg(
+        F.theta_union_agg(sketch_col).alias("sk")
+    )
+    b = partials.filter(F.col(key_col) == key_b).agg(
+        F.theta_union_agg(sketch_col).alias("sk")
+    )
+    joined = a.select(F.col("sk").alias("sk_a")).crossJoin(
+        F.broadcast(b.select(F.col("sk").alias("sk_b")))
+    )
+    return joined.select(
+        F.theta_sketch_estimate("sk_a").alias("n_a"),
+        F.theta_sketch_estimate("sk_b").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("n_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("n_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_a", "sk_b")
+        ).alias("n_only_a"),
+    )
+
+
+# --- KLL: mergeable QUANTILE partials -----------------------------------------
+
+def quantile_sketch_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group KLL(double) quantile-sketch partials: the mergeable
+    counterpart of ``analytics_value_percentiles``'s exact
+    ``percentile`` (which needs the raw values per group every time a
+    new grain is asked). Rank error is ~1.65% at the library default
+    k."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(value_col).alias("sketch"),
+        F.count(value_col).alias("n_rows"),
+    )
+
+
+def rollup_quantiles(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge KLL partials to a coarser grouping and read quantile
+    estimates: ``(group_cols..., q_<p> ... , n_rows)``. Spark exposes
+    KLL merging only as the BINARY ``kll_sketch_merge_double``, so the
+    group's partials are collected into one array column and folded —
+    per-task memory is bounded by the rollup fan-in (e.g. days per
+    month) times one ~KB sketch, the same bound any partial-merge tree
+    carries. Rank error does not grow with the number of partials
+    merged (the library's compaction invariant)."""
+    staged = partials.groupBy(*group_cols).agg(
+        F.collect_list(sketch_col).alias("__sks"),
+        F.sum("n_rows").alias("n_rows"),
+    ) if group_cols else partials.agg(
+        F.collect_list(sketch_col).alias("__sks"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    sks = F.col("__sks")
+    merged = F.aggregate(
+        F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
+        F.element_at(sks, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return staged.select(
+        *group_cols,
+        *[
+            F.kll_sketch_get_quantile_double(merged, F.lit(float(p))).alias(
+                f"q_{str(p).replace('.', '_')}"
+            )
+            for p in probs
+        ],
+        "n_rows",
+    )

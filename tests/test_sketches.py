@@ -119,3 +119,72 @@ def test_nulls_skipped_and_partials_bounded(spark):
     assert rows["a"].n_rows == 2 and rows["b"].n_rows == 0
     # fixed-size state: registers bounded by ~2^lgK bytes + header
     assert all(len(r.sketch) <= (1 << SK.HLL_LGK) + 64 for r in rows.values())
+
+
+def test_theta_audience_overlap_vs_exact(spark):
+    """Theta set algebra from daily partials must track the EXACT
+    distinct-user overlap between two event types (the raw-data twin
+    is a distinct-key self-join). At these cardinalities theta
+    sketches are still in exact mode, so estimates match exactly."""
+    ev = _events(spark).filter(F.col("ts").isNotNull()).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    types = sorted(
+        r.event_type
+        for r in ev.select("event_type").distinct().collect()
+        if r.event_type is not None
+    )
+    ta, tb = types[0], types[1]
+    part = SK.theta_sketch_partials(ev, ["day", "event_type"], "user_id")
+    out = SK.audience_overlap(part, "event_type", ta, tb).collect()[0]
+    ua = {r.user_id for r in ev.filter(F.col("event_type") == ta)
+          .select("user_id").distinct().collect()}
+    ub = {r.user_id for r in ev.filter(F.col("event_type") == tb)
+          .select("user_id").distinct().collect()}
+    def band(est, true):
+        assert abs(est - true) <= max(2, 0.05 * true), (est, true)
+    band(out.n_a, len(ua))
+    band(out.n_b, len(ub))
+    band(out.n_union, len(ua | ub))
+    band(out.n_intersection, len(ua & ub))
+    band(out.n_only_a, len(ua - ub))
+    assert len(ua & ub) > 0  # fixture corpus must exercise the overlap
+
+
+def test_kll_quantile_rollup_vs_exact(spark):
+    """KLL quantile partials merged across days must land within rank
+    error of the exact per-type percentiles (the graded
+    analytics_value_percentiles question, answered from partials)."""
+    ev = _events(spark).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).withColumn("day", F.date_trunc("day", "ts").cast("date"))
+    part = SK.quantile_sketch_partials(ev, ["day", "event_type"], "value")
+    est = {
+        r.event_type: r
+        for r in SK.rollup_quantiles(part, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.count("value").alias("n"),
+        ).collect()
+    }
+    for t, e in exact.items():
+        # KLL returns an OBSERVED value at ~the requested rank: compare
+        # by rank displacement (<= 3.5% of n), not value distance —
+        # value gaps are data-dependent
+        vals = sorted(
+            r.value for r in ev.filter(F.col("event_type") == t)
+            .select("value").collect()
+        )
+        for q, ex in (("q_0_5", e.p50), ("q_0_9", e.p90)):
+            got = est[t][q]
+            import bisect
+            rank_got = bisect.bisect_left(vals, got)
+            rank_ex = bisect.bisect_left(vals, ex)
+            assert abs(rank_got - rank_ex) <= max(2, 0.035 * len(vals)), (
+                t, q, got, ex, rank_got, rank_ex, len(vals)
+            )
+        assert est[t].n_rows == e.n  # plain counts stay exact
