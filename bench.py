@@ -467,6 +467,12 @@ def main() -> None:
                 # keeps one query's cache from warming the next lap or
                 # occupying executor memory during the next query
                 spark.catalog.clearCache()
+                # drop the handles ExactSubstr's default path tracked
+                # for its internally-created staged frame (ADVICE r11);
+                # the data blocks are already gone via clearCache
+                from recon_spark.operators import exactsubstr as _ES
+
+                _ES.release_auto_staged()
         lap_times.append(lt)
         lap_loads.append(la)
     cold = dict(lap_times[0])

@@ -207,7 +207,6 @@ def minhash_near_dup(
     ``tokens_col``: shingle an ALREADY-STAGED token-array column instead
     of tokenizing ``text_col`` (round 8: the corpus builder stages one
     token pass for its whole stage chain)."""
-    rows = n_hashes // n_bands
     staged = (
         docs if tokens_col else docs.withColumn("__toks", T.tokens(text_col))
     )
@@ -220,6 +219,21 @@ def minhash_near_dup(
         )
         .persist()
     )
+    return minhash_near_dup_from_shingles(sh, n_hashes, n_bands, threshold)
+
+
+def minhash_near_dup_from_shingles(
+    sh: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup body over an already-staged (and persisted)
+    ``(id, sh)`` shingle frame — shared by :func:`minhash_near_dup` and
+    the regime dispatcher :func:`ngram_jaccard_auto`, so a caller that
+    has already paid the tokenize+shingle pass (e.g. for the regime
+    probe) reuses it for signatures AND the exact-Jaccard verify."""
+    rows = n_hashes // n_bands
     with_sig = (
         sh.withColumn("sig", signature_from_shingles(F.col("sh"), n_hashes))
         .select("id", "sig")
@@ -505,6 +519,145 @@ def ngram_jaccard_pairs_prefix_from_shingles(
         "id_b",
         (F.col("__i").cast("double") / F.col("__u")).alias("jaccard"),
     )
+
+
+#: Regime-dispatch thresholds for :func:`ngram_jaccard_auto`, calibrated
+#: against the three measured corpora in ``tools/ngram_regimes.py``
+#: (SCALING.md regime table). AMPLIFICATION = Σc²/Σc, the expected number
+#: of docs each inverted-index row meets in the count-based self-join
+#: (organic sf0.1 measures ~10.7; the saturated synthetic ~90; the
+#: boilerplate/Zipf corpus ~750 at 20k docs and grows with the corpus).
+#: RARE_MASS = the fraction of index rows whose shingle occurs in ≤2
+#: docs — the raw material PPJoin prefixes are built from (boilerplate
+#: ~0.69; saturated ~0.0).
+AUTO_AMPLIFICATION = 32.0
+AUTO_RARE_MASS = 0.3
+
+
+def ngram_regime_probe(index: DataFrame) -> dict:
+    """One-aggregate probe over a shingle inverted index ``(id, n,
+    shingle)`` (see :func:`shingle_index`) that MEASURES which n-gram
+    near-dup regime a corpus is in, instead of making the caller guess:
+
+    - ``join_rows`` = Σ_s c_s² — the count-based self-join's volume
+      (c_s = docs containing shingle s);
+    - ``index_rows`` = Σ_s c_s, ``distinct`` = |{s}|;
+    - ``amplification`` = join_rows / index_rows — scale-free: how many
+      docs each index row joins to;
+    - ``rare_mass_frac`` = Σ_{c_s ≤ 2} c_s / index_rows — how much of
+      the index is rare-tail shingles (what prefix filtering prunes to).
+
+    Route decision (each boundary measured in tools/ngram_regimes.py —
+    the SCALING.md three-regime table):
+
+    1. ``amplification ≤ AUTO_AMPLIFICATION`` → **count**: the
+       count-based join's volume is affordable; prefix's dfreq/window/
+       verify overhead buys nothing (organic regime).
+    2. else if ``rare_mass_frac ≥ AUTO_RARE_MASS`` → **prefix**: the
+       quadratic mass sits in hot template shingles while docs carry a
+       rare tail to build prefixes from — exactly what PPJoin prunes
+       (boilerplate/Zipf regime; identical output to count).
+    3. else → **minhash**: a flat/saturated frequency profile — NO
+       rare shingles, so NEITHER exact form prunes (measured 45.9s /
+       73.8s vs MinHash-LSH 3.7s on the 50k saturated corpus); banding
+       bounds candidates by near-dup density instead.
+
+    Cost: one shuffle-aggregate over the index (groupBy shingle →
+    global agg) and a single collected row — the decision this buys is
+    the difference between 3.7s and 73.8s on the measured saturated
+    corpus, and grows quadratically with corpus size.
+    """
+    by_sh = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    row = by_sh.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("index_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("join_rows"),
+        F.coalesce(F.sum(F.when(F.col("c") <= 2, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("rare_rows"),
+    ).first()
+    index_rows = int(row["index_rows"])
+    join_rows = int(row["join_rows"])
+    amplification = (join_rows / index_rows) if index_rows else 0.0
+    rare_mass = (int(row["rare_rows"]) / index_rows) if index_rows else 0.0
+    if amplification <= AUTO_AMPLIFICATION:
+        route = "count"
+    elif rare_mass >= AUTO_RARE_MASS:
+        route = "prefix"
+    else:
+        route = "minhash"
+    return {
+        "index_rows": index_rows,
+        "distinct": int(row["distinct"]),
+        "join_rows": join_rows,
+        "amplification": amplification,
+        "rare_mass_frac": rare_mass,
+        "route": route,
+    }
+
+
+def ngram_jaccard_auto(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    sh: DataFrame | None = None,
+    index: DataFrame | None = None,
+    exact_only: bool = False,
+    probe_out: dict | None = None,
+) -> DataFrame:
+    """Regime-ADAPTIVE n-gram Jaccard near-dup pairs: probe the corpus's
+    measured shingle-frequency profile once (:func:`ngram_regime_probe`)
+    and route to whichever of the three implementations wins that regime
+    — closing the footgun where a caller picks an exact form on a
+    saturated corpus and gets the quadratic join with no guardrail
+    (the sf1 ×13.2 blowup documented in SCALING.md).
+
+    Routes and their contracts (normalized schema ``(id_a, id_b,
+    jaccard)``, jaccard always the EXACT verified value):
+
+    - **count** / **prefix** — exact recall, identical pair sets
+      (:func:`ngram_jaccard_pairs_from_shingles` /
+      :func:`ngram_jaccard_pairs_prefix_from_shingles`).
+    - **minhash** — :func:`minhash_near_dup_from_shingles` at the same
+      threshold: every returned pair is exact-verified, but recall is
+      bounded by LSH banding (the saturated regime, where exact recall
+      is the thing that does not scale). Pass ``exact_only=True`` to
+      forbid this route — the dispatcher then falls back to the count
+      form (measured faster than prefix when no rare tail exists) and
+      the caller knowingly pays the quadratic join.
+
+    ``sh``/``index``: already-staged shingle frame / inverted index to
+    reuse (the probe and all three routes run off them — one staging
+    pass total). ``probe_out``: a dict the caller may pass to receive
+    the probe stats + chosen route (testable, loggable).
+
+    NOTE the probe is an ACTION (one aggregate over the index, one
+    collected row) — the plan downstream of this call is route-specific.
+    Cache lifecycle of the staged frames passes to the caller (module
+    docstring contract).
+    """
+    if sh is None:
+        if docs is None:
+            raise ValueError("ngram_jaccard_auto: pass docs or a staged sh frame")
+        sh = staged_shingles(docs, id_col, text_col, k)
+    index = index if index is not None else shingle_index(sh)
+    probe = ngram_regime_probe(index)
+    if probe["route"] == "minhash" and exact_only:
+        probe = dict(probe, route="count", exact_only_fallback=True)
+    if probe_out is not None:
+        probe_out.update(probe)
+    if probe["route"] == "prefix":
+        return ngram_jaccard_pairs_prefix_from_shingles(sh, t_num, t_den, index=index)
+    if probe["route"] == "minhash":
+        return minhash_near_dup_from_shingles(
+            sh, threshold=t_num / t_den
+        ).select("id_a", "id_b", "jaccard")
+    return ngram_jaccard_pairs_from_shingles(sh, t_num, t_den, index=index)
 
 
 def exact_jaccard(a: Column, b: Column) -> Column:

@@ -65,6 +65,27 @@ EXACT_SUBSTR_TOKENS = 50
 #: shortest docs exercise the no-window edge.
 GRADE_TOKENS = 12
 
+#: staged frames created INTERNALLY by the default path (caller passed
+#: ``staged=None``) — the caller never receives the handle, so without
+#: bookkeeping the O(corpus-tokens) cached frame would be unreleasable
+#: for the session (ADVICE r11). ``spark.catalog.clearCache()`` (the
+#: repo-wide cache contract) drops the executor memory; this list keeps
+#: the handles so :func:`release_auto_staged` can release them precisely
+#: without nuking unrelated caches.
+_AUTO_STAGED: list[DataFrame] = []
+
+
+def release_auto_staged() -> int:
+    """Unpersist every staged window-fingerprint frame the default path
+    created internally; returns how many. Call after the consuming
+    ACTION (not merely after building the plan — the persist is
+    load-bearing for plan shape: the posexplode must generate from a
+    cached array column, and the verdicts plan reads the index twice)."""
+    n = len(_AUTO_STAGED)
+    while _AUTO_STAGED:
+        _AUTO_STAGED.pop().unpersist()
+    return n
+
 
 def staged_window_fps(
     docs: DataFrame,
@@ -99,9 +120,16 @@ def exact_substr_index(
     staged: DataFrame | None = None,
 ) -> DataFrame:
     """The sorted-50-gram index: ``(doc_id, pos, fp)``, one row per
-    stride-1 window start, fixed-width payload (no window text)."""
+    stride-1 window start, fixed-width payload (no window text).
+
+    When ``staged`` is None the window-fingerprint frame is created
+    (and persisted) here; the handle is tracked in ``_AUTO_STAGED`` so
+    :func:`release_auto_staged` can release it after the caller's
+    action (callers that manage staging themselves — the registry's
+    _stage_persist path — pass ``staged`` and are unaffected)."""
     if staged is None:
         staged = staged_window_fps(docs, l_tokens, id_col, text_col)
+        _AUTO_STAGED.append(staged)
     return staged.select("doc_id", F.posexplode("__fps").alias("pos", "fp"))
 
 
@@ -147,7 +175,18 @@ def exact_substr_dedup(
     stride-1 rebuild reused VERBATIM from ``spans.span_dedup``; this
     operator contributes only the fingerprint verdicts. Docs shorter
     than ``l_tokens`` have no windows and pass through untouched (the
-    paper's semantics: they cannot contain a duplicated L-gram)."""
+    paper's semantics: they cannot contain a duplicated L-gram).
+
+    ``l_tokens`` must be >= 2: at l_tokens=1, ``stride == k`` would flip
+    span_dedup into its ALIGNED rebuild path, which reads a 'span'
+    column these fingerprint verdicts do not carry (ADVICE r11) — and
+    1-token "substrings" are not the paper's operator anyway."""
+    if l_tokens < 2:
+        raise ValueError(
+            f"exact_substr_dedup: l_tokens must be >= 2 (got {l_tokens}); "
+            "at 1 the stride-1 rebuild degenerates into span_dedup's "
+            "aligned path, whose verdict contract differs"
+        )
     v = exact_substr_verdicts(docs, l_tokens, id_col, text_col, staged)
     return SP.span_dedup(
         docs, k=l_tokens, id_col=id_col, text_col=text_col,

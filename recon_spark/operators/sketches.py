@@ -195,25 +195,40 @@ def rollup_quantiles(
     month) times one ~KB sketch, the same bound any partial-merge tree
     carries. Rank error does not grow with the number of partials
     merged (the library's compaction invariant)."""
+    # A partial whose group had NO non-null values still carries a
+    # NON-null sketch blob — Spark's kll_sketch_agg_double returns an
+    # 8-byte EMPTY buffer that kll_sketch_get_quantile_double (and a
+    # merge touching it) rejects with KLL_INVALID_INPUT_SKETCH_BUFFER
+    # (measured; the ADVICE r11 guess of a NULL sketch was close but the
+    # real artifact is this empty buffer). Gate on the partial's OWN
+    # n_rows: empty partials never enter the merge list (collect_list
+    # skips the when()'s NULLs), so a rollup mixing empty and real days
+    # merges only the real ones.
+    keep_sk = F.when(F.col("n_rows") > 0, F.col(sketch_col))
     staged = partials.groupBy(*group_cols).agg(
-        F.collect_list(sketch_col).alias("__sks"),
+        F.collect_list(keep_sk).alias("__sks"),
         F.sum("n_rows").alias("n_rows"),
     ) if group_cols else partials.agg(
-        F.collect_list(sketch_col).alias("__sks"),
+        F.collect_list(keep_sk).alias("__sks"),
         F.sum("n_rows").alias("n_rows"),
     )
     sks = F.col("__sks")
+    # try_element_at + the when-guard below: a group with NO non-empty
+    # partials has an empty __sks, and under ANSI mode (Spark 4 default)
+    # element_at(.., 1) on it raises instead of yielding a NULL quantile
+    # row (same n==0 guard discipline as spans.cdc_spans)
     merged = F.aggregate(
         F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
-        F.element_at(sks, 1),
+        F.try_element_at(sks, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
     return staged.select(
         *group_cols,
         *[
-            F.kll_sketch_get_quantile_double(merged, F.lit(float(p))).alias(
-                f"q_{str(p).replace('.', '_')}"
-            )
+            F.when(
+                F.size(sks) > 0,
+                F.kll_sketch_get_quantile_double(merged, F.lit(float(p))),
+            ).alias(f"q_{str(p).replace('.', '_')}")
             for p in probs
         ],
         "n_rows",

@@ -1424,12 +1424,25 @@ from ..operators import exactsubstr as _ES  # noqa: E402
 #: case aligned-window dedup misses and stride-1 fingerprinting must
 #: catch (the plant's block is removed, its unique prefix survives).
 ESUB_SHIFT_MOD = 40
-ESUB_ID_OFFSET = 400_000
+
+#: the shift-plant id offset is DERIVED from the corpus — max base
+#: doc_id + NEAR_ID_OFFSET + 1 — so a plant id can never collide with a
+#: real document OR a docs_aug dup plant (whose ids top out at base max
+#: + NEAR_ID_OFFSET) at ANY scale factor. The r11 fixed 400_000 silently
+#: merged a plant with a real document once base ids reached 400k
+#: (ADVICE r11): parity still held (both engines mirrored the bug) but
+#: the any-alignment certificate weakened. Keeping plants ABOVE the id
+#: space (not negative) preserves keep-first semantics: the ORIGINAL
+#: block stays the corpus-wide first occurrence, the plant's copy is the
+#: one removed.
+ESUB_OFFSET_SQL = (
+    f"(SELECT COALESCE(MAX(doc_id), 0) + {NEAR_ID_OFFSET} + 1 FROM documents)"
+)
 
 ESUB_AUG_CTE = f"""esub_aug AS (
   SELECT doc_id, text FROM docs_aug
   UNION ALL
-  SELECT doc_id + {ESUB_ID_OFFSET},
+  SELECT doc_id + {ESUB_OFFSET_SQL},
          'esq' || CAST(doc_id AS VARCHAR) || 'a esq' || CAST(doc_id AS VARCHAR)
            || 'b esq' || CAST(doc_id AS VARCHAR) || 'c ' || text
   FROM documents WHERE doc_id % {ESUB_SHIFT_MOD} = 0 AND text IS NOT NULL
@@ -1802,24 +1815,40 @@ es_parity AS (
   FROM es_out
 )"""
 
+#: round-12 fold: the regime dispatcher's chosen-path parity. The
+#: organic graded corpus measures amplification ≈ 2.2 (see
+#: dedup.ngram_regime_probe) — firmly the count regime — so the oracle
+#: recomputes the dispatcher's pair count/checksum from ITS count-based
+#: pair set and pins auto_route to 'count': a probe drift that re-routes
+#: the fixture corpus, or any divergence in the routed path's pair set,
+#: flips the certificate on every row.
+_NGRAM_AUTO_PARITY_CTE = f"""ng_auto_parity AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs_auto,
+         CAST(COALESCE(SUM({hash32("CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)")}), 0) AS BIGINT) AS auto_pairs_ck,
+         'count' AS auto_route
+  FROM ng_pairs
+)"""
+
 DEDUP_EXACT_SQL = _splice(
     _splice(
         _splice(
             DEDUP_EXACT_BODY_SQL,
             "\nSELECT f.doc_id, f.fingerprint,",
             f",\n{bloom_gate_ctes()},\n{cdc_parity_ctes(src='docs_aug')},\n"
-            f"{_ESUB_PARITY_CTES}\n"
+            f"{_ESUB_PARITY_CTES},\n{_NGRAM_AUTO_PARITY_CTE}\n"
             "SELECT f.doc_id, f.fingerprint,",
         ),
         "bp.n_bloom_fp, bp.bloom_ck",
         "bp.n_bloom_fp, bp.bloom_ck,\n"
+        "       na.n_pairs_auto, na.auto_pairs_ck, na.auto_route,\n"
         "       cp.n_cdc_removed, cp.cdc_ck,\n"
         "       ep.n_esub_removed, ep.esub_ck,\n"
         "       bg.n_bgate_verdicts, bg.n_bgate_overdrop, bg.bgate_ck",
     ),
     "CROSS JOIN bl_parity bp",
     "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg"
-    " CROSS JOIN cdc_parity cp CROSS JOIN es_parity ep",
+    " CROSS JOIN cdc_parity cp CROSS JOIN es_parity ep"
+    " CROSS JOIN ng_auto_parity na",
 )
 
 

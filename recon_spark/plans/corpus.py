@@ -82,7 +82,12 @@ def build_training_corpus(
     caller's action. Call ``spark.catalog.clearCache()`` after consuming
     the result (and between repeated builds in a long-lived session), as
     ``bench.py`` / ``tools/check_correctness.py`` do. The perplexity
-    stage's scored frame is fully drained and unpersisted internally."""
+    stage's scored frame is fully drained and unpersisted internally.
+    The exact_substr stage's internally-created window-fingerprint
+    frame is additionally tracked in
+    ``operators.exactsubstr._AUTO_STAGED`` — callers that want to
+    release it precisely (without dropping unrelated caches) call
+    ``exactsubstr.release_auto_staged()`` after the consuming action."""
     # Lean staging: the pipeline consumes ONLY the quality flags and the
     # exact-dup fingerprint — computing the full with_text_stats battery
     # here also paid for min_shingle_hash (md5 per shingle per doc),

@@ -139,17 +139,56 @@ def test_exact_substr_graded_composition_matches_oracle(spark):
         f"read_parquet('{SF}/documents.parquet')"
     )
     want = sorted(con.sql(llm_sql.EXACT_SUBSTR_SQL).fetchall())
+    # plant offset is corpus-DERIVED since round 12 (max base doc_id +
+    # NEAR_ID_OFFSET + 1 — disjoint keyspace at any SF, ADVICE r11)
+    esub_offset = con.sql(
+        f"SELECT COALESCE(MAX(doc_id), 0) + {llm_sql.NEAR_ID_OFFSET} + 1 "
+        "FROM documents"
+    ).fetchone()[0]
     con.close()
     assert got == want
     # shift plants of >= L-token docs must lose their block copy down
     # to the unique prefix (plants of shorter docs legitimately keep
     # everything — no L-window fits inside the copied block)
-    planted = [r for r in got if r[0] >= llm_sql.ESUB_ID_OFFSET]
+    planted = [r for r in got if r[0] >= esub_offset]
     assert planted
     stripped = [r for r in planted if r[2] > 0]
     assert stripped
-    base_id = lambda r: r[0] - llm_sql.ESUB_ID_OFFSET  # noqa: E731
+    base_id = lambda r: r[0] - esub_offset  # noqa: E731
     assert all(
         r[3] == f"esq{base_id(r)}a esq{base_id(r)}b esq{base_id(r)}c"
         for r in stripped
     )
+
+
+def test_exact_substr_rejects_l_tokens_below_two(spark):
+    """l_tokens=1 would flip span_dedup's stride==k ALIGNED rebuild path,
+    whose verdict contract differs — a clear ValueError, not a deep
+    AnalysisException (ADVICE r11)."""
+    import pytest
+
+    docs = _df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="l_tokens"):
+        ES.exact_substr_dedup(docs, l_tokens=1)
+
+
+def test_release_auto_staged_tracks_default_path(spark):
+    """The default path (staged=None) persists a window-fingerprint frame
+    the caller never receives; release_auto_staged() must release it
+    (ADVICE r11 medium)."""
+    ES.release_auto_staged()  # drain anything earlier tests left
+    docs = _df(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h")])
+    out = ES.exact_substr_dedup(docs, l_tokens=4)
+    assert len(ES._AUTO_STAGED) == 1
+    staged = ES._AUTO_STAGED[0]
+    out.collect()
+    assert staged.storageLevel.useMemory  # persisted while consuming
+    assert ES.release_auto_staged() == 1
+    assert not ES._AUTO_STAGED
+    assert not staged.storageLevel.useMemory  # actually unpersisted
+
+    # explicitly-staged callers are NOT tracked (lifecycle is theirs)
+    st = ES.staged_window_fps(docs, 4)
+    ES.exact_substr_dedup(docs, l_tokens=4, staged=st).collect()
+    assert ES.release_auto_staged() == 0
+    st.unpersist()

@@ -188,3 +188,25 @@ def test_kll_quantile_rollup_vs_exact(spark):
                 t, q, got, ex, rank_got, rank_ex, len(vals)
             )
         assert est[t].n_rows == e.n  # plain counts stay exact
+
+
+def test_rollup_quantiles_all_null_group_yields_null_row(spark):
+    """A partial over zero non-null values carries an 8-byte EMPTY
+    sketch buffer (NOT a NULL — measured) that get_quantile/merge reject
+    with KLL_INVALID_INPUT_SKETCH_BUFFER; the rollup must (a) yield NULL
+    quantiles for a group with no values at all and (b) skip empty
+    partials when merging a group that mixes empty and real days
+    (ADVICE r11)."""
+    ev = spark.createDataFrame(
+        [
+            ("d1", "a", 1.0), ("d1", "a", 3.0),   # real day for a
+            ("d2", "a", None),                      # empty day for a
+            ("d1", "b", None), ("d2", "b", None),  # b has no values at all
+        ],
+        "day string, event_type string, value double",
+    )
+    part = SK.quantile_sketch_partials(ev, ["day", "event_type"], "value")
+    got = {r.event_type: r for r in SK.rollup_quantiles(part, ["event_type"]).collect()}
+    assert got["a"].q_0_5 is not None and got["a"].n_rows == 2
+    assert got["b"].q_0_5 is None and got["b"].q_0_9 is None
+    assert got["b"].n_rows == 0
