@@ -12,9 +12,11 @@ proofing per VERDICT r9 #2) is reported in ``steady_queries``/
 clean-once bucketed layout are untimed setup, reported in
 ``setup_raw_sec``/``setup_clean_sec``. The printed line is compact
 (headline + cold per-query dict); the full artifact — per-lap timings,
-loadavg traces, the ambient-load gate verdict — is written to the
-sidecar (``BENCH_full.json`` at the canonical sf0.1, SF-suffixed
-otherwise so smoke runs can't clobber it).
+loadavg traces, per-query external-CPU traces with the per-query
+contended-lap rejection verdicts (steady_accepted_laps), and the
+ambient-load gate verdict — is written to the sidecar
+(``BENCH_full.json`` at the canonical sf0.1, SF-suffixed otherwise so
+smoke runs can't clobber it).
 
 Each query is materialized with the ``noop`` sink (full execution of
 every column, no driver-side collect, no disk write) — the honest
@@ -96,6 +98,12 @@ HEADLINE = [
     # dedup_exact_documents — this entry prices the sorted
     # fingerprint-index formulation standalone
     "exact_substr_dedup",
+    # ExactSubstr at the PAPER's settings (L=50) over a long-document
+    # corpus (fixture texts folded ~10:1 to ~550-token docs + shifted
+    # whole-block plants): shuffle volume is L-independent but the
+    # window hashing is O(n*L) codegen work, which the graded L=12
+    # entry underprices (VERDICT r11 #4)
+    "exact_substr_l50",
     # HLL sketch-partial rollup (operators/sketches.py, r11): the
     # hypertable pattern — daily (day, type) distinct-user partials
     # rolled up to type + total without a raw rescan; pytest-graded
@@ -178,20 +186,20 @@ def _q_span_dedup(spark, sf_dir):
 def _q_hll_rollup(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from recon_spark.operators import sketches
+    from recon_spark.plans import analytics as A
     from recon_spark.sources.tpch import load
 
-    # the hypertable pattern end-to-end: build (day, type) HLL partials
-    # once, then answer per-type AND grand-total distinct-user reach
-    # from the partials alone (no raw rescan); the exact twin of the
-    # same question is the graded analytics_user_reach row
+    # the hypertable pattern end-to-end through the PLANS layer (r12,
+    # VERDICT r11 #6 wiring): materialize (day, type) HLL partials once,
+    # then answer per-type AND grand-total distinct-user reach from the
+    # partials alone (no raw rescan); the exact twin of the same
+    # question is the graded analytics_user_reach row
     ev = load(spark, sf_dir, "events")
-    partials = sketches.daily_reach_partials(ev)
-    by_type = sketches.rollup_distinct(partials, ["event_type"])
-    total = sketches.rollup_distinct(partials, []).select(
+    _partials, rollups = A.build_reach_hypertable(ev, grains=("type", "total"))
+    total = rollups["total"].select(
         F.lit("__total__").alias("event_type"), "n_distinct_est", "n_rows"
     )
-    return by_type.unionByName(total)
+    return rollups["type"].unionByName(total)
 
 
 def _q_sketch_audience_quantiles(spark, sf_dir):
@@ -229,6 +237,54 @@ def _q_exact_substr(spark, sf_dir):
     return exactsubstr.exact_substr_dedup(aug, exactsubstr.GRADE_TOKENS)
 
 
+def _q_exact_substr_l50(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import exactsubstr
+
+    # Long-document corpus from the fixture texts: fold ~10 docs into
+    # one (deterministic doc_id-sorted concat) => ~550-token documents,
+    # the shape the paper's L=50 window actually targets (the fixture's
+    # 10-99-token docs mostly carry zero 50-token windows). Every 10th
+    # long doc reappears as an offset-SHIFTED plant (5-token unique
+    # prefix) so the dedup has real work, not just index build.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    long_docs = (
+        docs.groupBy((F.col("doc_id") % 500).alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id").alias("k"), F.col("text").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    plants = long_docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(
+            F.lit("lp"), did, F.lit("a lp"), did, F.lit("b lp"), did,
+            F.lit("c lp"), did, F.lit("d "), F.col("text"),
+        ).alias("text"),
+    )
+    corpus = long_docs.unionByName(plants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return exactsubstr.exact_substr_dedup(
+        corpus, exactsubstr.EXACT_SUBSTR_TOKENS
+    )
+
+
 def _q_gopher_repetition(spark, sf_dir):
     from recon_spark.operators import repetition
     from recon_spark.sources.tpch import load
@@ -263,10 +319,61 @@ EXTRA_QUERIES = {
     "semdedup_prune": _q_semdedup,
     "span_dedup_rebuild": _q_span_dedup,
     "exact_substr_dedup": _q_exact_substr,
+    "exact_substr_l50": _q_exact_substr_l50,
     "hll_reach_rollup": _q_hll_rollup,
     "sketch_audience_quantiles": _q_sketch_audience_quantiles,
     "gopher_repetition": _q_gopher_repetition,
 }
+
+
+#: jiffies -> seconds for /proc accounting
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _system_busy_jiffies() -> int:
+    """Total busy jiffies across all CPUs (user+nice+system+irq+softirq+
+    steal — idle and iowait excluded) from /proc/stat."""
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    u, n, s, _idle, _iow, irq, sirq, steal = (int(x) for x in p[1:9])
+    return u + n + s + irq + sirq + steal
+
+
+def _own_tree_jiffies() -> int:
+    """Busy jiffies consumed by THIS process and every live descendant
+    (the Spark JVM, pyspark daemons/workers), including reaped children
+    via cutime/cstime — one /proc sweep, ~ms."""
+    import glob as _glob
+
+    me = os.getpid()
+    stats: dict[int, tuple[int, int]] = {}
+    for path in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(path) as f:
+                raw = f.read()
+        except OSError:  # raced a process exit
+            continue
+        try:
+            rp = raw.rindex(")")  # comm can contain spaces/parens
+            pid = int(raw.split(" ", 1)[0])
+            rest = raw[rp + 2 :].split()
+            ppid = int(rest[1])
+            jiff = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        except (ValueError, IndexError):
+            continue
+        stats[pid] = (ppid, jiff)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        kids.setdefault(ppid, []).append(pid)
+    own, stack, seen = 0, [me], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in stats:
+            continue
+        seen.add(p)
+        own += stats[p][1]
+        stack.extend(kids.get(p, []))
+    return own
 
 
 def main() -> None:
@@ -401,8 +508,21 @@ def main() -> None:
     # query's executions by a full suite pass (~1 min+), so a spike must
     # persist across the whole run to survive the min.
     laps_n = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2")))
+    # Per-QUERY contended-lap rejection (VERDICT r11 #8): the 1-min
+    # loadavg cannot attribute a mid-lap spike — on a QUIET run the
+    # bench's own local[32] bursts read 3-9 at query starts, the same
+    # band the r10/r11 driver contention read — so the per-query signal
+    # is EXTERNAL CPU measured directly: Δ(/proc/stat busy jiffies)
+    # minus Δ(this process tree's jiffies) over the query's own wall
+    # window, in cores. Quiet ambient measures ~0-1 cores regardless of
+    # self-load; a concurrent pytest/bench measures 8-30. A lap's
+    # sample for a query is rejected from the steady min when external
+    # load exceeded the gate DURING THAT QUERY; if every lap was
+    # contended the min over all laps is kept and accepted=0 says so.
+    ext_gate_cores = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_GATE", "4.0"))
     lap_times: list[dict[str, float]] = []
     lap_loads: list[dict[str, float]] = []
+    lap_exts: list[dict[str, float]] = []
     lap_gates: list[dict[str, float | bool]] = []
     errors: dict[str, str] = {}
     for _lap in range(laps_n):
@@ -443,6 +563,7 @@ def main() -> None:
             )
         lt: dict[str, float] = {}
         la: dict[str, float] = {}
+        le: dict[str, float] = {}
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -451,6 +572,7 @@ def main() -> None:
             # attributable from the JSON alone instead of needing a
             # forensic re-run.
             la[name] = round(os.getloadavg()[0], 1)
+            busy0, own0 = _system_busy_jiffies(), _own_tree_jiffies()
             t0 = time.time()
             try:
                 fn = QUERIES.get(name) or EXTRA_QUERIES[name]
@@ -461,6 +583,15 @@ def main() -> None:
                 errors[name] = f"ERROR {type(exc).__name__}: {msg}"
                 print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
             finally:
+                # external CPU during THIS query's window, in cores
+                # (sampled before clearCache so only the timed window
+                # counts)
+                dt = max(time.time() - t0, 1e-3)
+                d_busy = _system_busy_jiffies() - busy0
+                d_own = max(_own_tree_jiffies() - own0, 0)
+                le[name] = round(
+                    max(d_busy - d_own, 0) / dt / _CLK_TCK, 2
+                )
                 # operators that persist() intermediates (minhash
                 # shingles, tfidf tf, ngram prefixes) hand cache
                 # lifecycle to the caller; dropping blocks between laps
@@ -475,11 +606,22 @@ def main() -> None:
                 _ES.release_auto_staged()
         lap_times.append(lt)
         lap_loads.append(la)
+        lap_exts.append(le)
     cold = dict(lap_times[0])
-    timings = {
-        name: min(lt[name] for lt in lap_times if name in lt)
-        for name in cold
-    }
+    # steady = per-query min over laps whose external load stayed under
+    # the gate during that query (VERDICT r11 #8); all-contended queries
+    # fall back to the unfiltered min with accepted=0 recorded
+    timings: dict[str, float] = {}
+    accepted_laps: dict[str, int] = {}
+    for name in cold:
+        samples = [
+            (lt[name], le.get(name))
+            for lt, le in zip(lap_times, lap_exts)
+            if name in lt
+        ]
+        ok = [t for t, e in samples if e is not None and e <= ext_gate_cores]
+        timings[name] = min(ok) if ok else min(t for t, _ in samples)
+        accepted_laps[name] = len(ok)
     loadavg = lap_loads[0]
     # Headline accounting (round-7 fix per VERDICT r6 #1): the driver-parsed
     # "value" is the CONSERVATIVE number — the cold-lap sum, i.e. what each
@@ -510,6 +652,12 @@ def main() -> None:
         "loadavg_1min": loadavg,
         "loadavg_laps": lap_loads,
         "lap_queries": lap_times,
+        # per-query EXTERNAL cpu (cores) during each lap's timed window
+        # and how many lap samples survived the per-query gate into the
+        # steady min (VERDICT r11 #8)
+        "ext_cores_laps": lap_exts,
+        "ext_gate_cores": ext_gate_cores,
+        "steady_accepted_laps": accepted_laps,
         "ambient_gate": {**ambient_gate, "lap_gates": lap_gates},
     }
     # a run is contended if EITHER the start gate or any lap gate

@@ -124,11 +124,18 @@ def train_quality_clf(
     cnt) substrate; returns ``(weights[n_buckets], bias)`` as local
     Python floats (bounded model state).
 
-    Per iteration: score every doc (bucket-keyed broadcast join against
-    the current weights + per-doc aggregate), then accumulate the
-    residual-weighted gradient per bucket (one more bucket aggregate)
-    and step. The substrate is persisted here and released before
-    returning; the caller persists only if it reuses the frame."""
+    Per iteration, ONE Spark action (VERDICT r11 #3): score every doc
+    (bucket-keyed broadcast join against the current weights + per-doc
+    sigmoid), re-join the residuals to the substrate and aggregate the
+    residual-weighted gradient per bucket — a single job whose one
+    forward pass feeds both gradients. The BIAS gradient needs no
+    second action: features are L1-NORMALIZED per doc (Σ_b x_{d,b} = 1
+    by construction of ``x``), so Σ_b g_b = Σ_d resid_d · Σ_b x_{d,b}
+    = Σ_d resid_d — the bias gradient is exactly the sum of the
+    collected bucket gradients (float rounding vs the direct sum is
+    ~1e-16 relative; the numpy-twin parity test holds at rtol 1e-6).
+    The substrate is persisted here and released before returning; the
+    caller persists only if it reuses the frame."""
     sub = substrate.withColumn(
         "x",
         F.col("cnt").cast("double")
@@ -169,7 +176,9 @@ def train_quality_clf(
                 .agg(F.sum(F.col("resid") * F.col("x")).alias("g"))
             )
             g_rows = {r["bucket"]: r["g"] for r in grad.collect()}
-            g_bias = scored.agg(F.sum("resid")).collect()[0][0] or 0.0
+            # Σ_b g_b == Σ_d resid_d because x is L1-normalized per doc
+            # (docstring) — the bias gradient without a second job
+            g_bias = sum(g_rows.values())
             for b, g in g_rows.items():
                 weights[b] -= lr * g / n_docs
             bias -= lr * g_bias / n_docs

@@ -186,6 +186,8 @@ def rollup_quantiles(
     group_cols: Sequence[str],
     probs: Sequence[float] = (0.5, 0.9),
     sketch_col: str = "sketch",
+    fan_in_threshold: int = 2048,
+    fan_in_buckets: int = 64,
 ) -> DataFrame:
     """Merge KLL partials to a coarser grouping and read quantile
     estimates: ``(group_cols..., q_<p> ... , n_rows)``. Spark exposes
@@ -194,7 +196,21 @@ def rollup_quantiles(
     per-task memory is bounded by the rollup fan-in (e.g. days per
     month) times one ~KB sketch, the same bound any partial-merge tree
     carries. Rank error does not grow with the number of partials
-    merged (the library's compaction invariant)."""
+    merged (the library's compaction invariant).
+
+    DEEP fan-in auto-switch (VERDICT r11 #5): a group whose fan-in
+    exceeds ``fan_in_threshold`` (e.g. a year of 15-min grains =
+    35,040 partials, or per-key minute partials) is first SALTED into
+    ``fan_in_buckets`` sub-groups — each sub-group folds its own slice,
+    then the final fold merges ≤ ``fan_in_buckets`` intermediate
+    sketches — bounding both the collected array (collect_list has a
+    hard single-array limit) and the single-task fold chain. The switch
+    is data-adaptive IN-PLAN: a count window over the partials decides
+    the salt per group, so small groups keep the exact single-level
+    shape (salt 0 for all rows → one sub-group) with no driver action.
+    Estimates are fold-order sensitive within the rank-error band (the
+    module's plan-invariance contract), so the two shapes agree in rank,
+    not bit-for-bit."""
     # A partial whose group had NO non-null values still carries a
     # NON-null sketch blob — Spark's kll_sketch_agg_double returns an
     # 8-byte EMPTY buffer that kll_sketch_get_quantile_double (and a
@@ -205,23 +221,54 @@ def rollup_quantiles(
     # skips the when()'s NULLs), so a rollup mixing empty and real days
     # merges only the real ones.
     keep_sk = F.when(F.col("n_rows") > 0, F.col(sketch_col))
-    staged = partials.groupBy(*group_cols).agg(
-        F.collect_list(keep_sk).alias("__sks"),
-        F.sum("n_rows").alias("n_rows"),
-    ) if group_cols else partials.agg(
-        F.collect_list(keep_sk).alias("__sks"),
+
+    # fold helper; try_element_at + the size()-guards at each use: a
+    # (sub-)group with NO non-empty partials has an empty __sks, and
+    # under ANSI mode (Spark 4 default) element_at(.., 1) on it raises
+    # instead of yielding a NULL quantile row (same n==0 guard
+    # discipline as spans.cdc_spans)
+    def _fold(sks):
+        return F.aggregate(
+            F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
+            F.try_element_at(sks, F.lit(1)),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    salt = F.when(
+        F.count(F.lit(1)).over(w) > fan_in_threshold,
+        F.pmod(
+            F.hash(F.col(sketch_col), F.col("n_rows")),
+            F.lit(fan_in_buckets),
+        ),
+    ).otherwise(F.lit(0))
+    lvl1 = (
+        partials.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            F.collect_list(keep_sk).alias("__sks"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            *group_cols,
+            F.when(F.size("__sks") > 0, _fold(F.col("__sks"))).alias("__sk1"),
+            "n_rows",
+        )
+    )
+    staged = lvl1.groupBy(*group_cols).agg(
+        F.collect_list(
+            F.when(F.col("__sk1").isNotNull(), F.col("__sk1"))
+        ).alias("__sks"),
         F.sum("n_rows").alias("n_rows"),
     )
     sks = F.col("__sks")
-    # try_element_at + the when-guard below: a group with NO non-empty
-    # partials has an empty __sks, and under ANSI mode (Spark 4 default)
-    # element_at(.., 1) on it raises instead of yielding a NULL quantile
-    # row (same n==0 guard discipline as spans.cdc_spans)
-    merged = F.aggregate(
-        F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
-        F.try_element_at(sks, F.lit(1)),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
+    merged = _fold(sks)
     return staged.select(
         *group_cols,
         *[

@@ -66,7 +66,22 @@ def test_gd_matches_numpy_twin(spark):
     sub = Q.qclf_substrate(docs, n_buckets=N_B)
     rows = [tuple(r) for r in sub.collect()]
     w_np, b_np = _numpy_twin(rows, N_B, Q.QCLF_ITERS, Q.QCLF_LR)
-    w_sp, b_sp = Q.train_quality_clf(spark, sub, n_buckets=N_B)
+    # r11 VERDICT #3: each GD iteration must be ONE Spark job (the bias
+    # gradient rides the bucket aggregate via the L1-normalization
+    # identity) — count jobs in a dedicated job group
+    sc = spark.sparkContext
+    sc.setJobGroup("qclf-train-count", "job-count assertion")
+    try:
+        w_sp, b_sp = Q.train_quality_clf(spark, sub, n_buckets=N_B)
+    finally:
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("qclf-train-count"))
+        sc.setJobGroup("", "")
+    # budget: ONE action per iteration. Under AQE a single collect runs
+    # ~4.3 jobs (two broadcast builds + per-shuffle stage jobs —
+    # measured 87 total at 20 iters); the r11 two-action loop measured
+    # ~2x that. 5/iter + slack trips on any second action without
+    # pinning Spark's exact stage-splitting behavior.
+    assert n_jobs <= 5 * Q.QCLF_ITERS + 3, n_jobs
     assert b_sp == pytest.approx(b_np, rel=1e-6, abs=1e-9)
     np.testing.assert_allclose(np.array(w_sp), w_np, rtol=1e-6, atol=1e-9)
     # scoring layer: logits/probs must match the twin's forward pass

@@ -210,3 +210,95 @@ def test_rollup_quantiles_all_null_group_yields_null_row(spark):
     assert got["a"].q_0_5 is not None and got["a"].n_rows == 2
     assert got["b"].q_0_5 is None and got["b"].q_0_9 is None
     assert got["b"].n_rows == 0
+
+
+def test_rollup_quantiles_deep_fan_in_5k_partials(spark):
+    """VERDICT r11 #5: a rollup folding ~5k per-group partials (a year
+    of 15-min grains is 35k; this prices the shape) must hold rank
+    error and memory — the in-plan salt auto-switch bounds both the
+    collected array and the fold chain. The salted two-level shape and
+    the forced single-level shape must agree in rank (estimates are
+    fold-order sensitive within the band, never bit-pinned)."""
+    import bisect
+
+    n_part, per = 5000, 5
+    rows = [
+        ("d%05d" % (i // per), "a", float((i * 37) % 9973))
+        for i in range(n_part * per)
+    ]
+    ev = spark.createDataFrame(rows, "day string, event_type string, value double")
+    part = SK.quantile_sketch_partials(ev, ["day", "event_type"], "value").persist()
+    vals = sorted(r[2] for r in rows)
+    n = len(vals)
+    try:
+        # default thresholds -> salted path engages (5000 > 2048)
+        salted = SK.rollup_quantiles(part, ["event_type"]).collect()[0]
+        # forced single-level for comparison
+        single = SK.rollup_quantiles(
+            part, ["event_type"], fan_in_threshold=10_000
+        ).collect()[0]
+        assert salted.n_rows == single.n_rows == n
+        for q, p in (("q_0_5", 0.5), ("q_0_9", 0.9)):
+            for got in (salted[q], single[q]):
+                rank = bisect.bisect_left(vals, got)
+                assert abs(rank - p * n) <= 0.02 * n, (q, got, rank, p * n)
+            # the two shapes agree in rank within twice the band
+            r_s = bisect.bisect_left(vals, salted[q])
+            r_1 = bisect.bisect_left(vals, single[q])
+            assert abs(r_s - r_1) <= 0.035 * n
+    finally:
+        part.unpersist()
+
+
+def test_reach_hypertable_week_month_total_from_one_partials_table(spark):
+    """VERDICT r11 #6: the plans-layer wiring — daily partials
+    materialized ONCE, then week/month/type/total each derived from
+    that frame (never re-reading events), every estimate within the
+    HLL band of the exact distinct count."""
+    from datetime import datetime
+
+    from recon_spark.plans import analytics as A
+
+    rows = [
+        (
+            datetime(2024, 1 + (i % 3), 1 + (i % 27), 12, 0, 0),
+            "t%d" % (i % 2),
+            "u%04d" % (i % 311),
+        )
+        for i in range(4000)
+    ] + [(None, "t0", "u9999")]  # null-ts row must be excluded
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, user_id string")
+    partials, rollups = A.build_reach_hypertable(ev)
+    partials = partials.persist()
+    try:
+        assert set(rollups) == set(A.REACH_GRAINS)
+        # exact twins straight off the events frame
+        exact_total = ev.filter(F.col("ts").isNotNull()).select(
+            "user_id").distinct().count()
+        tot = rollups["total"].collect()[0]
+        assert abs(tot.n_distinct_est - exact_total) <= 0.05 * exact_total
+        assert tot.n_rows == 4000
+        exact_month = {
+            (r.month, r.event_type): r.n
+            for r in ev.filter(F.col("ts").isNotNull())
+            .withColumn("month", F.date_trunc("month", "ts").cast("date"))
+            .groupBy("month", "event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        got_month = {
+            (r.month, r.event_type): r.n_distinct_est
+            for r in rollups["month"].collect()
+        }
+        assert set(got_month) == set(exact_month)
+        for k, est in got_month.items():
+            assert abs(est - exact_month[k]) <= max(2, 0.05 * exact_month[k]), k
+        # week grain exists and sums rows to the corpus
+        wk = rollups["week"].agg(F.sum("n_rows")).collect()[0][0]
+        assert wk == 4000
+        import pytest
+
+        with pytest.raises(ValueError, match="grain"):
+            A.build_reach_rollup(partials, "fortnight")
+    finally:
+        partials.unpersist()
