@@ -29,6 +29,7 @@ def build_training_corpus(
     text_col: str = "text",
     budget: int = packing.DEFAULT_BUDGET,
     near_dup_threshold: float = 0.5,
+    near_dup_method: str = "minhash",
     perplexity_keep: float | None = None,
     perplexity_ref: DataFrame | None = None,
     boilerplate_spans: int | None = None,
@@ -66,6 +67,16 @@ def build_training_corpus(
     the perplexity stage: logistic regression trained
     target-vs-survivors over the DSIR hashed-feature buckets, keeping
     the top ``quality_clf_keep`` fraction by probability.
+
+    ``near_dup_method`` (round 12): 'minhash' (default — the banded-LSH
+    scale path) or 'auto' — the regime-adaptive dispatcher
+    (operators/dedup.ngram_jaccard_auto): one probe aggregate over the
+    staged shingles measures the corpus's frequency profile and routes
+    to count-based / PPJoin-prefix exact Jaccard (exact recall) or
+    MinHash-LSH (saturated profiles), so an organic corpus gets EXACT
+    near-dup recall at comparable cost while pathological profiles
+    keep the LSH guardrail. The probe is one eager driver action
+    (bounded: a single aggregated row).
 
     ``dsir_target`` + ``dsir_keep`` (round 10) append DSIR importance
     selection (operators/dsir.py) as the LAST filter: of the cleaned
@@ -149,13 +160,38 @@ def build_training_corpus(
     # (same contract as the minhash/tfidf/ntile operators).
     survivors = dedup.exact_dedup(clean, F.col("fingerprint"), [id_col]).persist()
 
-    pairs = dedup.minhash_near_dup(
-        survivors,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=near_dup_threshold,
-        tokens_col="__toks",
-    ).select("id_a", "id_b")
+    if near_dup_method == "minhash":
+        pairs = dedup.minhash_near_dup(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+            tokens_col="__toks",
+        ).select("id_a", "id_b")
+    elif near_dup_method == "auto":
+        # round 12: the regime-adaptive dispatcher as an opt-in pipeline
+        # stage — shingles derive from the SAME staged token pass, the
+        # probe measures this corpus's actual frequency profile, and the
+        # route (count/prefix/MinHash) is whatever that regime's
+        # measured winner is (operators/dedup.ngram_jaccard_auto; the
+        # probe is one eager aggregate, same class as the perplexity
+        # stage's threshold percentile). The float threshold is carried
+        # as an exact fraction so the exact routes keep their
+        # integer-arithmetic compare.
+        from fractions import Fraction
+
+        fr = Fraction(near_dup_threshold).limit_denominator(10**6)
+        sh = survivors.select(
+            F.col(id_col).alias("id"),
+            T.shingles_from_tokens(F.col("__toks"), 3).alias("sh"),
+        ).persist()
+        pairs = dedup.ngram_jaccard_auto(
+            None, sh=sh, t_num=fr.numerator, t_den=fr.denominator
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(
+            f"near_dup_method must be 'minhash' or 'auto', got {near_dup_method!r}"
+        )
     drops = components.resolve_clusters(pairs).filter(~F.col("keep")).select(
         F.col("doc_id").alias(id_col)
     )

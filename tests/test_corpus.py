@@ -202,3 +202,29 @@ def test_exact_substr_stage_catches_shifted_block(spark):
     # too_few_tokens quality gate drops it; doc 1 (first occurrence)
     # keeps its text
     assert stage_ids == {1, 3}
+
+
+def test_near_dup_method_auto_routes_and_drops(spark):
+    """round 12: near_dup_method='auto' runs the regime dispatcher as
+    the near-dup stage — on this organic corpus it takes an EXACT route
+    and must drop the same planted near-dup pair the minhash default
+    catches (exact recall is a superset of LSH recall)."""
+    import pytest
+
+    docs = _docs(spark)
+    # jaccard(doc7, doc7+tail) over 3-shingles is ~0.86; threshold 0.5
+    out = corpus.build_training_corpus(
+        docs, budget=64, near_dup_method="auto"
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 7 in ids and 901 not in ids          # near-dup plant dropped
+    assert 5 in ids and 900 not in ids          # exact-dup stage unaffected
+    base_ids = {
+        r["doc_id"] for r in corpus.build_training_corpus(docs, budget=64).collect()
+    }
+    # exact routes can only drop MORE near-dups than LSH, never fewer
+    assert ids <= base_ids
+    spark.catalog.clearCache()
+
+    with pytest.raises(ValueError, match="near_dup_method"):
+        corpus.build_training_corpus(docs, near_dup_method="ppjoin")
