@@ -140,7 +140,11 @@ def _q_lm_perplexity_filter(spark, sf_dir):
     from recon_spark.operators import lm, sampling
     from recon_spark.sources.tpch import load
 
-    docs = load(spark, sf_dir, "documents")
+    # single-split fixture parquet -> repartition before the per-doc
+    # tokenize/explode work (registry.docs_aug r12 note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     model = lm.train_bigram_lm(
         sampling.with_split(docs).filter(F.col("split") == "train")
     )
@@ -159,7 +163,9 @@ def _q_corpus_build(spark, sf_dir):
     from recon_spark.operators import sampling
     from recon_spark.sources.tpch import load
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ref = sampling.with_split(docs).filter(F.col("split") == "train")
     # boilerplate_spans=8 (r9): the benched e2e now runs the FULL
     # composition incl. the C4-style span-dedup first stage — the added

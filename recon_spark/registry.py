@@ -1125,10 +1125,20 @@ def plant_duplicates(docs: DataFrame) -> DataFrame:
 
 def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents corpus with planted exact/near duplicates (mirrors
-    llm_sql.DOCS_AUG_CTE so dedup queries are self-validating)."""
+    llm_sql.DOCS_AUG_CTE so dedup queries are self-validating).
+
+    Repartitioned to the session's parallelism (r12): the fixture
+    parquet is a single split, so the union's three narrow branches
+    executed as THREE tasks total — every consumer's tokenize/shingle/
+    signature map work was serialized on 3 of 32 cores (the gopher
+    lesson, applied at the corpus source instead of per-query; measured
+    dedup_minhash_lsh 3.36→2.7s, dedup_ngram_jaccard 2.78→2.0s
+    isolated at sf0.1). Row-set semantics unchanged; at 100 TB the
+    input arrives in thousands of splits and this shuffle would be a
+    no-op to remove."""
     return plant_duplicates(
         _load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def plant_shifted_blocks(docs: DataFrame) -> DataFrame:
@@ -1214,7 +1224,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     micros = lambda c: F.round(F.col(c) * 1_000_000).cast("long")  # noqa: E731
     dim = llm_sql.EMBED_GRADED_DIM
-    docs = _load_table(spark, sf_dir, "documents")
+    # r12: the gopher lesson applied HERE too — the fixture parquet is a
+    # single split, and everything below the persisted token pass (the
+    # battery's regex/array work, the LM substrate's per-doc maps) was
+    # executing as ONE task (measured: 4.9s exec, every pre-shuffle
+    # stage (0+1)/1; 2.2s after). Row-set semantics are unchanged.
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # round-8 trim: ONE persisted tokenize pass — (doc_id, text, __toks)
     # — feeds the battery, the LM train split, the LM scoring substrate
     # AND the SimHash fold (each previously re-tokenized the corpus in
@@ -1316,7 +1333,11 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dsir as _dsir
     from .operators import quality_clf as _qclf
 
-    docs = _load_table(spark, sf_dir, "documents")
+    # single-split fixture parquet -> repartition before the DSIR
+    # tokenize+bigram explode (docs_aug r12 note)
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     per = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
@@ -1386,7 +1407,11 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     its input lineage twice, which doubled whatever the scoring cost."""
     from .operators import ranking
 
-    docs = _load_table(spark, sf_dir, "documents")
+    # single-split fixture parquet -> repartition before the staged
+    # tokenize (docs_aug r12 note)
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.col("__toks")
     n = F.size(toks).cast("long")
     q = (
@@ -1423,7 +1448,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind length bucketing is driver-graded too (integer-exact)."""
     from .operators import packing, sampling
 
-    docs = _load_table(spark, sf_dir, "documents")
+    # single-split fixture parquet -> repartition before token counting
+    # (docs_aug r12 note)
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     packed = packing.pack_sequences(
         sampling.with_split(docs), group_cols=("split",)
     )
@@ -1485,7 +1514,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantines incidental collisions on a small-vocab corpus."""
     from .operators import sampling
 
-    docs = _load_table(spark, sf_dir, "documents")
+    # single-split fixture parquet -> repartition before shingling
+    # (docs_aug r12 note)
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return sampling.contamination_check(docs)
 
 
@@ -1503,7 +1536,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break order and every count/char sum must match. Hosted here
     (graded, unbenched) rather than on the benched text_stats row; the
     battery's wall time is priced standalone in bench.py."""
-    return tfidf_with_repetition_parity(_load_table(spark, sf_dir, "documents"))
+    # single-split fixture parquet -> repartition before the tf explode
+    # (docs_aug r12 note)
+    return tfidf_with_repetition_parity(
+        _load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
@@ -1553,7 +1592,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild over docs_aug, so Spark must reproduce the exact span
     partition, the global first-occurrence order, AND the per-document
     reassembly."""
-    docs = _load_table(spark, sf_dir, "documents")
+    # single-split fixture parquet → repartition before the per-doc
+    # chunk explode (docs_aug r12 note)
+    docs = _load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return chunk_docs_with_span_parity(docs, docs_aug(spark, sf_dir))
 
 
