@@ -119,6 +119,11 @@ HEADLINE = [
     # (operators/repetition.py, r9); integer substrate graded at sf0.01
     # as the parity fold inside text_tfidf_top_terms
     "gopher_repetition",
+    # trained-BPE tokenizer end-to-end (operators/bpe.py, r12): word
+    # histogram -> bounded driver merge loop -> Arrow-batched corpus
+    # encode -> token-count rollup; the distributed substrate is graded
+    # at sf0.01 as the parity fold inside data_mixing_weights
+    "tokenizer_bpe_e2e",
 ]
 
 
@@ -317,6 +322,29 @@ def _q_semdedup(spark, sf_dir):
     return semdedup.semdedup_verdicts(aug, k=k)
 
 
+def _q_tokenizer_bpe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import bpe
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition before the per-doc
+    # tokenize/encode work (registry.docs_aug r12 note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # train: one corpus-sized groupBy + a bounded (<= max_words) collect
+    # + the driver merge loop; encode: one Arrow-batched mapInPandas
+    # stage with the merge table in the closure
+    merges = bpe.bpe_train(docs)
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
@@ -329,6 +357,7 @@ EXTRA_QUERIES = {
     "hll_reach_rollup": _q_hll_rollup,
     "sketch_audience_quantiles": _q_sketch_audience_quantiles,
     "gopher_repetition": _q_gopher_repetition,
+    "tokenizer_bpe_e2e": _q_tokenizer_bpe,
 }
 
 

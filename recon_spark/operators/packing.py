@@ -50,6 +50,7 @@ def pack_sequences(
     group_cols: tuple[str, ...] = (),
     salt: str = PACK_SALT,
     tokens_col: str | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign each document ``(bin_id, bin_offset)`` in the deterministic
     concat-and-chunk stream of its group (``group_cols`` — e.g. the
@@ -59,14 +60,18 @@ def pack_sequences(
 
     ``tokens_col``: count an ALREADY-STAGED token-array column instead of
     tokenizing ``text_col`` (round 8: the corpus builder's shared token
-    pass)."""
+    pass). ``count_col`` (round 12): pack by a PRECOMPUTED per-document
+    token count instead — e.g. the trained-BPE subword counts a real
+    pretraining pipeline budgets by (operators/bpe.py); takes precedence
+    over both."""
     g = list(group_cols)
     hb = hash_bucket(id_col, salt)
-    n_tokens = (
-        F.size(F.col(tokens_col)).cast("long")
-        if tokens_col
-        else T.token_count(text_col)
-    )
+    if count_col:
+        n_tokens = F.col(count_col).cast("long")
+    elif tokens_col:
+        n_tokens = F.size(F.col(tokens_col)).cast("long")
+    else:
+        n_tokens = T.token_count(text_col)
     base = docs.select(
         *g,
         id_col,

@@ -1927,6 +1927,59 @@ _QCLF_CK = hash32(
     "|| CAST(bucket AS VARCHAR) || '|' || CAST(cnt AS VARCHAR)"
 )
 
+def _bpe_end_word() -> str:
+    from ..operators import bpe as _BPE
+
+    return _BPE.END_WORD
+
+
+def bpe_substrate_ctes() -> str:
+    """Trained-BPE substrate CTEs (operators/bpe.py): corpus word
+    histogram, a 1-row histogram checksum, and the iteration-0
+    adjacent-symbol pair counts (characters + terminal end-of-word
+    marker, every adjacent position counted — overlaps included —
+    weighted by word frequency). Shared by the standalone
+    BPE_PAIR_COUNTS_SQL (differential fuzz) and the
+    data_mixing_weights parity fold. The merge loop / encoder layers
+    are pytest-graded against an independent naive reference trainer
+    (tests/test_bpe.py) — the DSIR substrate/loop split applied
+    verbatim."""
+    return f"""bpe_hist AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({tokens('text')}) AS word FROM documents)
+  GROUP BY word
+),
+bpe_hist_par AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dist_words,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_words,
+         CAST(COALESCE(SUM({hash32("word || '|' || CAST(n AS VARCHAR)")}), 0) AS BIGINT) AS hist_ck
+  FROM bpe_hist
+),
+bpe_syms AS (
+  SELECT list_append(list_transform(range(1, length(word) + 1),
+                     i -> substr(word, i, 1)), '{_bpe_end_word()}') AS s, n
+  FROM bpe_hist
+),
+bpe_pair_agg AS (
+  SELECT sym_a, sym_b, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM (
+    SELECT s[i] AS sym_a, s[i + 1] AS sym_b, n
+    FROM bpe_syms, UNNEST(range(1, len(s))) AS u(i)
+  ) GROUP BY sym_a, sym_b
+)"""
+
+
+_BPE_PAIR_CK = hash32(
+    "sym_a || '|' || sym_b || '|' || CAST(pair_count AS VARCHAR)"
+)
+
+#: standalone substrate query (pytest differential fuzz; the driver
+#: grades the same substrate through the data_mixing_weights fold —
+#: the 50-row grading budget is full, so new operators ride folds)
+BPE_PAIR_COUNTS_SQL = f"""WITH {bpe_substrate_ctes()}
+SELECT bpe_pair_agg.*, bpe_hist_par.*
+FROM bpe_pair_agg CROSS JOIN bpe_hist_par"""
+
 MIXING_WEIGHTS_SQL = f"""WITH per AS (
   SELECT lang, source, count(*) AS n_docs,
          CAST(sum(len({tokens('text')})) AS BIGINT) AS n_tokens
@@ -1944,8 +1997,16 @@ qclf_parity AS (
   SELECT CAST(count(*) AS BIGINT) AS n_qclf_rows,
          CAST(COALESCE(SUM({_QCLF_CK}), 0) AS BIGINT) AS qclf_ck
   FROM qclff
+),
+{bpe_substrate_ctes()},
+bpe_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bpe_pairs,
+         CAST(COALESCE(SUM({_BPE_PAIR_CK}), 0) AS BIGINT) AS bpe_pairs_ck
+  FROM bpe_pair_agg
 )
 SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros,
-  dp.n_dsir_rows, dp.dsir_ck, qp.n_qclf_rows, qp.qclf_ck
-FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp CROSS JOIN qclf_parity qp"""
+  dp.n_dsir_rows, dp.dsir_ck, qp.n_qclf_rows, qp.qclf_ck,
+  bp.n_bpe_pairs, bp.bpe_pairs_ck, hp.n_dist_words, hp.total_words, hp.hist_ck
+FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp CROSS JOIN qclf_parity qp
+CROSS JOIN bpe_parity bp CROSS JOIN bpe_hist_par hp"""

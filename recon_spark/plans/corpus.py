@@ -38,6 +38,7 @@ def build_training_corpus(
     dsir_keep: int | None = None,
     quality_clf_target: DataFrame | None = None,
     quality_clf_keep: float | None = None,
+    bpe_merges: int | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -77,6 +78,13 @@ def build_training_corpus(
     near-dup recall at comparable cost while pathological profiles
     keep the LSH guardrail. The probe is one eager driver action
     (bounded: a single aggregated row).
+
+    ``bpe_merges`` (round 12) swaps the packing stage's token budget
+    from the whitespace proxy to TRAINED-BPE subword counts
+    (operators/bpe.py): a merge table is learned from the cleaned
+    survivors (vocabulary-sized histogram + bounded driver merge loop)
+    and the bins are budgeted by the encoded counts a downstream
+    trainer actually consumes.
 
     ``dsir_target`` + ``dsir_keep`` (round 10) append DSIR importance
     selection (operators/dsir.py) as the LAST filter: of the cleaned
@@ -264,6 +272,30 @@ def build_training_corpus(
         kept = kept.join(picked, id_col, "left_semi")
 
     split = sampling.with_split(kept, id_col=id_col)
+    if bpe_merges is not None:
+        # trained-BPE packing (round 12, operators/bpe.py): budget the
+        # bins by the subword counts a downstream trainer actually
+        # consumes, not the whitespace proxy. Train = one
+        # vocabulary-sized histogram off the shared token pass + the
+        # bounded driver merge loop; encode = one Arrow-batched
+        # mapInPandas stage over the survivors.
+        from ..operators import bpe as _bpe
+
+        merges = _bpe.bpe_train(
+            kept, n_merges=bpe_merges, text_col=text_col, tokens_col="__toks"
+        )
+        counts = _bpe.bpe_encode(kept, merges, id_col=id_col, text_col=text_col)
+        split = split.join(
+            counts.select(id_col, "n_bpe_tokens"), id_col
+        )
+        return packing.pack_sequences(
+            split,
+            budget=budget,
+            id_col=id_col,
+            text_col=text_col,
+            group_cols=("split",),
+            count_col="n_bpe_tokens",
+        )
     return packing.pack_sequences(
         split,
         budget=budget,

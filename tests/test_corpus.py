@@ -228,3 +228,62 @@ def test_near_dup_method_auto_routes_and_drops(spark):
 
     with pytest.raises(ValueError, match="near_dup_method"):
         corpus.build_training_corpus(docs, near_dup_method="ppjoin")
+
+
+def test_bpe_packing_stage_budgets_by_trained_subwords(spark):
+    """bpe_merges: the packing stage must budget bins by the trained-BPE
+    encode counts — recomputed here independently via the driver-side
+    encoder — and preserve the packing invariants (offset = running sum
+    within each split's deterministic stream)."""
+    from recon_spark.operators import bpe
+    from recon_spark.operators.packing import PACK_SALT, hash_bucket
+
+    docs = _docs(spark)
+    out = corpus.build_training_corpus(docs, budget=64, bpe_merges=25)
+    rows = out.collect()
+    spark.catalog.clearCache()
+
+    baseline = {
+        r["doc_id"]: r for r in corpus.build_training_corpus(docs, budget=64).collect()
+    }
+    spark.catalog.clearCache()
+    assert {r["doc_id"] for r in rows} == set(baseline)  # same survivors
+
+    # independent recompute of the trained counts for the survivors
+    surviving = sorted(r["doc_id"] for r in rows)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(surviving)).collect()
+    }
+    merges = bpe.bpe_train(
+        docs.filter(F.col("doc_id").isin(surviving)), n_merges=25
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    import re
+
+    tok_re = re.compile("[^a-zA-Z0-9]+")
+
+    def n_bpe(text):
+        words = [t for t in tok_re.split(text.lower().strip()) if t]
+        return sum(len(bpe.encode_word(w, ranks)) for w in words)
+
+    for r in rows:
+        assert r["n_tokens"] == n_bpe(texts[r["doc_id"]]), r["doc_id"]
+
+    # packing invariant: within each split, offsets are the running sum
+    # of counts in the deterministic hash-bucket stream order
+    hb_rows = {
+        r["doc_id"]: r["hb"]
+        for r in docs.select(
+            "doc_id", hash_bucket("doc_id", PACK_SALT).alias("hb")
+        ).collect()
+    }
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split_rows in by_split.values():
+        split_rows.sort(key=lambda r: (hb_rows[r["doc_id"]], r["doc_id"]))
+        running = 0
+        for r in split_rows:
+            assert r["bin_id"] == running // 64 and r["bin_offset"] == running % 64
+            running += r["n_tokens"]
