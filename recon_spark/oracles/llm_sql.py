@@ -424,6 +424,78 @@ FROM binned GROUP BY bin"""
 #: divisions are exact (BIGINT token sums, exact weight literals).
 MIXTURE_WEIGHTS = (0.75, 0.25)
 
+def lines_parity_ctes() -> str:
+    """Within-document cleaning twins (operators/lines.py): the C4 line
+    filter's per-line keep predicate + page rules, and the Dolma-style
+    keep-first within-doc paragraph dedup, replayed verbatim so the
+    checksums on the data_sample_stratified row pin line splitting, the
+    punctuation/word-count/javascript predicate, page-drop logic and the
+    positional first-occurrence scan."""
+    from ..operators import lines as _L
+
+    punct = " OR ".join(
+        f"ends_with(rtrim(l), '{p}')" for p in _L.TERMINAL_PUNCT if p != '"'
+    ) + """ OR ends_with(rtrim(l), '"')"""
+    keep = (
+        f"(({punct})"
+        f" AND len(list_filter(string_split_regex(trim(l), '\\s+'),"
+        f" w -> w <> '')) >= {_L.C4_MIN_WORDS}"
+        f" AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""c4_lines AS (
+  SELECT doc_id, CAST(text AS VARCHAR) AS t,
+         string_split(CAST(text AS VARCHAR), chr(10)) AS ls
+  FROM documents
+),
+c4_verdicts AS (
+  SELECT doc_id,
+    CASE WHEN t IS NOT NULL THEN
+      coalesce(array_to_string(list_filter(ls, l -> {keep}), chr(10)), '') END AS clean_text,
+    CASE WHEN t IS NOT NULL THEN CAST(len(ls) AS BIGINT) END AS n_lines,
+    CASE WHEN t IS NOT NULL THEN
+      CAST(len(list_filter(ls, l -> {keep})) AS BIGINT) END AS n_kept,
+    coalesce(len(list_filter(ls, l -> {keep})) < {_L.C4_MIN_LINES}
+             OR contains(t, '{{') OR contains(lower(t), 'lorem ipsum'),
+             TRUE) AS dropped
+  FROM c4_lines
+),
+c4_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_c4_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR) || '|' || md5(coalesce(clean_text, chr(0)))"
+             " || '|' || CAST(coalesce(n_lines, -1) AS VARCHAR)"
+             " || '|' || CAST(coalesce(n_kept, -1) AS VARCHAR)"
+             " || '|' || CAST(dropped AS VARCHAR)"
+         )}), 0) AS BIGINT) AS c4_ck
+  FROM c4_verdicts
+),
+para_split AS (
+  SELECT doc_id, CAST(text AS VARCHAR) AS t,
+         string_split(CAST(text AS VARCHAR), chr(10)) AS ps
+  FROM documents
+),
+para_verdicts AS (
+  SELECT doc_id,
+    CASE WHEN t IS NOT NULL THEN coalesce(array_to_string(
+      list_filter(ps, (p, i) -> list_position(list_slice(ps, 1, i - 1), p) = 0),
+      chr(10)), '') END AS clean_text,
+    CASE WHEN t IS NOT NULL THEN CAST(len(ps) AS BIGINT) END AS n_paras,
+    CASE WHEN t IS NOT NULL THEN CAST(len(ps) - len(
+      list_filter(ps, (p, i) -> list_position(list_slice(ps, 1, i - 1), p) = 0)
+    ) AS BIGINT) END AS n_dupes
+  FROM para_split
+),
+para_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_para_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR) || '|' || md5(coalesce(clean_text, chr(0)))"
+             " || '|' || CAST(coalesce(n_paras, -1) AS VARCHAR)"
+             " || '|' || CAST(coalesce(n_dupes, -1) AS VARCHAR)"
+         )}), 0) AS BIGINT) AS para_ck
+  FROM para_verdicts
+)"""
+
+
 STRATIFIED_SAMPLE_SQL = f"""WITH b AS (
   SELECT doc_id, lang,
          {hash32("'sample:v1' || CAST(doc_id AS VARCHAR)")} AS hb
@@ -460,12 +532,17 @@ copies AS (
                      / 4294967296.0 < ratio - floor(ratio)
                 THEN 1 ELSE 0 END AS n_copies
   FROM toks t JOIN ratio USING (lang)
+),
+{lines_parity_ctes()},
+samp AS (
+  SELECT 'stratified' AS method, lang AS stratum, doc_id, 0 AS k
+  FROM r WHERE rn <= (1 * cnt + 10 - 1) // 10
+  UNION ALL
+  SELECT 'mixture', lang, doc_id, CAST(unnest(range(0, n_copies)) AS INT)
+  FROM copies WHERE n_copies > 0
 )
-SELECT 'stratified' AS method, lang AS stratum, doc_id, 0 AS k
-FROM r WHERE rn <= (1 * cnt + 10 - 1) // 10
-UNION ALL
-SELECT 'mixture', lang, doc_id, CAST(unnest(range(0, n_copies)) AS INT)
-FROM copies WHERE n_copies > 0"""
+SELECT samp.*, c4p.n_c4_rows, c4p.c4_ck, pp.n_para_rows, pp.para_ck
+FROM samp CROSS JOIN c4_parity c4p CROSS JOIN para_parity pp"""
 
 #: eval-contamination scan: test docs sharing any 5-shingle with a train
 #: doc (split replayed from the same md5 edges).

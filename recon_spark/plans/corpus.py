@@ -39,6 +39,8 @@ def build_training_corpus(
     quality_clf_target: DataFrame | None = None,
     quality_clf_keep: float | None = None,
     bpe_merges: int | None = None,
+    c4_lines: bool = False,
+    dedup_paras: bool = False,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -78,6 +80,13 @@ def build_training_corpus(
     near-dup recall at comparable cost while pathological profiles
     keep the LSH guardrail. The probe is one eager driver action
     (bounded: a single aggregated row).
+
+    ``c4_lines`` / ``dedup_paras`` (round 12) prepend the
+    within-document cleaning family (operators/lines.py) ahead of
+    everything — C4's structural line filter (including its page-drop
+    rules, so documents can be REMOVED here, not just edited) and
+    Dolma-style keep-first paragraph dedup. Both are pure column
+    algebra: zero shuffle, evaluated inline in the scan stage.
 
     ``bpe_merges`` (round 12) swaps the packing stage's token budget
     from the whitespace proxy to TRAINED-BPE subword counts
@@ -124,6 +133,25 @@ def build_training_corpus(
     # per-core CPU, which is what binds on a real cluster scan, and the
     # text_stats trim (same technique, map-dominated query) measured
     # 8.2 -> 6.1s — so the shape is kept with the cache cost named.
+    if c4_lines or dedup_paras:
+        # Within-document cleaning (round 12, operators/lines.py) runs
+        # FIRST — both are per-row column algebra (no shuffle, no model),
+        # and C4's own order is line-structure rules before any
+        # corpus-level signal. Line filter, then within-doc paragraph
+        # dedup over the surviving lines.
+        from ..operators import lines as LN
+
+        if c4_lines:
+            docs = (
+                LN.c4_line_filter(docs, id_col=id_col, text_col=text_col)
+                .filter(~F.col("dropped"))
+                .select(id_col, F.col("clean_text").alias(text_col))
+            )
+        if dedup_paras:
+            docs = LN.dedup_paragraphs(
+                docs, id_col=id_col, text_col=text_col
+            ).select(id_col, F.col("clean_text").alias(text_col))
+
     if exact_substr_tokens is not None:
         # ExactSubstr (round 11, operators/exactsubstr.py): Lee et al.
         # 2021 run it exactly here — edit the raw text before any

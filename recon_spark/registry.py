@@ -1508,7 +1508,17 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-coin decision the oracle replays exactly). The two-lang target
     table is config-cardinality by construction — the distinct-lang
     collect is the same contract as the similarity queries' broadcast
-    query side."""
+    query side.
+
+    Round-12 fold: the within-document cleaning family
+    (operators/lines.py — the C4 structural line filter incl. page-drop
+    rules, and Dolma-style keep-first within-doc paragraph dedup, both
+    pure column algebra) rides as four parity columns (n_c4_rows,
+    c4_ck, n_para_rows, para_ck); the oracle replays line splitting,
+    the keep predicate and the positional first-occurrence scan
+    verbatim (llm_sql.lines_parity_ctes). Hosted on this unbenched row
+    so the certificate costs zero bench wall time."""
+    from .operators import lines as _lines
     from .operators import sampling
 
     docs = _load_table(spark, sf_dir, "documents")
@@ -1528,7 +1538,11 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("copy_idx").cast("int").alias("k"),
     )
-    return strat.unionByName(mix)
+    return (
+        strat.unionByName(mix)
+        .crossJoin(F.broadcast(_lines.c4_parity(docs)))
+        .crossJoin(F.broadcast(_lines.para_parity(docs)))
+    )
 
 
 @register("data_contamination_check", llm_sql.CONTAMINATION_SQL)

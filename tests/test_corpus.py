@@ -287,3 +287,34 @@ def test_bpe_packing_stage_budgets_by_trained_subwords(spark):
         for r in split_rows:
             assert r["bin_id"] == running // 64 and r["bin_offset"] == running % 64
             running += r["n_tokens"]
+
+
+def test_within_doc_cleaning_stages(spark):
+    """c4_lines + dedup_paras: the pre-stages must edit/drop documents
+    before any downstream signal — a page failing the C4 page rules
+    disappears, and a repeated in-doc paragraph is gone from the text
+    every later stage (and the packed token count) sees."""
+    rows = []
+    for i in range(40):
+        base = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h"
+        rows.append((i, f"{base} one.\n{base} two!\n{base} three?"))
+    # page with too few qualifying lines -> dropped by the C4 rules
+    rows.append((500, "short.\nno punct line here"))
+    # duplicated paragraph inside one doc -> edited by dedup_paras
+    uniq = "omega psi chi phi upsilon tau sigma rho pi"
+    rows.append((501, f"{uniq} one.\n{uniq} one.\n{uniq} two more!\n"
+                      f"{uniq} three again?"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in corpus.build_training_corpus(
+            docs, budget=64, c4_lines=True, dedup_paras=True
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert 500 not in out          # page-dropped by the C4 rules
+    assert 501 in out and 7 in out
+    # the packed token count reflects the DEDUPED text: the surviving 3
+    # paragraphs carry 10+11+11 alnum tokens; the raw 4 carried 42
+    assert out[501]["n_tokens"] == 32
