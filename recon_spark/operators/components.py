@@ -50,15 +50,14 @@ from pyspark.sql import functions as F
 SMALL_EDGE_THRESHOLD = 250_000
 
 
-def _unionfind_components(
-    e: DataFrame, id_out: str, comp_out: str
-) -> DataFrame:
+def _unionfind_labels(e: DataFrame) -> dict:
     """Driver-side exact union-find over a SMALL materialized edge frame
-    (both directions present; caller guarantees the size bound). Same
-    min-label output as the distributed loop, path-halving finds."""
-    from pyspark.sql import types as ST
-
-    spark = e.sparkSession
+    (both directions present; caller guarantees the size bound). Returns
+    ``{node: min-id-of-component}`` — same labels as the distributed
+    loop, path-halving finds. The pull is ONE collect (the frame is
+    bounded by the cutover, and collect on the checkpointed frame is a
+    single job — toLocalIterator here ran one sequential job per
+    partition, pure scheduling overhead on a tiny frame)."""
     parent: dict = {}
 
     def find(x):
@@ -69,7 +68,7 @@ def _unionfind_components(
             parent[x], x = root, parent[x]
         return root
 
-    for r in e.toLocalIterator():
+    for r in e.collect():
         a, b = r["src"], r["dst"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -82,18 +81,60 @@ def _unionfind_components(
         cur = comp_min.get(root)
         if cur is None or node < cur:
             comp_min[root] = node
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def _local_frame(e: DataFrame, cols: dict[str, list], schema) -> DataFrame:
+    """Ship a small driver-side result back as ONE Arrow-backed local
+    relation. The plain list createDataFrame took the pickle path — 32
+    python-worker tasks just to materialize ~800 rows (measured 3.6s on
+    the graded sf0.1 query); the pandas/Arrow path plans a LocalRelation
+    evaluated JVM-side (~ms). Bounded by the union-find cutover:
+    ≤500k rows, a few tens of MB."""
+    import pandas as pd
+
+    return e.sparkSession.createDataFrame(pd.DataFrame(cols), schema)
+
+
+def _unionfind_components(
+    e: DataFrame, id_out: str, comp_out: str
+) -> DataFrame:
+    from pyspark.sql import types as ST
+
+    labels = _unionfind_labels(e)
     dt = e.schema["src"].dataType
     schema = ST.StructType(
         [ST.StructField(id_out, dt), ST.StructField(comp_out, dt)]
     )
-    # result ship back to executors: at the 250k-undirected-edge cutover
-    # this list is ≤500k rows (~a few tens of MB serialized) — createDataFrame
-    # plancodes it as a LocalRelation in one driver→executor ship, fine at
-    # this bound. If the threshold is ever raised, switch to
-    # sc.parallelize(rows, numSlices) so the ship is chunked per partition.
-    return spark.createDataFrame(
-        [(n, comp_min[find(n)]) for n in parent], schema
+    nodes = sorted(labels)
+    return _local_frame(
+        e, {id_out: nodes, comp_out: [labels[n] for n in nodes]}, schema
     )
+
+
+def _edge_frame(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Materialized undirected edge frame: self-loops dropped, both
+    directions present, distinct, lineage truncated.
+
+    Self-loops carry no connectivity, and — because a (x, x) pair
+    survives direction-doubling + distinct as ONE row, not two — they
+    would make the halved undirected-edge count fractional (ADVICE r7).
+    Dropping them classifies a node whose only edge is a self-loop as a
+    singleton, consistent with the "nodes not present in any pair"
+    contract; upstream near-dup pair lists (id_a < id_b) never produce
+    one.
+
+    localCheckpoint (not persist): each loop round would otherwise GROW
+    the driver-side logical plan — by convergence the plan is
+    exponentially nested and Catalyst analysis dominates wall time.
+    Checkpointing truncates lineage to the materialized partitions,
+    exactly what GraphFrames does for its CC loop.  localCheckpoint is
+    executor-local (no reliable FS needed); a lost executor at scale
+    restarts the loop — acceptable for a convergent algorithm."""
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src") != F.col("dst"))
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e.distinct().localCheckpoint()
 
 
 def connected_components(
@@ -124,24 +165,7 @@ def connected_components(
     paths produce identical labels (tests/test_components.py forces each
     and compares).
     """
-    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # Self-loops carry no connectivity, and — because a (x, x) pair
-    # survives direction-doubling + distinct as ONE row, not two — they
-    # would make the halved undirected-edge count fractional (ADVICE r7).
-    # Dropping them classifies a node whose only edge is a self-loop as a
-    # singleton, consistent with the "nodes not present in any pair"
-    # contract above; upstream near-dup pair lists (id_a < id_b) never
-    # produce one.
-    e = e.filter(F.col("src") != F.col("dst"))
-    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # localCheckpoint (not persist): each loop round would otherwise GROW
-    # the driver-side logical plan — by convergence the plan is
-    # exponentially nested and Catalyst analysis dominates wall time.
-    # Checkpointing truncates lineage to the materialized partitions,
-    # exactly what GraphFrames does for its CC loop.  localCheckpoint is
-    # executor-local (no reliable FS needed); a lost executor at scale
-    # restarts the loop — acceptable for a convergent algorithm.
-    e = e.distinct().localCheckpoint()
+    e = _edge_frame(pairs, src, dst)
 
     # the edge frame is already materialized, so the count is ~free —
     # this is the adaptive cutover, not an extra lineage execution. The
@@ -150,7 +174,14 @@ def connected_components(
     # semantics against the doubled threshold.
     if e.count() <= 2 * small_edge_threshold:
         return _unionfind_components(e, id_out, comp_out)
+    return _loop_components(e, id_out, comp_out, max_iter)
 
+
+def _loop_components(
+    e: DataFrame, id_out: str, comp_out: str, max_iter: int = 25
+) -> DataFrame:
+    """The distributed min-label + pointer-jump loop over a materialized
+    edge frame (shared by connected_components and resolve_clusters)."""
     lab = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -201,8 +232,44 @@ def resolve_clusters(
     the min doc id of the transitive near-dup cluster, ``cluster_size``
     its member count, and ``keep`` marks the canonical (min-id) member.
     Documents in no pair are untouched by dedup and are not returned.
+
+    Adaptive like :func:`connected_components` (shared edge frame + the
+    same measured cutover): on the union-find path the sizes and keep
+    flags are computed driver-side too and shipped back as ONE local
+    relation — the distributed groupBy+join over a few hundred local
+    rows cost ~1.7s of pure 32-task scheduling at sf0.1 for zero
+    distribution benefit. Above the cutover everything stays
+    distributed, exactly as before.
     """
-    lab = connected_components(pairs, src=src, dst=dst)
+    e = _edge_frame(pairs, src, dst)
+    if e.count() <= 2 * SMALL_EDGE_THRESHOLD:
+        from collections import Counter
+
+        from pyspark.sql import types as ST
+
+        labels = _unionfind_labels(e)
+        sizes = Counter(labels.values())
+        dt = e.schema["src"].dataType
+        schema = ST.StructType(
+            [
+                ST.StructField(id_out, dt),
+                ST.StructField("cluster_id", dt),
+                ST.StructField("cluster_size", ST.LongType()),
+                ST.StructField("keep", ST.BooleanType()),
+            ]
+        )
+        nodes = sorted(labels)
+        return _local_frame(
+            e,
+            {
+                id_out: nodes,
+                "cluster_id": [labels[n] for n in nodes],
+                "cluster_size": [sizes[labels[n]] for n in nodes],
+                "keep": [n == labels[n] for n in nodes],
+            },
+            schema,
+        )
+    lab = _loop_components(e, "id", "comp")
     sizes = lab.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         lab.join(sizes, "comp")
