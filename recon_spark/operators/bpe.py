@@ -357,3 +357,48 @@ def pair_counts_parity(hist: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bpe_pairs"),
         F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("bpe_pairs_ck"),
     )
+
+def merges_to_frame(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Merge table → ``(rank, sym_a, sym_b)`` DataFrame (the durable
+    artifact a pipeline persists next to the corpus snapshot — parquet
+    via ``df.write``, or any sink). Arrow local relation; ≤ n_merges
+    rows."""
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("rank", ST.LongType(), False),
+            ST.StructField("sym_a", ST.StringType(), False),
+            ST.StructField("sym_b", ST.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rank": range(len(merges)),
+                "sym_a": [a for a, _ in merges],
+                "sym_b": [b for _, b in merges],
+            }
+        ),
+        schema,
+    )
+
+
+def merges_from_frame(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of :func:`merges_to_frame`: rank-ordered merge list from
+    a ``(rank, sym_a, sym_b)`` frame (bounded collect — the table is
+    n_merges rows by construction)."""
+    return [
+        (r["sym_a"], r["sym_b"])
+        for r in df.select("rank", "sym_a", "sym_b").orderBy("rank").collect()
+    ]
+
+
+def vocab_from_merges(merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic subword vocabulary implied by a merge table: the
+    merged symbols in rank order (base characters are corpus-dependent
+    and left to the histogram). Token-id assignment for a trainer is
+    positional: base alphabet first (caller-ordered), then this list."""
+    return [a + b for a, b in merges]

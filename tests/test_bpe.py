@@ -204,3 +204,21 @@ def test_graded_fold_matches_oracle_sf0001(spark):
     want = sorted(con.sql(llm_sql.MIXING_WEIGHTS_SQL).fetchall())
     con.close()
     assert got == want
+
+
+def test_merge_table_roundtrip(spark):
+    """merges_to_frame / merges_from_frame: rank-ordered exact
+    roundtrip (the durable-artifact path), plus the implied vocab."""
+    docs = _df(spark, [(1, "banana bandana cabana"), (2, "banana banana")])
+    merges = bpe.bpe_train(docs, n_merges=15)
+    assert merges  # non-degenerate
+    frame = bpe.merges_to_frame(spark, merges)
+    assert bpe.merges_from_frame(frame) == merges
+    # survives a parquet write/read (what a pipeline actually persists)
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bpe_merges_") as d:
+        frame.write.mode("overwrite").parquet(f"{d}/merges.parquet")
+        back = spark.read.parquet(f"{d}/merges.parquet")
+        assert bpe.merges_from_frame(back) == merges
+    assert bpe.vocab_from_merges(merges) == [a + b for a, b in merges]
