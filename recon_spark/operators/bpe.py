@@ -84,7 +84,6 @@ BPE_MAX_WORDS = 50_000
 
 def word_histogram(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
 ) -> DataFrame:
@@ -165,7 +164,6 @@ def bpe_train(
     source: DataFrame,
     n_merges: int = BPE_MERGES,
     max_words: int = BPE_MAX_WORDS,
-    id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
 ) -> list[tuple[str, str]]:
@@ -186,7 +184,7 @@ def bpe_train(
     the DSIR/quality-clf count vectors."""
     cols = set(source.columns)
     hist = source if cols == {"word", "n"} else word_histogram(
-        source, id_col, text_col, tokens_col
+        source, text_col, tokens_col
     )
     rows = (
         hist.orderBy(F.col("n").desc(), F.col("word").asc())
@@ -265,18 +263,28 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+#: encode-memo entry cap per Python worker: heavy-tailed real
+#: vocabularies (ids, typos, numerals) would otherwise grow the
+#: word→tokens dict unboundedly over a partition's batches; past the
+#: cap, rare-tail words are encoded without caching (correctness
+#: unchanged — the memo is purely a CPU saver for repeated words)
+ENCODE_MEMO_MAX = 200_000
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
     with_tokens: bool = False,
+    memo_max: int = ENCODE_MEMO_MAX,
 ) -> DataFrame:
     """Distributed encode: ``(id, n_words, n_bpe_tokens[, bpe_tokens])``
     per document. One Arrow-batched ``mapInPandas`` stage; the merge
     table (≤ n_merges rows) ships in the closure (broadcast-by-task
-    serialization — kilobytes). Per-batch word→tokens memo collapses
-    repeated words to one encode each.
+    serialization — kilobytes). A word→tokens memo (held for the
+    partition, capped at ``memo_max`` entries) collapses repeated words
+    to one encode each; past the cap, words are encoded uncached.
 
     Tokenization matches :func:`~.text.tokens` (lowercase, split on
     non-alnum runs) so ``n_words`` equals the battery's ``n_tokens``."""
@@ -303,7 +311,8 @@ def bpe_encode(
                     enc = memo.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)
-                        memo[w] = enc
+                        if len(memo) < memo_max:
+                            memo[w] = enc
                     total += len(enc)
                     if with_tokens:
                         doc_toks.extend(enc)

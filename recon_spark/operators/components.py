@@ -224,6 +224,7 @@ def resolve_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     id_out: str = "doc_id",
+    small_edge_threshold: int = SMALL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Near-dup cluster resolution: pairs → per-document keep/drop verdict.
 
@@ -242,7 +243,7 @@ def resolve_clusters(
     distributed, exactly as before.
     """
     e = _edge_frame(pairs, src, dst)
-    if e.count() <= 2 * SMALL_EDGE_THRESHOLD:
+    if e.count() <= 2 * small_edge_threshold:
         from collections import Counter
 
         from pyspark.sql import types as ST

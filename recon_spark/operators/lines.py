@@ -113,9 +113,13 @@ def dedup_paragraphs(
     """Within-document exact paragraph dedup, keep-first, order
     preserved: ``(id, clean_text, n_paras, n_dupes)``. Idempotent
     (running it on its own clean_text is a no-op). Null text → null
-    row values."""
+    row values. ``sep`` is a LITERAL separator string (escaped before
+    the regex-based split so e.g. ``sep='.'`` or ``'||'`` splits on the
+    characters themselves, matching the literal re-join)."""
+    import re as _re
+
     text = _c(text_col).cast("string")
-    paras = F.split(text, sep)
+    paras = F.split(text, _re.escape(sep))
     kept = F.filter(
         paras,
         lambda p, i: F.array_position(F.slice(paras, 1, i + 1), p) == i + 1,

@@ -222,3 +222,15 @@ def test_merge_table_roundtrip(spark):
         back = spark.read.parquet(f"{d}/merges.parquet")
         assert bpe.merges_from_frame(back) == merges
     assert bpe.vocab_from_merges(merges) == [a + b for a, b in merges]
+
+
+def test_encode_memo_cap_does_not_change_output(spark):
+    """memo_max caps the per-worker cache; outputs are identical with
+    the cache effectively disabled (memo_max=1)."""
+    docs = _df(spark, [(1, "banana bandana banana"), (2, "cabana banana")])
+    merges = bpe.bpe_train(docs, n_merges=10)
+    a = sorted(tuple(r) for r in bpe.bpe_encode(docs, merges).collect())
+    b = sorted(
+        tuple(r) for r in bpe.bpe_encode(docs, merges, memo_max=1).collect()
+    )
+    assert a == b

@@ -115,3 +115,29 @@ def test_adaptive_paths_agree(spark):
         map(tuple, connected_components(pairs, small_edge_threshold=0).collect())
     )
     assert fast == dist and len(fast) > 0
+
+
+def test_resolve_clusters_paths_agree_and_distributed_plan(spark):
+    """resolve_clusters' two adaptive paths (driver-side union-find +
+    local relation vs distributed loop + sizes join) must emit identical
+    verdict tables; the distributed branch's plan stays join/agg-shaped
+    (the r12 review found the branch untested — force it here)."""
+    import random
+
+    rng = random.Random(23)
+    edges = [(i, i + 1) for i in range(0, 30, 2)]
+    edges += [(500, 500 + i) for i in range(1, 7)]
+    edges += [(rng.randint(600, 620), rng.randint(600, 620)) for _ in range(30)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    fast = sorted(
+        map(tuple, components.resolve_clusters(
+            pairs, small_edge_threshold=10**9).collect())
+    )
+    dist_df = components.resolve_clusters(pairs, small_edge_threshold=0)
+    dist = sorted(map(tuple, dist_df.collect()))
+    assert fast == dist and len(fast) > 0
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

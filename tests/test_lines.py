@@ -149,3 +149,21 @@ def test_graded_row_matches_oracle_sf0001(spark):
     want = sorted(con.sql(llm_sql.STRATIFIED_SAMPLE_SQL).fetchall())
     con.close()
     assert got == want
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a literal string, not a regex: '.' and '||' must split on
+    the characters themselves and the output must round-trip/idempote."""
+    docs = _df(spark, [(1, "aa.bb.aa.cc"), (2, "x||y||x||z")])
+    dot = {r.doc_id: r.asDict() for r in lines.dedup_paragraphs(docs, sep=".").collect()}
+    assert dot[1]["clean_text"] == "aa.bb.cc" and dot[1]["n_dupes"] == 1
+    bar = lines.dedup_paragraphs(docs, sep="||").filter("doc_id = 2").first()
+    assert bar.clean_text == "x||y||z" and bar.n_dupes == 1
+    # idempotence on the custom separator
+    again = lines.dedup_paragraphs(
+        lines.dedup_paragraphs(docs, sep=".").select(
+            "doc_id", lines.F.col("clean_text").alias("text")
+        ),
+        sep=".",
+    ).filter("doc_id = 1").first()
+    assert again.clean_text == "aa.bb.cc" and again.n_dupes == 0
