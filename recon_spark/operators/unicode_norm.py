@@ -1,0 +1,111 @@
+"""Unicode normalization — the encoding-hygiene pass every real corpus
+pipeline runs BEFORE any text signal (fingerprints, shingles, token
+counts): visually-identical strings with different codepoint sequences
+(``é`` composed vs ``e`` + combining acute) must hash identically or
+exact dedup silently under-deletes and near-dup Jaccard is diluted.
+CCNet/Dolma normalize at ingest; tokenizers (SentencePiece's default)
+apply NFKC.
+
+Spark has no built-in UAX#15 normalizer, so this is one Arrow-batched
+``mapInPandas`` stage over Python's ``unicodedata`` (the stdlib binding
+of the Unicode character database) — embarrassingly parallel, one map
+pass, no shuffle, schema-stable. NFC is the driver-graded form (DuckDB's
+``nfc_normalize`` replays it bit-for-bit — verified over composed vs
+decomposed accents, Hangul Jamo, compatibility characters in
+tests/test_unicode_norm.py); NFKC/NFD/NFKD are pytest-graded against
+``unicodedata`` directly since DuckDB ships only NFC.
+
+Scale shape (100 TB): pure per-row map work riding the scan — the
+normalizer adds zero stages to any plan that already reads the text
+column; the only cost is per-core CPU, which partitions with the input.
+
+Reference parity: no reference counterpart — beyond-reference
+LLM-pipeline surface (within-doc cleaning family, ahead of
+lines.c4_line_filter / dedup_paragraphs in the corpus pipeline's
+stage order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash32
+
+#: supported UAX#15 forms; NFC is the oracle-replayable one
+UNICODE_FORMS = ("NFC", "NFKC", "NFD", "NFKD")
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFC",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per document: ``(id, norm_text, changed, n_chars_before,
+    n_chars_after)``. ``changed`` marks rows the normalization actually
+    edited (the usual audit aggregate: what fraction of the corpus had
+    mixed encodings). Null text → null row values, changed=false."""
+    if form not in UNICODE_FORMS:
+        raise ValueError(f"form must be one of {UNICODE_FORMS}, got {form!r}")
+
+    def batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, norm, changed, nb, na = [], [], [], [], []
+            for rid, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                ids.append(rid)
+                if text is None:
+                    norm.append(None)
+                    changed.append(False)
+                    nb.append(None)
+                    na.append(None)
+                    continue
+                s = str(text)
+                n = unicodedata.normalize(form, s)
+                norm.append(n)
+                changed.append(n != s)
+                nb.append(len(s))
+                na.append(len(n))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "norm_text": norm,
+                    "changed": changed,
+                    "n_chars_before": pd.array(nb, dtype="Int64"),
+                    "n_chars_after": pd.array(na, dtype="Int64"),
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        batches,
+        f"`{id_col}` {id_type}, norm_text string, changed boolean,"
+        " n_chars_before long, n_chars_after long",
+    )
+
+
+def nfc_parity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """1-row checksum frame over the full NFC verdict table (the
+    data_contamination_check fold): ``(n_nfc_rows, nfc_ck)``. The
+    oracle recomputes every row with DuckDB's ``nfc_normalize``, so the
+    normalization itself — not just row counts — must agree."""
+    v = normalize_text(docs, "NFC", id_col, text_col)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col(id_col).cast("string"),
+            F.md5(F.coalesce(F.col("norm_text"), F.lit("\x00"))),
+            F.col("changed").cast("string"),
+            F.coalesce(F.col("n_chars_after"), F.lit(-1)).cast("string"),
+        )
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nfc_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("nfc_ck"),
+    )

@@ -569,13 +569,34 @@ hits AS (
          CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shared
   FROM test_idx JOIN train_sh USING (shingle)
   GROUP BY id
+),
+nfc_verdicts AS (
+  SELECT doc_id,
+    (CASE WHEN text IS NOT NULL
+          THEN nfc_normalize(CAST(text AS VARCHAR)) END) AS norm_text,
+    coalesce(nfc_normalize(CAST(text AS VARCHAR)) <> CAST(text AS VARCHAR),
+             FALSE) AS changed,
+    (CASE WHEN text IS NOT NULL
+          THEN CAST(length(nfc_normalize(CAST(text AS VARCHAR))) AS BIGINT)
+          END) AS n_chars_after
+  FROM documents
+),
+nfc_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nfc_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR) || '|' || md5(coalesce(norm_text, chr(0)))"
+             " || '|' || CAST(changed AS VARCHAR)"
+             " || '|' || CAST(coalesce(n_chars_after, -1) AS VARCHAR)"
+         )}), 0) AS BIGINT) AS nfc_ck
+  FROM nfc_verdicts
 )
 SELECT h.id, h.n_shared, h.n_distinct_shared, t.n_shingles,
        CAST(round(CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles * 1000000)
             AS BIGINT) AS overlap_micros,
        (CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles
-        >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated
-FROM hits h JOIN test_totals t USING (id)"""
+        >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated,
+       np.n_nfc_rows, np.nfc_ck
+FROM hits h JOIN test_totals t USING (id) CROSS JOIN nfc_parity np"""
 
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.

@@ -41,6 +41,7 @@ def build_training_corpus(
     bpe_merges: int | None = None,
     c4_lines: bool = False,
     dedup_paras: bool = False,
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -80,6 +81,11 @@ def build_training_corpus(
     near-dup recall at comparable cost while pathological profiles
     keep the LSH guardrail. The probe is one eager driver action
     (bounded: a single aggregated row).
+
+    ``unicode_form`` (round 12) prepends UAX#15 normalization
+    (operators/unicode_norm.py, e.g. ``"NFC"``/``"NFKC"``) ahead of
+    every other stage — mixed-encoding spellings of the same text must
+    unify before any fingerprint/shingle/token signal is computed.
 
     ``c4_lines`` / ``dedup_paras`` (round 12) prepend the
     within-document cleaning family (operators/lines.py) ahead of
@@ -133,6 +139,18 @@ def build_training_corpus(
     # per-core CPU, which is what binds on a real cluster scan, and the
     # text_stats trim (same technique, map-dominated query) measured
     # 8.2 -> 6.1s — so the shape is kept with the cache cost named.
+    if unicode_form is not None:
+        # Unicode normalization (round 12, operators/unicode_norm.py)
+        # runs before EVERYTHING: composed vs decomposed spellings of
+        # the same visible text must hash identically or exact dedup
+        # under-deletes and every downstream signal sees phantom
+        # distinctions. One Arrow-batched map pass, no shuffle.
+        from ..operators import unicode_norm as UNORM
+
+        docs = UNORM.normalize_text(
+            docs, unicode_form, id_col=id_col, text_col=text_col
+        ).select(id_col, F.col("norm_text").alias(text_col))
+
     if c4_lines or dedup_paras:
         # Within-document cleaning (round 12, operators/lines.py) runs
         # FIRST — both are per-row column algebra (no shuffle, no model),

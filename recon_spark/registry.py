@@ -1552,15 +1552,25 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Since round 9 the row also grades the GPT-3-style overlap-FRACTION
     decontamination verdict (distinct shared shingles / the doc's own
     distinct shingles, thresholded) — any-overlap flagging alone
-    quarantines incidental collisions on a small-vocab corpus."""
+    quarantines incidental collisions on a small-vocab corpus.
+
+    Round-12 fold: the Unicode NFC normalizer
+    (operators/unicode_norm.py — the Arrow-batched UAX#15 pass every
+    pipeline runs before fingerprinting) rides as (n_nfc_rows, nfc_ck);
+    the oracle recomputes every normalized string with DuckDB's
+    nfc_normalize, so the normalization itself must agree byte-for-byte.
+    NFKC/NFD/NFKD are pytest-graded (DuckDB ships only NFC)."""
     from .operators import sampling
+    from .operators import unicode_norm as _un
 
     # single-split fixture parquet -> repartition before shingling
     # (docs_aug r12 note)
     docs = _load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return sampling.contamination_check(docs)
+    return sampling.contamination_check(docs).crossJoin(
+        F.broadcast(_un.nfc_parity(docs))
+    )
 
 
 @register("text_tfidf_top_terms", llm_sql.TFIDF_SQL)

@@ -318,3 +318,39 @@ def test_within_doc_cleaning_stages(spark):
     # the packed token count reflects the DEDUPED text: the surviving 3
     # paragraphs carry 10+11+11 alnum tokens; the raw 4 carried 42
     assert out[501]["n_tokens"] == 32
+
+
+def test_unicode_stage_unifies_duplicate_spellings(spark):
+    """unicode_form='NFC' as the first stage: a decomposed-accents copy
+    of a document becomes an EXACT duplicate and is dropped by the
+    fingerprint dedup; without the stage both spellings survive."""
+    import unicodedata
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"café menu item {i} with words enough here"))
+    composed = rows[3][1]
+    rows.append((800, unicodedata.normalize("NFD", composed)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # near_dup_threshold=0.99: the two spellings are ~0.94-Jaccard
+    # near-dups even unnormalized (the accented word tokenizes caf vs
+    # cafe), so a high threshold isolates the EXACT-dedup effect the
+    # normalization stage exists for
+    base_ids = {
+        r["doc_id"]
+        for r in corpus.build_training_corpus(
+            docs, budget=64, near_dup_threshold=0.99
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    norm_ids = {
+        r["doc_id"]
+        for r in corpus.build_training_corpus(
+            docs, budget=64, near_dup_threshold=0.99, unicode_form="NFC"
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert 800 in base_ids          # raw bytes differ -> both survive
+    assert 800 not in norm_ids      # normalized -> exact dup of doc 3
+    assert 3 in norm_ids
