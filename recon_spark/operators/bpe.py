@@ -161,14 +161,18 @@ def merge_word(word: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
 
 
 def bpe_train(
-    source: DataFrame,
+    source: DataFrame | None = None,
     n_merges: int = BPE_MERGES,
     max_words: int = BPE_MAX_WORDS,
     text_col: str = "text",
     tokens_col: str | None = None,
+    hist: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
-    """Learn a BPE merge table from a corpus (or directly from a
-    ``(word, n)`` histogram frame — detected by column names).
+    """Learn a BPE merge table from a document corpus (``source``) or
+    directly from a pre-built ``(word, n)`` histogram (``hist=`` —
+    EXPLICIT keyword, exactly one of the two: the pre-r13 column-name
+    duck-typing silently mis-read a docs frame that happened to have
+    columns {word, n} as a histogram, ADVICE r12).
 
     Returns the ordered merge list ``[(sym_a, sym_b), ...]`` — merge
     rank = list position. Deterministic: each iteration merges the
@@ -182,10 +186,13 @@ def bpe_train(
     corpus-sized pull). The merge loop then runs driver-side with
     incremental pair-stat updates — the same bounded-model contract as
     the DSIR/quality-clf count vectors."""
-    cols = set(source.columns)
-    hist = source if cols == {"word", "n"} else word_histogram(
-        source, text_col, tokens_col
-    )
+    if (source is None) == (hist is None):
+        raise ValueError(
+            "pass exactly one of source= (a documents frame) or"
+            " hist= (a pre-built (word, n) histogram)"
+        )
+    if hist is None:
+        hist = word_histogram(source, text_col, tokens_col)
     rows = (
         hist.orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(int(max_words))

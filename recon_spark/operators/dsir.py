@@ -162,17 +162,57 @@ def dsir_select(
     alpha: float = DSIR_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_scale: float = 1024.0,
 ) -> DataFrame:
     """Deterministic top-k selection by (log_weight desc, doc_id asc):
-    (doc_id, n_feats, log_weight, rank). At 100 TB replace the single
-    global window with the two-phase distributed rank (ranking.py) —
-    here k is config-cardinality and the weights frame is one row per
-    doc, so the window input is already the reduced form."""
+    (doc_id, n_feats, log_weight, rank).
+
+    Distributed two-phase rank (the ranking.py shape), NOT a global
+    ``Window.orderBy`` — the weights frame is one row per raw document,
+    so a single-partition window here would funnel the whole corpus
+    through one task at 100 TB. Instead:
+
+    1. quantize ``log_weight`` into coarse buckets
+       ``floor(log_weight * bucket_scale)`` — a monotonic coarsening,
+       so bucket DESC is a true coarsening of the row order — and
+       cumulative-sum the per-bucket counts DESC; the only global step
+       runs over the bucket-count frame (bounded by the distinct
+       quantized weights, metadata-sized);
+    2. PRUNE: a bucket whose offset is already >= k cannot contribute
+       any rank <= k, so only the candidate buckets (together holding
+       the top ~k rows plus one bucket of slack) reach the window;
+    3. exact (log_weight desc, doc_id asc) rank WITHIN each candidate
+       bucket, partitioned by bucket; global rank = offset + local.
+
+    Value-identical to the single-window spelling (asserted in
+    tests/test_dsir.py::test_select_matches_global_window_spelling).
+    The weights frame is consumed twice (bucket counts + the row join),
+    so the derived frame is persisted here; cache lifecycle is handed
+    to the caller, same contract as ntile_bins (ranking.py).
+    """
     w = dsir_log_weights(
         raw_docs, target_docs, n_buckets, alpha, id_col, text_col
     )
-    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    rows = w.withColumn(
+        "__bk", F.floor(F.col("log_weight") * F.lit(bucket_scale))
+    ).persist()
+
+    counts = rows.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
+    # the ONLY global step: cumulative counts over the tiny bucket frame
+    w_cum = Window.orderBy(F.col("__bk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__bk", (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off")
+    )
+    cand = offsets.filter(F.col("__off") < k)
+
+    w_in = Window.partitionBy("__bk").orderBy(
+        F.col("log_weight").desc(), F.col("doc_id").asc()
+    )
     return (
-        w.withColumn("rank", F.row_number().over(win))
+        rows.join(F.broadcast(cand), "__bk")
+        .withColumn("rank", (F.col("__off") + F.row_number().over(w_in)).cast("int"))
         .filter(F.col("rank") <= k)
+        .select("doc_id", "n_feats", "log_weight", "rank")
     )

@@ -56,10 +56,19 @@ C4_MIN_WORDS = 5
 C4_MIN_LINES = 3
 
 
+#: explicit ASCII whitespace class for the word split — NOT ``\s``:
+#: Java regex ``\s`` includes vertical tab U+000B but RE2's (DuckDB's)
+#: does not, so a line with a vertical tab between words would count
+#: differently on the two sides of the parity fold (ADVICE r12). The
+#: same literal class is used verbatim in the DuckDB replay
+#: (oracles/llm_sql.lines_parity_ctes).
+WS_CLASS = "[ \t\n\x0B\f\r]+"
+
+
 def _line_words(line: Column) -> Column:
     """Whitespace word count of one line (C4 counts raw words, not the
     alnum tokens of the quality battery)."""
-    return F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda w: w != ""))
+    return F.size(F.filter(F.split(F.trim(line), WS_CLASS), lambda w: w != ""))
 
 
 def _line_keep(line: Column, min_words: int) -> Column:

@@ -19,6 +19,19 @@ Scale shape (100 TB): pure per-row map work riding the scan — the
 normalizer adds zero stages to any plan that already reads the text
 column; the only cost is per-core CPU, which partitions with the input.
 
+UNICODE-VERSION ASSUMPTION (ADVICE r12): the NFC parity fold holds iff
+Python's ``unicodedata`` and DuckDB's utf8proc implement the same
+Unicode version — a codepoint assigned in one library but unassigned
+in the other passes through un-normalized on one side only (UAX#15
+stability guarantees cover assigned characters only). Verified in this
+container (unicodedata 14.0.0): an exhaustive sweep of all 1,114,112
+codepoints — 144,730 assigned and 829,834 Python-unassigned — shows
+ZERO NFC divergence (DuckDB also passes every Python-unassigned
+codepoint through unchanged), plus 5,000 random combining-sequence
+cases. tests/test_unicode_norm.py::test_nfc_codepoint_sample_vs_duckdb
+keeps a sampled version of that sweep as a regression tripwire for
+library upgrades.
+
 Reference parity: no reference counterpart — beyond-reference
 LLM-pipeline surface (within-doc cleaning family, ahead of
 lines.c4_line_filter / dedup_paragraphs in the corpus pipeline's

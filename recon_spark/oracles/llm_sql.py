@@ -438,7 +438,9 @@ def lines_parity_ctes() -> str:
     ) + """ OR ends_with(rtrim(l), '"')"""
     keep = (
         f"(({punct})"
-        f" AND len(list_filter(string_split_regex(trim(l), '\\s+'),"
+        # explicit class, not \s: RE2 \s excludes U+000B, Java's includes
+        # it — same literal as operators/lines.WS_CLASS (ADVICE r12)
+        f" AND len(list_filter(string_split_regex(trim(l), '[ \\t\\n\\x0B\\f\\r]+'),"
         f" w -> w <> '')) >= {_L.C4_MIN_WORDS}"
         f" AND NOT contains(lower(l), 'javascript'))"
     )
@@ -596,7 +598,14 @@ SELECT h.id, h.n_shared, h.n_distinct_shared, t.n_shingles,
        (CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles
         >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated,
        np.n_nfc_rows, np.nfc_ck
-FROM hits h JOIN test_totals t USING (id) CROSS JOIN nfc_parity np"""
+FROM hits h JOIN test_totals t USING (id) CROSS JOIN nfc_parity np
+UNION ALL
+-- sentinel row: the NFC certificate must survive a zero-hit corpus
+-- (ADVICE r12 — an empty hits frame would otherwise vacate the fold)
+SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+       np.n_nfc_rows, np.nfc_ck
+FROM nfc_parity np"""
 
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.

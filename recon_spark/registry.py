@@ -1559,7 +1559,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before fingerprinting) rides as (n_nfc_rows, nfc_ck);
     the oracle recomputes every normalized string with DuckDB's
     nfc_normalize, so the normalization itself must agree byte-for-byte.
-    NFKC/NFD/NFKD are pytest-graded (DuckDB ships only NFC)."""
+    NFKC/NFD/NFKD are pytest-graded (DuckDB ships only NFC).
+
+    The parity columns also ride a SENTINEL row (id = -1, zeroed hit
+    fields) unioned onto the hits frame on BOTH sides: a corpus with
+    zero contamination hits would otherwise return 0 rows and silently
+    vacate the NFC certificate (ADVICE r12)."""
     from .operators import sampling
     from .operators import unicode_norm as _un
 
@@ -1568,8 +1573,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return sampling.contamination_check(docs).crossJoin(
-        F.broadcast(_un.nfc_parity(docs))
+    parity = F.broadcast(_un.nfc_parity(docs))
+    sentinel = parity.select(
+        F.lit(-1).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("n_shared"),
+        F.lit(0).cast("long").alias("n_distinct_shared"),
+        F.lit(0).cast("long").alias("n_shingles"),
+        F.lit(0).cast("long").alias("overlap_micros"),
+        F.lit(False).alias("contaminated"),
+        "n_nfc_rows",
+        "nfc_ck",
+    )
+    return (
+        sampling.contamination_check(docs)
+        .crossJoin(parity)
+        .unionByName(sentinel)
     )
 
 

@@ -80,7 +80,7 @@ def test_incremental_trainer_matches_naive_recount(spark):
         hist = spark.createDataFrame(
             [(w, n) for w, n in wf.items()], "word string, n long"
         )
-        got = bpe.bpe_train(hist, n_merges=30)
+        got = bpe.bpe_train(hist=hist, n_merges=30)
         want = _reference_train(wf, 30)
         assert got == want, (wf, got, want)
 
@@ -101,7 +101,7 @@ def test_trainer_overlap_and_collision_cases(spark):
         hist = spark.createDataFrame(
             [(w, n) for w, n in wf.items()], "word string, n long"
         )
-        assert bpe.bpe_train(hist, n_merges=20) == _reference_train(wf, 20)
+        assert bpe.bpe_train(hist=hist, n_merges=20) == _reference_train(wf, 20)
 
 
 def test_substrate_differential_fuzz(spark):
@@ -234,3 +234,27 @@ def test_encode_memo_cap_does_not_change_output(spark):
         tuple(r) for r in bpe.bpe_encode(docs, merges, memo_max=1).collect()
     )
     assert a == b
+
+
+def test_train_input_contract_is_explicit(spark):
+    """hist= is an explicit keyword, not column-name duck-typing: a
+    DOCS frame that coincidentally has columns {word, n} must not be
+    silently treated as a histogram, and passing both/neither inputs
+    raises (ADVICE r12)."""
+    import pytest
+
+    docs_like = spark.createDataFrame(
+        [("the quick brown fox", 7)], "word string, n long"
+    )
+    # as a docs source it tokenizes text_col (here pointed at "word"),
+    # NOT the fake frequency column
+    merges = bpe.bpe_train(docs_like, n_merges=5, text_col="word")
+    hist_merges = bpe.bpe_train(hist=docs_like, n_merges=5)
+    # tokenized: four separate words; histogram: ONE literal word with
+    # spaces in it — the vocabularies (hence merges) must differ
+    assert merges != hist_merges
+
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe.bpe_train(docs_like, hist=docs_like)
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe.bpe_train()

@@ -92,6 +92,43 @@ def test_select_prefers_target_like_docs(spark):
     assert [r.rank for r in sorted(top, key=lambda r: r.doc_id)] == list(range(1, 11))
 
 
+def test_select_matches_global_window_spelling(spark):
+    """The distributed two-phase rank must be value-identical to the
+    obvious single-window spelling — including on TIED weights (duplicate
+    texts give identical log_weights, so the doc_id tie-break and the
+    bucket coarsening both get exercised) and k past the corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(0xD51B)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 8)))
+        for _ in range(12)
+    ]
+    # duplicates -> exact weight ties; None/"" anchor at 0.0 (more ties)
+    raw_rows = [(i, texts[i % len(texts)]) for i in range(40)]
+    raw_rows += [(100, None), (101, ""), (102, "")]
+    raw = _df(spark, raw_rows)
+    tgt = _df(spark, [(900, "alpha beta gamma"), (901, "alpha beta")])
+
+    for k in (1, 7, 25, 1000):
+        got = sorted(
+            (r.doc_id, r.n_feats, r.log_weight, r.rank)
+            for r in dsir.dsir_select(raw, tgt, k=k).collect()
+        )
+        win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        want = sorted(
+            (r.doc_id, r.n_feats, r.log_weight, r.rank)
+            for r in dsir.dsir_log_weights(raw, tgt)
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .collect()
+        )
+        assert got == want
+    spark.catalog.clearCache()
+
+
 def test_null_empty_docs_anchor_at_zero(spark):
     # doc 4 skews the raw model away from the target so doc 3's ratio
     # is strictly positive (raw == target would be exactly 0)

@@ -70,6 +70,26 @@ def test_c4_rules_hand_cases(spark):
     assert got[6]["dropped"] and got[6]["n_lines"] is None
 
 
+def test_vertical_tab_word_count_parity(spark):
+    """U+000B between words: Java regex \\s splits there, RE2 \\s does
+    not — the explicit WS_CLASS makes both sides split, so a page whose
+    keep/drop verdict hinges on a vertical-tab word boundary must agree
+    with the oracle (ADVICE r12)."""
+    rows = [
+        # exactly 5 words only if \x0B is a word boundary -> kept line
+        (1, "one\x0Btwo three four five.\nfiller words to keep page alive.\n"
+            "third qualifying line with enough words."),
+        # 4 words either way -> dropped line
+        (2, "one\x0Btwo three four.\nfiller words to keep page alive.\n"
+            "third qualifying line with enough words."),
+    ]
+    docs = _df(spark, rows)
+    got = {r.doc_id: r.asDict() for r in lines.c4_line_filter(docs).collect()}
+    assert got[1]["n_kept"] == 3 and not got[1]["dropped"]
+    assert got[2]["n_kept"] == 2 and got[2]["dropped"]
+    assert _parity_row(spark, docs) == tuple(_oracle(rows, _PARITY_SQL)[0])
+
+
 def test_paragraph_dedup_keep_first_and_idempotent(spark):
     docs = _df(
         spark,
@@ -112,6 +132,12 @@ def _newline_corpus(rnd: random.Random, n: int):
         "",
         "   ",
         "\tindented line that is long enough to count?",
+        # exotic ASCII whitespace between words — Java \s and RE2 \s
+        # disagree on U+000B, which is why the split uses the explicit
+        # WS_CLASS on both sides (ADVICE r12)
+        "vertical\x0Btab splits words on both sides now.",
+        "form\x0Cfeed and\x0Bmore vertical tabs here fine.",
+        "only\x0Bfour\x0Bwords\x0Bhere.",
     ]
     rows = []
     for i in range(n):

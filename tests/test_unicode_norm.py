@@ -86,6 +86,72 @@ def test_normalization_unifies_fingerprints(spark):
     assert after[0] == after[1]
 
 
+def test_nfc_codepoint_sample_vs_duckdb():
+    """Sampled version of the exhaustive codepoint sweep backing the
+    module's Unicode-version note (ADVICE r12): Python unicodedata and
+    DuckDB utf8proc must agree on NFC over a deterministic sample of
+    the FULL codepoint space (assigned AND unassigned — an unassigned
+    codepoint normalized by only one library is exactly the divergence
+    the fold cannot survive) plus random combining sequences. Purely
+    library-vs-library, no Spark needed — trips on a unicodedata or
+    DuckDB upgrade that desynchronizes the Unicode versions."""
+    import random
+
+    rnd = random.Random(0x0C0DE)
+    cps = [cp for cp in rnd.sample(range(0x20, 0x110000), 8000)
+           if not (0xD800 <= cp <= 0xDFFF)]
+    singles = [(cp, chr(cp)) for cp in cps]
+    comb = [0x300, 0x301, 0x308, 0x30A, 0x327, 0x331]
+    base = [ord("a"), ord("e"), ord("o"), ord("c"), 0xC5, 0x1100, 0x1161, 0x11A8]
+    seqs = [
+        (10**7 + i,
+         "".join(chr(rnd.choice(base + comb)) for _ in range(rnd.randrange(1, 6))))
+        for i in range(1500)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", singles + seqs)
+    got = dict(con.sql("SELECT i, nfc_normalize(s) FROM t").fetchall())
+    con.close()
+    bad = [
+        (i, hex(i) if i < 0x110000 else s)
+        for i, s in singles + seqs
+        if got[i] != unicodedata.normalize("NFC", s)
+    ]
+    assert not bad, f"NFC divergence (Unicode-version skew?): {bad[:10]}"
+
+
+def test_zero_hit_corpus_keeps_nfc_certificate(spark, tmp_path):
+    """A corpus with ZERO contamination hits must still grade the NFC
+    fold: the sentinel row (id = -1) carries the parity columns on both
+    sides, so an empty hits frame cannot silently vacate the
+    certificate (ADVICE r12)."""
+    import pandas as pd
+
+    from recon_spark import registry
+    from recon_spark.oracles import llm_sql
+
+    # every doc < 5 tokens -> no 5-shingles -> hits is provably empty;
+    # decomposed accents so the NFC pass has real work to certify
+    rows = [(i, f"doc {i} café") for i in range(20)] + [(99, None)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = registry.QUERIES["data_contamination_check"](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(con.sql(llm_sql.CONTAMINATION_SQL).fetchall())
+    con.close()
+    assert got == want
+    assert len(got) == 1 and got[0][0] == -1  # sentinel only
+    assert got[0][6] == 21  # n_nfc_rows covers the whole corpus
+    spark.catalog.clearCache()
+
+
 def test_graded_row_matches_oracle_sf0001(spark):
     """data_contamination_check (with the round-12 NFC fold) end-to-end
     at sf0.001 vs DuckDB over the same parquet."""
