@@ -124,6 +124,10 @@ HEADLINE = [
     # encode -> token-count rollup; the distributed substrate is graded
     # at sf0.01 as the parity fold inside data_mixing_weights
     "tokenizer_bpe_e2e",
+    # FULL-STACK corpus composition (r13, VERDICT r12 #3): all round-12
+    # stages wired together over a page-shaped derivation of the fixture
+    # corpus — prices stage INTERACTIONS the standalone entries can't
+    "corpus_build_full",
 ]
 
 
@@ -177,6 +181,79 @@ def _q_corpus_build(spark, sf_dir):
     # wall time is the span stage's own price (see span_dedup_rebuild)
     return corpus.build_training_corpus(
         docs, perplexity_keep=0.95, perplexity_ref=ref, boilerplate_spans=8
+    )
+
+
+def _q_corpus_build_full(spark, sf_dir):
+    """FULL-STACK corpus build (VERDICT r12 #3): every round-12 stage in
+    COMPOSITION — NFC normalize -> C4 line filter -> within-doc paragraph
+    dedup -> boilerplate spans -> quality/exact-dedup -> regime-adaptive
+    near-dup ('auto') -> perplexity filter -> split -> BPE-budgeted
+    packing. The standalone entries price each stage alone; this one
+    prices their interactions (unicode rewrites text before any
+    fingerprint; C4 drops pages before dedup; packing budgets by trained
+    subword counts).
+
+    The flat fixture rows have no line/sentence structure (single line,
+    no terminal punctuation — C4 would drop 100% and the composition
+    would run on an empty corpus), so the entry derives a deterministic
+    PAGE-shaped corpus first: 5 fixture docs -> one page, one doc per
+    line with a terminal period; every 7th page re-pastes its first line
+    (paragraph-dedup work), every 11th gets an unpunctuated short line
+    (C4 line-drop work), every 13th leads with a decomposed-accent line
+    (NFC work)."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.plans import corpus
+    from recon_spark.operators import sampling
+    from recon_spark.sources.tpch import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    pid = F.col("doc_id")
+    pages = (
+        docs.groupBy(F.floor(F.col("doc_id") / 5).alias("doc_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("doc_id").alias("k"), F.col("text").alias("t"))
+                    )
+                ),
+                lambda s: F.concat(s["t"], F.lit(".")),
+            ).alias("__ls")
+        )
+    )
+    ls = F.col("__ls")
+    ls = F.when(pid % 7 == 0, F.concat(F.slice(ls, 1, 1), ls)).otherwise(ls)
+    ls = F.when(
+        pid % 11 == 0, F.concat(ls, F.array(F.lit("no punct tail")))
+    ).otherwise(ls)
+    ls = F.when(
+        pid % 13 == 0,
+        F.concat(
+            # decomposed accent (e + U+0301): real NFC edits to price
+            F.array(F.lit("café menu offers plenty of seasonal words here.")),
+            ls,
+        ),
+    ).otherwise(ls)
+    pages = pages.select(
+        "doc_id", F.array_join(ls, "\n").alias("text")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    ref = sampling.with_split(pages).filter(F.col("split") == "train")
+    return corpus.build_training_corpus(
+        pages,
+        perplexity_keep=0.95,
+        perplexity_ref=ref,
+        unicode_form="NFC",
+        c4_lines=True,
+        dedup_paras=True,
+        boilerplate_spans=8,
+        near_dup_method="auto",
+        bpe_merges=200,
     )
 
 
@@ -349,6 +426,7 @@ EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
+    "corpus_build_full": _q_corpus_build_full,
     "ngram_jaccard_prefix": _q_ngram_prefix,
     "semdedup_prune": _q_semdedup,
     "span_dedup_rebuild": _q_span_dedup,

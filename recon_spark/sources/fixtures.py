@@ -370,3 +370,37 @@ def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     )
     return base.unionByName(dups)
+
+
+def unicode_twin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents corpus with planted composed/decomposed Unicode twins
+    (VERDICT r12 #6) — the mixed-encoding input the NFC stage
+    (operators/unicode_norm.py) exists for, derived deterministically
+    from the driver's ``documents`` parquet (which is pure ASCII, so
+    the accents must be planted).
+
+    For every source doc with ``doc_id % 17 == 0`` and non-null text,
+    two extra rows are emitted whose VISIBLE text is identical but
+    whose codepoint sequences differ:
+
+    - ``doc_id + 2_000_000``: every ``a`` replaced with COMPOSED á
+      (U+00E1);
+    - ``doc_id + 3_000_000``: every ``a`` replaced with DECOMPOSED
+      ``a`` + combining acute (U+0301).
+
+    NFC maps the decomposed spelling onto the composed one, so each
+    planted pair collapses to a single fingerprint AFTER normalization
+    and stays two distinct fingerprints before it — exact dedup run
+    without the NFC pass under-deletes by exactly the number of planted
+    pairs (asserted in tests/test_unicode_norm.py)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.filter((F.col("doc_id") % 17 == 0) & F.col("text").isNotNull())
+    composed = src.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.regexp_replace("text", "a", "á").alias("text"),
+    )
+    decomposed = src.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.regexp_replace("text", "a", "á").alias("text"),
+    )
+    return docs.unionByName(composed).unionByName(decomposed)

@@ -170,3 +170,43 @@ def test_graded_row_matches_oracle_sf0001(spark):
     want = sorted(con.sql(llm_sql.CONTAMINATION_SQL).fetchall())
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_planted_twins_show_exact_dedup_underdeletion(spark):
+    """The operator's whole motivation, measured on the seeded fixture
+    generator's planted composed/decomposed twins (VERDICT r12 #6,
+    sources/fixtures.unicode_twin_documents): exact dedup WITHOUT the
+    NFC pass keeps both spellings of every planted pair (silent
+    under-deletion — byte-distinct, visually identical); running NFC
+    first collapses each pair to one survivor, and only the planted
+    twins are affected."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import dedup
+    from recon_spark.operators import text as T
+    from recon_spark.sources import fixtures
+
+    aug = fixtures.unicode_twin_documents(spark, "/root/testdata/sf0.001")
+    n_pairs = aug.filter(
+        (F.col("doc_id") >= 2_000_000) & (F.col("doc_id") < 3_000_000)
+    ).count()
+    assert n_pairs > 0
+    base_n = aug.count()
+
+    def survivors(docs):
+        withfp = docs.filter(F.col("text").isNotNull()).withColumn(
+            "fp", T.fingerprint("text")
+        )
+        return dedup.exact_dedup(withfp, F.col("fp"), ["doc_id"]).count()
+
+    # without NFC: every planted spelling survives (under-deletion)
+    raw_survivors = survivors(aug)
+    # with NFC first: one of each planted pair is deleted, nothing else
+    norm = UN.normalize_text(aug).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    nfc_survivors = survivors(norm)
+    assert raw_survivors - nfc_survivors == n_pairs
+    # and the raw corpus itself had no incidental exact dupes hiding
+    # the effect (the fixture corpus is dupe-free at sf0.001)
+    assert raw_survivors == base_n - aug.filter(F.col("text").isNull()).count()
