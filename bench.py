@@ -128,6 +128,12 @@ HEADLINE = [
     # stages wired together over a page-shaped derivation of the fixture
     # corpus — prices stage INTERACTIONS the standalone entries can't
     "corpus_build_full",
+    # DSIR importance selection end-to-end (operators/dsir.py, r13):
+    # hashed-feature models -> broadcast scoring -> the DISTRIBUTED
+    # two-phase bucket-rank top-k that replaced the global-window
+    # spelling (VERDICT r12 #1); integer substrate graded at sf0.01 as
+    # the parity fold inside data_mixing_weights
+    "dsir_select_topk",
 ]
 
 
@@ -255,6 +261,23 @@ def _q_corpus_build_full(spark, sf_dir):
         near_dup_method="auto",
         bpe_merges=200,
     )
+
+
+def _q_dsir_select(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import dsir, sampling
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition before the feature
+    # explode (registry.docs_aug r12 note); target = the 'train' hash
+    # split, raw = the full corpus, keep the top 10%
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tgt = sampling.with_split(docs).filter(F.col("split") == "train")
+    k = max(docs.count() // 10, 1)
+    return dsir.dsir_select(docs, tgt, k=k)
 
 
 def _q_ngram_prefix(spark, sf_dir):
@@ -427,6 +450,7 @@ EXTRA_QUERIES = {
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "corpus_build_full": _q_corpus_build_full,
+    "dsir_select_topk": _q_dsir_select,
     "ngram_jaccard_prefix": _q_ngram_prefix,
     "semdedup_prune": _q_semdedup,
     "span_dedup_rebuild": _q_span_dedup,
@@ -714,9 +738,11 @@ def main() -> None:
                 # drop the handles ExactSubstr's default path tracked
                 # for its internally-created staged frame (ADVICE r11);
                 # the data blocks are already gone via clearCache
+                from recon_spark.operators import dsir as _DS
                 from recon_spark.operators import exactsubstr as _ES
 
                 _ES.release_auto_staged()
+                _DS.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

@@ -22,6 +22,14 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: explicit ASCII whitespace class — exactly what Java regex ``\s``
+#: matches. NEVER write ``\s`` in a regex that has a DuckDB oracle
+#: twin: RE2's ``\s`` excludes vertical tab U+000B, so the two engines
+#: would disagree on text containing one (ADVICE r12 / r13 review; the
+#: oracle renderings embed this same literal class).
+WS = "[ \t\n\x0B\f\r]"
+
+
 # --- C1: SSN normalization (src/core/normalizers.py:59-101) -----------------
 
 def norm_ssn(col: Column | str) -> Column:
@@ -128,7 +136,7 @@ def norm_state(col: Column | str) -> Column:
 
 def norm_tax_code(col: Column | str) -> Column:
     """Leading 1-2 alphanumerics, uppercased ('7 - Normal' -> '7')."""
-    extracted = F.regexp_extract(_c(col).cast("string"), r"^\s*([A-Za-z0-9]{1,2})", 1)
+    extracted = F.regexp_extract(_c(col).cast("string"), rf"^{WS}*([A-Za-z0-9]{{1,2}})", 1)
     return F.nullif(F.upper(extracted), F.lit(""))
 
 
@@ -137,12 +145,12 @@ def norm_tax_code(col: Column | str) -> Column:
 def norm_compact_upper(col: Column | str) -> Column:
     """strip + upper + remove whitespace and hyphens ('No Tax' -> 'NOTAX')."""
     c = F.upper(F.trim(_c(col).cast("string")))
-    return F.regexp_replace(F.regexp_replace(c, r"\s+", ""), "-", "")
+    return F.regexp_replace(F.regexp_replace(c, WS + "+", ""), "-", "")
 
 
 def norm_space_lower(col: Column | str) -> Column:
     """strip + collapse whitespace + lower ('Check  Dist ' -> 'check dist')."""
-    return F.lower(F.regexp_replace(F.trim(_c(col).cast("string")), r"\s+", " "))
+    return F.lower(F.regexp_replace(F.trim(_c(col).cast("string")), WS + "+", " "))
 
 
 # --- C11: transaction-id normalize (src/cleaning/clean_matrix.py:166-215) ---
@@ -278,7 +286,7 @@ def split_reason_lines(col: Column | str, *, bullet: str = "- ") -> Column:
     """Multi-line reason string -> array of de-bulleted tokens
     (src/visualization/roth_taxable_visualization.py:215-229)."""
     lines = F.split(_c(col).cast("string"), "\n")
-    cleaned = F.transform(lines, lambda s: F.regexp_replace(F.trim(s), r"^-\s*", ""))
+    cleaned = F.transform(lines, lambda s: F.regexp_replace(F.trim(s), "^-" + WS + "*", ""))
     return F.filter(cleaned, lambda s: s != "")
 
 

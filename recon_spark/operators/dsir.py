@@ -58,6 +58,22 @@ from .dedup import _hash32
 DSIR_BUCKETS = 4096
 DSIR_ALPHA = 1.0
 
+#: persisted weight frames :func:`dsir_select` created internally
+#: (cache-lifecycle mirror of exactsubstr._AUTO_STAGED, r13 review:
+#: callers previously had no handle short of clearCache)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every weights frame :func:`dsir_select` staged
+    internally; returns how many. Call after the consuming ACTION —
+    the persist is load-bearing while the returned plan executes (the
+    frame feeds both the bucket-count aggregate and the row join)."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 
 def _bigrams(toks: Column) -> Column:
     """Token bigrams joined with a single space; empty below 2 tokens."""
@@ -163,6 +179,7 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_scale: float = 1024.0,
+    id_block: int = 1 << 20,
 ) -> DataFrame:
     """Deterministic top-k selection by (log_weight desc, doc_id asc):
     (doc_id, n_feats, log_weight, rank).
@@ -180,22 +197,40 @@ def dsir_select(
        quantized weights, metadata-sized);
     2. PRUNE: a bucket whose offset is already >= k cannot contribute
        any rank <= k, so only the candidate buckets (together holding
-       the top ~k rows plus one bucket of slack) reach the window;
-    3. exact (log_weight desc, doc_id asc) rank WITHIN each candidate
-       bucket, partitioned by bucket; global rank = offset + local.
+       the top ~k rows plus one bucket of slack) reach phase 3;
+    3. within candidate buckets, coarsen AGAIN to ``(exact log_weight,
+       floor(doc_id / id_block))`` — within one quantum the row order is
+       (weight desc, doc_id asc) and within one exact weight it is pure
+       doc_id asc, so this second key is a true coarsening too; a
+       per-quantum cumulative count gives each sub-bucket its offset,
+       sub-buckets whose global offset is already >= k are pruned, and
+       the final ``row_number`` window is partitioned by the FULL
+       ``(quantum, weight, block)`` key — at most ``id_block`` rows per
+       task even when millions of documents tie on one weight (the
+       featureless-docs-anchor-at-0.0 flood an earlier draft funneled
+       into a single task, r13 review).
 
     Value-identical to the single-window spelling (asserted in
-    tests/test_dsir.py::test_select_matches_global_window_spelling).
-    The weights frame is consumed twice (bucket counts + the row join),
-    so the derived frame is persisted here; cache lifecycle is handed
-    to the caller, same contract as ntile_bins (ranking.py).
+    tests/test_dsir.py::test_select_matches_global_window_spelling,
+    including a massive-tie corpus). Requires a NUMERIC ``doc_id`` for
+    the block split (same contract as ranking.ntile_bins). The weights
+    frame is consumed twice (bucket counts + the row join), so the
+    derived frame is persisted here and the handle appended to
+    ``_STAGED``; call :func:`release_staged` (or
+    ``spark.catalog.clearCache()``) after the consuming action — same
+    contract as exactsubstr's staged frame.
     """
     w = dsir_log_weights(
         raw_docs, target_docs, n_buckets, alpha, id_col, text_col
     )
-    rows = w.withColumn(
-        "__bk", F.floor(F.col("log_weight") * F.lit(bucket_scale))
+    rows = w.select(
+        "doc_id",
+        "n_feats",
+        "log_weight",
+        F.floor(F.col("log_weight") * F.lit(bucket_scale)).alias("__bk"),
+        F.floor(F.col("doc_id") / F.lit(id_block)).alias("__blk"),
     ).persist()
+    _STAGED.append(rows)
 
     counts = rows.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
     # the ONLY global step: cumulative counts over the tiny bucket frame
@@ -206,13 +241,34 @@ def dsir_select(
         "__bk", (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off")
     )
     cand = offsets.filter(F.col("__off") < k)
+    crows = rows.join(F.broadcast(cand), "__bk")
 
-    w_in = Window.partitionBy("__bk").orderBy(
-        F.col("log_weight").desc(), F.col("doc_id").asc()
+    # phase 3: sub-bucket offsets within each candidate quantum —
+    # per-quantum cumulative window over the (weight, block) COUNT frame
+    # (metadata-sized: distinct weights x blocks, never rows)
+    gcounts = crows.groupBy("__bk", "__off", "log_weight", "__blk").agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    w_cum2 = Window.partitionBy("__bk").orderBy(
+        F.col("log_weight").desc(), F.col("__blk").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    goff = gcounts.select(
+        "__bk",
+        "log_weight",
+        "__blk",
+        (F.col("__off") + F.sum("__gn").over(w_cum2) - F.col("__gn")).alias(
+            "__goff"
+        ),
+    ).filter(F.col("__goff") < k)
+
+    w_in = Window.partitionBy("__bk", "log_weight", "__blk").orderBy(
+        F.col("doc_id").asc()
     )
     return (
-        rows.join(F.broadcast(cand), "__bk")
-        .withColumn("rank", (F.col("__off") + F.row_number().over(w_in)).cast("int"))
+        crows.join(goff, ["__bk", "log_weight", "__blk"])
+        .withColumn("rank", F.col("__goff") + F.row_number().over(w_in))
         .filter(F.col("rank") <= k)
-        .select("doc_id", "n_feats", "log_weight", "rank")
+        .select(
+            "doc_id", "n_feats", "log_weight", F.col("rank").cast("int").alias("rank")
+        )
     )

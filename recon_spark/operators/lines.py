@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.normalizers import _c
+from ..functions.normalizers import WS, _c
 
 #: C4's terminal punctuation marks: period, exclamation, question,
 #: end quotation
@@ -62,7 +62,7 @@ C4_MIN_LINES = 3
 #: differently on the two sides of the parity fold (ADVICE r12). The
 #: same literal class is used verbatim in the DuckDB replay
 #: (oracles/llm_sql.lines_parity_ctes).
-WS_CLASS = "[ \t\n\x0B\f\r]+"
+WS_CLASS = WS + "+"
 
 
 def _line_words(line: Column) -> Column:

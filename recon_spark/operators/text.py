@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.normalizers import _c
+from ..functions.normalizers import WS, _c
 
 #: word-splitting pattern: runs of non-alphanumerics (BPE-ish baseline)
 TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
@@ -58,9 +58,12 @@ def token_count(col: Column | str) -> Column:
 
 #: BPE-ish token pattern: letter runs chunked at 8 chars (long words count
 #: as multiple subwords), digit runs chunked at 3 (as GPT-style BPEs do),
-#: every other non-space symbol its own token. Same regex dialect in Java
-#: (Spark) and RE2 (DuckDB oracle).
-BPE_TOKEN_PATTERN = r"[a-zA-Z]{1,8}|[0-9]{1,3}|[^a-zA-Z0-9\s]"
+#: every other non-space symbol its own token. The whitespace class is
+#: EXPLICIT, not ``\s``: Java regex ``\s`` includes vertical tab U+000B
+#: but RE2's (DuckDB's) does not, so ``\s`` would make n_tokens_bpe
+#: disagree between the graded Spark output and the oracle on text
+#: containing a vertical tab (same fix as lines.WS_CLASS, r13 review).
+BPE_TOKEN_PATTERN = r"[a-zA-Z]{1,8}|[0-9]{1,3}|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -148,7 +151,7 @@ def quality_score(col: Column | str) -> Column:
 def normalize_for_hash(col: Column | str) -> Column:
     """Canonical text form for exact-dup hashing: lowercase, collapse
     whitespace, strip."""
-    return F.trim(F.regexp_replace(F.lower(_c(col).cast("string")), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(_c(col).cast("string")), WS + "+", " "))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -228,8 +228,9 @@ _IRA_PLAN = (
     " OR starts_with(upper(trim(coalesce(plan_id, ''))), '300005')"
     " OR contains(upper(trim(coalesce(plan_id, ''))), 'IRA'))"
 )
-_COMPACT = "replace(regexp_replace(upper(trim({0})), '\\s+', '', 'g'), '-', '')"
-_SPACE_LOWER = "lower(regexp_replace(trim({0}), '\\s+', ' ', 'g'))"
+# explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
+_COMPACT = "replace(regexp_replace(upper(trim({0})), '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '-', '')"
+_SPACE_LOWER = "lower(regexp_replace(trim({0}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 ENGINE_D_TAIL = f"""ed_scope AS (
   SELECT * FROM matrix_clean

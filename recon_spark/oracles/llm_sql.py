@@ -40,7 +40,8 @@ def shingles(col: str, k: int = 3) -> str:
 
 
 def normalize_for_hash(col: str) -> str:
-    return rf"trim(regexp_replace(lower(CAST({col} AS VARCHAR)), '\s+', ' ', 'g'))"
+    # explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
+    return rf"trim(regexp_replace(lower(CAST({col} AS VARCHAR)), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
 
 def fingerprint(col: str) -> str:
@@ -322,7 +323,7 @@ sim AS (
 stats AS (
   SELECT doc_id, text, toks,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_tokens_bpe,
     CAST(length(text) AS BIGINT) AS n_chars,
     (CASE WHEN length(text) > 0 THEN
       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)

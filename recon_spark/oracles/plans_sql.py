@@ -141,7 +141,7 @@ exploded AS (
     CAST(date_trunc('month', txn_date) AS DATE) AS month,
     unnest(list_filter(
       list_transform(string_split(correction_reason, {NL}),
-                     x -> regexp_replace(trim(x), '^-\\s*', '')),
+                     x -> regexp_replace(trim(x), '^-[ \t\n\x0B\f\r]*', '')),
       x -> x <> '')) AS reason
   FROM ec_mat
   WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
@@ -772,7 +772,7 @@ tr_ec_exploded AS (
     CAST(date_trunc('month', txn_date) AS DATE) AS month,
     unnest(list_filter(
       list_transform(string_split(correction_reason, {NL}),
-                     x -> regexp_replace(trim(x), '^-\\s*', '')),
+                     x -> regexp_replace(trim(x), '^-[ \t\n\x0B\f\r]*', '')),
       x -> x <> '')) AS reason
   FROM tr_ec_mat
   WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL

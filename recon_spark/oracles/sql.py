@@ -78,15 +78,16 @@ def norm_text(col: str, *, upper: bool = False) -> str:
 
 
 def norm_tax_code(col: str) -> str:
-    return rf"nullif(upper(regexp_extract({s(col)}, '^\s*([A-Za-z0-9]{{1,2}})', 1)), '')"
+    # explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
+    return rf"nullif(upper(regexp_extract({s(col)}, '^[ \t\n\x0B\f\r]*([A-Za-z0-9]{{1,2}})', 1)), '')"
 
 
 def norm_compact_upper(col: str) -> str:
-    return rf"replace(regexp_replace(upper(trim({s(col)})), '\s+', '', 'g'), '-', '')"
+    return rf"replace(regexp_replace(upper(trim({s(col)})), '[ \t\n\x0B\f\r]+', '', 'g'), '-', '')"
 
 
 def norm_space_lower(col: str) -> str:
-    return rf"lower(regexp_replace(trim({s(col)}), '\s+', ' ', 'g'))"
+    return rf"lower(regexp_replace(trim({s(col)}), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
 
 def norm_transaction_id(col: str) -> str:

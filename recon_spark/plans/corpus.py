@@ -125,7 +125,10 @@ def build_training_corpus(
     frame is additionally tracked in
     ``operators.exactsubstr._AUTO_STAGED`` — callers that want to
     release it precisely (without dropping unrelated caches) call
-    ``exactsubstr.release_auto_staged()`` after the consuming action."""
+    ``exactsubstr.release_auto_staged()`` after the consuming action.
+    The DSIR stage's internally-persisted weights frame is tracked the
+    same way (``operators.dsir._STAGED`` / ``dsir.release_staged()``,
+    r13 review)."""
     # Lean staging: the pipeline consumes ONLY the quality flags and the
     # exact-dup fingerprint — computing the full with_text_stats battery
     # here also paid for min_shingle_hash (md5 per shingle per doc),

@@ -1573,7 +1573,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    parity = F.broadcast(_un.nfc_parity(docs))
+    # persist the 1-row parity frame: it feeds BOTH the hits cross-join
+    # and the sentinel branch, and without the cache the full-corpus NFC
+    # map pass executes once per consumer (2x MapInPandas in the
+    # executed plan, r13 review); cache lifecycle to the caller, same
+    # contract as every staged operator (the harness clearCache()s)
+    parity = F.broadcast(_un.nfc_parity(docs).persist())
     sentinel = parity.select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),

@@ -57,8 +57,11 @@ def _corpus(rnd: random.Random, n: int) -> list[tuple[int, str | None]]:
         elif kind == 3:
             text = None
         else:
+            # includes vertical tab U+000B + form feed: Java \s and RE2
+            # \s disagree on VT, which is why every graded regex uses an
+            # explicit whitespace class (lines.WS_CLASS / BPE_TOKEN_PATTERN)
             text = "".join(
-                rnd.choice(" aZ9!.€ö\t") for _ in range(rnd.randrange(0, 24))
+                rnd.choice(" aZ9!.€ö\t\x0b\x0c") for _ in range(rnd.randrange(0, 24))
             )
         rows.append((i, text))
     return rows

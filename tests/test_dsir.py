@@ -106,16 +106,20 @@ def test_select_matches_global_window_spelling(spark):
         " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 8)))
         for _ in range(12)
     ]
-    # duplicates -> exact weight ties; None/"" anchor at 0.0 (more ties)
+    # duplicates -> exact weight ties; None/"" anchor at 0.0 — plus a
+    # 30-doc FLOOD of empty texts all tied at exactly 0.0, so with
+    # id_block=8 the tie group must split across sub-buckets (the
+    # massive-tie case the second coarsening level exists for)
     raw_rows = [(i, texts[i % len(texts)]) for i in range(40)]
     raw_rows += [(100, None), (101, ""), (102, "")]
+    raw_rows += [(200 + i, "") for i in range(30)]
     raw = _df(spark, raw_rows)
     tgt = _df(spark, [(900, "alpha beta gamma"), (901, "alpha beta")])
 
-    for k in (1, 7, 25, 1000):
+    for k in (1, 7, 25, 60, 1000):
         got = sorted(
             (r.doc_id, r.n_feats, r.log_weight, r.rank)
-            for r in dsir.dsir_select(raw, tgt, k=k).collect()
+            for r in dsir.dsir_select(raw, tgt, k=k, id_block=8).collect()
         )
         win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
         want = sorted(

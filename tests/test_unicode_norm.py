@@ -133,7 +133,7 @@ def test_zero_hit_corpus_keeps_nfc_certificate(spark, tmp_path):
 
     # every doc < 5 tokens -> no 5-shingles -> hits is provably empty;
     # decomposed accents so the NFC pass has real work to certify
-    rows = [(i, f"doc {i} café") for i in range(20)] + [(99, None)]
+    rows = [(i, f"doc {i} cafe\u0301") for i in range(20)] + [(99, None)]
     pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
         tmp_path / "documents.parquet"
     )
