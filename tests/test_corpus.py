@@ -393,3 +393,31 @@ def test_near_dup_default_is_auto_and_matches_minhash_on_fixture(spark):
     )
     spark.catalog.clearCache()
     assert a == b and len(a) > 0
+
+
+def test_unicode_twins_through_pipeline(spark):
+    """Pipeline-level version of the planted-twins claim (VERDICT r12
+    #6): run the fixture generator's composed/decomposed twin corpus
+    through build_training_corpus — WITHOUT unicode_form both spellings
+    of every planted pair survive exact dedup (one of them should have
+    died), WITH unicode_form='NFC' exactly one of each pair survives."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.sources import fixtures
+
+    aug = fixtures.unicode_twin_documents(spark, "/root/testdata/sf0.001")
+    n_pairs = aug.filter(F.col("doc_id") >= 3_000_000).count()
+    assert n_pairs > 0
+
+    def planted_survivors(**kw):
+        out = corpus.build_training_corpus(aug, budget=64, **kw)
+        n = out.filter(F.col("doc_id") >= 2_000_000).count()
+        spark.catalog.clearCache()
+        return n
+
+    raw = planted_survivors()
+    nfc = planted_survivors(unicode_form="NFC")
+    # without NFC both spellings of every surviving pair pass the
+    # fingerprint (under-deletion: raw is exactly twice the NFC count);
+    # with NFC each pair collapses to one survivor
+    assert nfc > 0 and raw == 2 * nfc and nfc <= n_pairs
