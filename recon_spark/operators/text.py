@@ -455,3 +455,57 @@ def chunk_documents(
             F.slice(F.col("__toks"), F.col("tok_start") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def fertility_stats(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer fertility / compression diagnostics — the
+    QC table a multilingual pipeline builds before committing to a
+    tokenizer (a language whose chars-per-token is far below the
+    corpus mean is being over-segmented; its documents consume more of
+    the training budget per visible character).
+
+    One row per ``lang_col`` value (NULL langs form their own group):
+    ``lang, n_docs, n_chars, n_bytes, n_words, n_tokens_bpe,
+    chars_per_token_micros, tokens_per_word_micros`` — counts are exact
+    BIGINTs (null texts contribute no counts), the two ratios are
+    ``round(x * 1e6)`` micros of double divisions of those BIGINTs in
+    a pinned operation order so the DuckDB oracle replays them
+    bit-for-bit (the data_mixing_weights discipline); NULL when the
+    denominator is 0. ``n_words`` counts the repo-standard alnum
+    tokens; ``n_tokens_bpe`` is the replayable regex-BPE proxy
+    (:data:`BPE_TOKEN_PATTERN`) — for TRAINED-BPE fertility join
+    ``bpe.bpe_encode`` counts and aggregate the same way (pytest-graded,
+    the encode model is driver-side).
+
+    Scale shape (100 TB): one map pass (all four counters ride the
+    scan) + one groupBy on the language key — map-side combinable,
+    output is |languages| rows. Zero UDF.
+    """
+    t = _c(text_col).cast("string")
+    agg = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(char_count(text_col)), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0)).cast("long").alias("n_bytes"),
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(bpe_token_count(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+    )
+    cpt = F.round(
+        F.col("n_chars").cast("double") / F.col("n_tokens_bpe") * 1_000_000.0
+    ).cast("long")
+    tpw = F.round(
+        F.col("n_tokens_bpe").cast("double") / F.col("n_words") * 1_000_000.0
+    ).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_words",
+        "n_tokens_bpe",
+        F.when(F.col("n_tokens_bpe") > 0, cpt).alias("chars_per_token_micros"),
+        F.when(F.col("n_words") > 0, tpw).alias("tokens_per_word_micros"),
+    )

@@ -357,10 +357,50 @@ FROM stats LEFT JOIN lm_sub USING (doc_id) LEFT JOIN sim USING (doc_id)"""
 #: (exactly the ids present in the tf aggregate), same as the Spark side.
 #: Literal +1.0 decimals are exact-integer shifts, so the DECIMAL->DOUBLE
 #: promotion cannot drift.
+#: per-language tokenizer fertility diagnostics (operators/text.py
+#: fertility_stats, r13): exact BIGINT counters + micros ratios in the
+#: SAME operation order as the Spark side ((chars/tokens)*1e6, division
+#: first). strlen = UTF-8 byte length (Spark octet_length's twin).
+_FERT_CTES = f"""fert AS (
+  SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(sum(length(CAST(text AS VARCHAR))), 0) AS BIGINT) AS n_chars,
+    CAST(COALESCE(sum(strlen(CAST(text AS VARCHAR))), 0) AS BIGINT) AS n_bytes,
+    CAST(COALESCE(sum(len({tokens('text')})), 0) AS BIGINT) AS n_words,
+    CAST(COALESCE(sum(len(regexp_extract_all(CAST(text AS VARCHAR),
+      '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))), 0)
+      AS BIGINT) AS n_tokens_bpe
+  FROM documents GROUP BY lang
+),
+fert_rows AS (
+  SELECT lang, n_docs, n_chars, n_bytes, n_words, n_tokens_bpe,
+    (CASE WHEN n_tokens_bpe > 0 THEN
+      CAST(round((CAST(n_chars AS DOUBLE) / n_tokens_bpe) * 1000000.0) AS BIGINT)
+      END) AS chars_per_token_micros,
+    (CASE WHEN n_words > 0 THEN
+      CAST(round((CAST(n_tokens_bpe AS DOUBLE) / n_words) * 1000000.0) AS BIGINT)
+      END) AS tokens_per_word_micros
+  FROM fert
+),
+fert_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fert_rows,
+         CAST(COALESCE(SUM({hash32(
+             "coalesce(lang, chr(0)) || '|' || CAST(n_docs AS VARCHAR)"
+             " || '|' || CAST(n_chars AS VARCHAR)"
+             " || '|' || CAST(n_bytes AS VARCHAR)"
+             " || '|' || CAST(n_words AS VARCHAR)"
+             " || '|' || CAST(n_tokens_bpe AS VARCHAR)"
+             " || '|' || CAST(coalesce(chars_per_token_micros, -1) AS VARCHAR)"
+             " || '|' || CAST(coalesce(tokens_per_word_micros, -1) AS VARCHAR)"
+         )}), 0) AS BIGINT) AS fert_ck
+  FROM fert_rows
+)"""
+
 TFIDF_SQL = f"""WITH toks AS (
   SELECT doc_id AS id, unnest({tokens('text')}) AS term FROM documents
 ),
 {REP_CTES},
+{_FERT_CTES},
 tf AS MATERIALIZED (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
 dl AS (SELECT id, CAST(sum(tc) AS BIGINT) AS n FROM tf GROUP BY 1),
 dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
@@ -372,7 +412,7 @@ scored AS (
 )
 SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros,
-       rp.n_rep_rows, rp.rep_ck
+       rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
   -- ln() near-ties could order differently across libm implementations
@@ -380,7 +420,7 @@ FROM (
     PARTITION BY id ORDER BY CAST(round(s * 1000000) AS BIGINT) DESC, term
   ) AS rank
   FROM scored
-) CROSS JOIN rep_parity rp WHERE rank <= 3"""
+) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token
 #: share of corpus — the numbers a data-mixture config is built from.

@@ -1645,7 +1645,32 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rep_rows"),
         F.coalesce(F.sum(rep_ck), F.lit(0)).cast("long").alias("rep_ck"),
     )
-    return out.crossJoin(F.broadcast(rep_parity))
+    # round-13 fold: per-language tokenizer fertility diagnostics
+    # (operators/text.fertility_stats) — the oracle recomputes the full
+    # per-lang verdict table (counts + micros ratios) from its own
+    # aggregation, so grouping, all four counters and the pinned-order
+    # ratio arithmetic must match row-for-row
+    fert = T.fertility_stats(docs)
+    fert_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("lang"), F.lit("\x00")),
+            F.col("n_docs").cast("string"),
+            F.col("n_chars").cast("string"),
+            F.col("n_bytes").cast("string"),
+            F.col("n_words").cast("string"),
+            F.col("n_tokens_bpe").cast("string"),
+            F.coalesce(F.col("chars_per_token_micros"), F.lit(-1)).cast("string"),
+            F.coalesce(F.col("tokens_per_word_micros"), F.lit(-1)).cast("string"),
+        )
+    )
+    fert_parity = fert.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fert_rows"),
+        F.coalesce(F.sum(fert_ck), F.lit(0)).cast("long").alias("fert_ck"),
+    )
+    return out.crossJoin(F.broadcast(rep_parity)).crossJoin(
+        F.broadcast(fert_parity)
+    )
 
 
 @register("text_chunk_documents", llm_sql.CHUNK_DOCS_SQL)

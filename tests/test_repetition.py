@@ -91,17 +91,25 @@ def test_tfidf_repetition_fold_differential_fuzz(spark):
 
     rnd = random.Random(0x5EEDD)
     for _trial in range(2):
-        rows = _corpus(rnd, 70)
-        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # lang column: the r13 fertility fold rides this row, so the
+        # fuzz frame carries the graded table's shape (incl. NULL langs)
+        rows = [
+            (i, rnd.choice(["en", "de", "zh", None]), t)
+            for i, t in _corpus(rnd, 70)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
         got = sorted(
-            (r.doc_id, r.term, r.rank, r.tfidf_micros, r.n_rep_rows, r.rep_ck)
+            (r.doc_id, r.term, r.rank, r.tfidf_micros,
+             r.n_rep_rows, r.rep_ck, r.n_fert_rows, r.fert_ck)
             for r in registry.tfidf_with_repetition_parity(docs).collect()
         )
         registry.release_staged_frames()
         spark.catalog.clearCache()
         con = duckdb.connect()
-        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
-        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
         want = sorted(con.sql(llm_sql.TFIDF_SQL).fetchall())
         con.close()
         assert got == want
