@@ -212,23 +212,37 @@ def dsir_select(
 
     Value-identical to the single-window spelling (asserted in
     tests/test_dsir.py::test_select_matches_global_window_spelling,
-    including a massive-tie corpus). Requires a NUMERIC ``doc_id`` for
-    the block split (same contract as ranking.ntile_bins). The weights
-    frame is consumed twice (bucket counts + the row join), so the
-    derived frame is persisted here and the handle appended to
-    ``_STAGED``; call :func:`release_staged` (or
-    ``spark.catalog.clearCache()``) after the consuming action — same
-    contract as exactsubstr's staged frame.
+    including a massive-tie corpus and string doc_ids). The block
+    split needs a key whose blocks coarsen the id ORDER, so it only
+    applies when ``doc_id`` is numeric (``floor(id / id_block)`` —
+    same contract as ranking.ntile_bins); for any other id type the
+    block collapses to a constant, which keeps exact correctness for
+    every orderable id (an earlier draft cast string ids to double:
+    silently wrong SETS on numeric-looking strings, r13 review) at the
+    cost of the tie-flood guarantee — a massive tie on a non-numeric
+    id still serializes that one weight group. The weights frame is
+    consumed twice (bucket counts + the row join), so the derived
+    frame is persisted here and the handle appended to ``_STAGED``;
+    call :func:`release_staged` (or ``spark.catalog.clearCache()``)
+    after the consuming action — same contract as exactsubstr's
+    staged frame.
     """
+    from pyspark.sql.types import NumericType
+
     w = dsir_log_weights(
         raw_docs, target_docs, n_buckets, alpha, id_col, text_col
+    )
+    blk = (
+        F.floor(F.col("doc_id") / F.lit(id_block))
+        if isinstance(w.schema["doc_id"].dataType, NumericType)
+        else F.lit(0).cast("long")
     )
     rows = w.select(
         "doc_id",
         "n_feats",
         "log_weight",
         F.floor(F.col("log_weight") * F.lit(bucket_scale)).alias("__bk"),
-        F.floor(F.col("doc_id") / F.lit(id_block)).alias("__blk"),
+        blk.alias("__blk"),
     ).persist()
     _STAGED.append(rows)
 

@@ -228,9 +228,12 @@ _IRA_PLAN = (
     " OR starts_with(upper(trim(coalesce(plan_id, ''))), '300005')"
     " OR contains(upper(trim(coalesce(plan_id, ''))), 'IRA'))"
 )
-# explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
-_COMPACT = "replace(regexp_replace(upper(trim({0})), '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '-', '')"
-_SPACE_LOWER = "lower(regexp_replace(trim({0}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+# single-source whitespace class (== Java \s; RE2 \s excludes U+000B):
+# from functions/normalizers.WS so the two engines cannot drift (r13)
+from ..functions.normalizers import WS as _WS  # noqa: E402
+
+_COMPACT = "replace(regexp_replace(upper(trim({0})), '" + _WS + "+', '', 'g'), '-', '')"
+_SPACE_LOWER = "lower(regexp_replace(trim({0}), '" + _WS + "+', ' ', 'g'))"
 
 ENGINE_D_TAIL = f"""ed_scope AS (
   SELECT * FROM matrix_clean

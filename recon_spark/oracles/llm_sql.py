@@ -11,11 +11,18 @@ index folds, mirroring Spark's ``F.aggregate`` order exactly.
 
 from __future__ import annotations
 
+from ..functions.normalizers import WS as _WS
 from ..operators import dedup as D
 from ..operators import sampling as _SAMP
 from ..operators import text as T
 
 NL = "chr(10)"
+
+#: DuckDB rendering of the Spark BPE token pattern — the SAME Python
+#: constant (operators/text.BPE_TOKEN_PATTERN), interpolated as a value
+#: so its regex braces are not re-parsed by the f-strings below; RE2
+#: and Java agree on every construct it uses (explicit WS class, r13).
+_BPE_PAT = T.BPE_TOKEN_PATTERN
 
 
 def tokens(col: str) -> str:
@@ -41,7 +48,7 @@ def shingles(col: str, k: int = 3) -> str:
 
 def normalize_for_hash(col: str) -> str:
     # explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
-    return rf"trim(regexp_replace(lower(CAST({col} AS VARCHAR)), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+    return rf"trim(regexp_replace(lower(CAST({col} AS VARCHAR)), '{_WS}+', ' ', 'g'))"
 
 
 def fingerprint(col: str) -> str:
@@ -323,7 +330,7 @@ sim AS (
 stats AS (
   SELECT doc_id, text, toks,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    CAST(len(regexp_extract_all(text, '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_tokens_bpe,
+    CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_tokens_bpe,
     CAST(length(text) AS BIGINT) AS n_chars,
     (CASE WHEN length(text) > 0 THEN
       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
@@ -368,7 +375,7 @@ _FERT_CTES = f"""fert AS (
     CAST(COALESCE(sum(strlen(CAST(text AS VARCHAR))), 0) AS BIGINT) AS n_bytes,
     CAST(COALESCE(sum(len({tokens('text')})), 0) AS BIGINT) AS n_words,
     CAST(COALESCE(sum(len(regexp_extract_all(CAST(text AS VARCHAR),
-      '[a-zA-Z]{{1,8}}|[0-9]{{1,3}}|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))), 0)
+      '{_BPE_PAT}'))), 0)
       AS BIGINT) AS n_tokens_bpe
   FROM documents GROUP BY lang
 ),
@@ -481,7 +488,7 @@ def lines_parity_ctes() -> str:
         f"(({punct})"
         # explicit class, not \s: RE2 \s excludes U+000B, Java's includes
         # it — same literal as operators/lines.WS_CLASS (ADVICE r12)
-        f" AND len(list_filter(string_split_regex(trim(l), '[ \\t\\n\\x0B\\f\\r]+'),"
+        f" AND len(list_filter(string_split_regex(trim(l), '{_WS}+'),"
         f" w -> w <> '')) >= {_L.C4_MIN_WORDS}"
         f" AND NOT contains(lower(l), 'javascript'))"
     )

@@ -6,6 +6,7 @@ and analytics aggregations (A2-A7), built on the engine CTE prefixes from
 from __future__ import annotations
 
 from . import engines_sql as E
+from ..functions.normalizers import WS as _WS
 from .llm_sql import hash32 as _hash32
 
 NL = "chr(10)"
@@ -141,7 +142,7 @@ exploded AS (
     CAST(date_trunc('month', txn_date) AS DATE) AS month,
     unnest(list_filter(
       list_transform(string_split(correction_reason, {NL}),
-                     x -> regexp_replace(trim(x), '^-[ \t\n\x0B\f\r]*', '')),
+                     x -> regexp_replace(trim(x), '^-{_WS}*', '')),
       x -> x <> '')) AS reason
   FROM ec_mat
   WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL
@@ -772,7 +773,7 @@ tr_ec_exploded AS (
     CAST(date_trunc('month', txn_date) AS DATE) AS month,
     unnest(list_filter(
       list_transform(string_split(correction_reason, {NL}),
-                     x -> regexp_replace(trim(x), '^-[ \t\n\x0B\f\r]*', '')),
+                     x -> regexp_replace(trim(x), '^-{_WS}*', '')),
       x -> x <> '')) AS reason
   FROM tr_ec_mat
   WHERE txn_date IS NOT NULL AND correction_reason IS NOT NULL

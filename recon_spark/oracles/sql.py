@@ -78,16 +78,19 @@ def norm_text(col: str, *, upper: bool = False) -> str:
 
 
 def norm_tax_code(col: str) -> str:
-    # explicit class == Java \s (functions/normalizers.WS); RE2 \s excludes U+000B
-    return rf"nullif(upper(regexp_extract({s(col)}, '^[ \t\n\x0B\f\r]*([A-Za-z0-9]{{1,2}})', 1)), '')"
+    # single-source whitespace class (== Java \s; RE2 \s excludes U+000B):
+    # interpolated from functions/normalizers.WS so the two engines'
+    # renderings cannot drift (r13 review — real control chars inside an
+    # RE2 class literal are verified equivalent to the \t-escape form)
+    return rf"nullif(upper(regexp_extract({s(col)}, '^{_N.WS}*([A-Za-z0-9]{{1,2}})', 1)), '')"
 
 
 def norm_compact_upper(col: str) -> str:
-    return rf"replace(regexp_replace(upper(trim({s(col)})), '[ \t\n\x0B\f\r]+', '', 'g'), '-', '')"
+    return rf"replace(regexp_replace(upper(trim({s(col)})), '{_N.WS}+', '', 'g'), '-', '')"
 
 
 def norm_space_lower(col: str) -> str:
-    return rf"lower(regexp_replace(trim({s(col)}), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+    return rf"lower(regexp_replace(trim({s(col)}), '{_N.WS}+', ' ', 'g'))"
 
 
 def norm_transaction_id(col: str) -> str:

@@ -1573,12 +1573,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # persist the 1-row parity frame: it feeds BOTH the hits cross-join
+    # stage the 1-row parity frame: it feeds BOTH the hits cross-join
     # and the sentinel branch, and without the cache the full-corpus NFC
     # map pass executes once per consumer (2x MapInPandas in the
-    # executed plan, r13 review); cache lifecycle to the caller, same
-    # contract as every staged operator (the harness clearCache()s)
-    parity = F.broadcast(_un.nfc_parity(docs).persist())
+    # executed plan, r13 review); _stage_persist so the session hygiene
+    # wrapper releases it like every other registry-internal cache
+    parity = F.broadcast(_stage_persist(_un.nfc_parity(docs)))
     sentinel = parity.select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),

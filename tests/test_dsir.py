@@ -133,6 +133,36 @@ def test_select_matches_global_window_spelling(spark):
     spark.catalog.clearCache()
 
 
+def test_select_string_ids_match_global_window(spark):
+    """STRING doc_ids (numeric-looking, so a silent cast would produce
+    a plausible-but-wrong block order — the r13 review's repro) must
+    reproduce the global-window spelling exactly: the block split only
+    applies to numeric id types."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ids = [str(i) for i in list(range(5, 13)) + list(range(95, 103))]
+    raw = spark.createDataFrame(
+        [(i, "") for i in ids], "doc_id string, text string"
+    )  # all weights tied at 0.0 -> order is purely doc_id ASC (lexicographic)
+    tgt = spark.createDataFrame([("t", "alpha beta")], "doc_id string, text string")
+    got = sorted(
+        (r.doc_id, r.rank)
+        for r in dsir.dsir_select(raw, tgt, k=8, id_block=8).collect()
+    )
+    win = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    want = sorted(
+        (r.doc_id, r.rank)
+        for r in dsir.dsir_log_weights(raw, tgt)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 8)
+        .collect()
+    )
+    assert got == want
+    assert [d for d, _ in got] == sorted(ids)[:8]  # lexicographic order
+    spark.catalog.clearCache()
+
+
 def test_null_empty_docs_anchor_at_zero(spark):
     # doc 4 skews the raw model away from the target so doc 3's ratio
     # is strictly positive (raw == target would be exactly 0)
