@@ -234,3 +234,63 @@ def resample_to_mixture(
         )
         .drop("__x")
     )
+
+
+#: mT5's sampling temperature (Xue et al. 2021 §3.1; XLM-R uses 0.7):
+#: raises low-resource strata toward parity without flattening entirely
+TEMPERATURE_ALPHA = 0.3
+
+
+def temperature_mixture(
+    per: DataFrame,
+    alpha: float = TEMPERATURE_ALPHA,
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """α-temperature sampling weights over a per-stratum token table —
+    the mT5/XLM-R recipe for choosing a corpus mixture FROM the
+    measured distribution (the complement of ``resample_to_mixture``,
+    which ENACTS a given mixture): stratum ``l`` is sampled with
+    probability ``w_l ∝ n_tokens_l^α``, which equals the paper's
+    ``p_l^α`` normalization because the corpus total cancels.
+
+    Appends to every input row: ``w_alpha_micros`` (the normalized
+    sampling weight, micros) and ``upsample_micros`` (``w_l / p_l`` —
+    how much more/less often the stratum is drawn than its natural
+    share; >1e6 means upsampled). Zero-token strata get NULLs.
+
+    Oracle discipline: the one cross-stratum float reduction (the
+    normalizer ``Σ n^α``) is a LEFT FOLD over the SORTED value list on
+    both engines (``F.aggregate`` over ``array_sort(collect_list)``
+    here, ``list_reduce``/``list_sort`` in DuckDB) — float addition is
+    not associative, so an unpinned aggregation order could flip the
+    micros rounding at a .5 boundary; ``pow``/division inputs are exact
+    BIGINTs (the data_mixing_weights discipline).
+
+    Scale shape: ``per`` is the |strata|-row OUTPUT of a corpus rollup,
+    so everything here is metadata-sized; the single collect_list row
+    and the broadcast join cost nothing at any corpus size.
+    """
+    n = F.col(token_col).cast("double")
+    z = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(n)),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x, F.lit(float(alpha))),
+        ).alias("__z"),
+        F.sum(token_col).cast("long").alias("__t"),
+    )
+    w = F.pow(n, F.lit(float(alpha))) / F.col("__z")
+    share = n / F.col("__t")
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            *per.columns,
+            F.when(
+                F.col(token_col) > 0, F.round(w * 1_000_000.0).cast("long")
+            ).alias("w_alpha_micros"),
+            F.when(
+                F.col(token_col) > 0,
+                F.round(w / share * 1_000_000.0).cast("long"),
+            ).alias("upsample_micros"),
+        )
+    )

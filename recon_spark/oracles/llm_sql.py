@@ -2158,10 +2158,31 @@ bpe_parity AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_bpe_pairs,
          CAST(COALESCE(SUM({_BPE_PAIR_CK}), 0) AS BIGINT) AS bpe_pairs_ck
   FROM bpe_pair_agg
+),
+-- r13: mT5-style temperature-sampling normalizer (operators/sampling
+-- temperature_mixture): the one cross-stratum float reduction is a
+-- LEFT FOLD over the SORTED value list on both engines (float addition
+-- is not associative); pow/division inputs are exact BIGINTs
+tempz AS (
+  -- FILTER mirrors Spark collect_list's native null-skipping
+  SELECT list_reduce(
+           list_transform(
+             list_sort(list(CAST(n_tokens AS DOUBLE))
+                       FILTER (WHERE n_tokens IS NOT NULL)),
+             x -> pow(x, CAST({_SAMP.TEMPERATURE_ALPHA} AS DOUBLE))),
+           (a, b) -> a + b) AS z
+  FROM per
 )
 SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros,
+  (CASE WHEN n_tokens > 0 THEN
+    CAST(round((pow(CAST(n_tokens AS DOUBLE), CAST({_SAMP.TEMPERATURE_ALPHA} AS DOUBLE)) / z)
+               * 1000000.0) AS BIGINT) END) AS w_alpha_micros,
+  (CASE WHEN n_tokens > 0 THEN
+    CAST(round((pow(CAST(n_tokens AS DOUBLE), CAST({_SAMP.TEMPERATURE_ALPHA} AS DOUBLE)) / z)
+               / (CAST(n_tokens AS DOUBLE) / t) * 1000000.0) AS BIGINT) END) AS upsample_micros,
   dp.n_dsir_rows, dp.dsir_ck, qp.n_qclf_rows, qp.qclf_ck,
   bp.n_bpe_pairs, bp.bpe_pairs_ck, hp.n_dist_words, hp.total_words, hp.hist_ck
-FROM per CROSS JOIN tot CROSS JOIN dsir_parity dp CROSS JOIN qclf_parity qp
+FROM per CROSS JOIN tot CROSS JOIN tempz CROSS JOIN dsir_parity dp
+CROSS JOIN qclf_parity qp
 CROSS JOIN bpe_parity bp CROSS JOIN bpe_hist_par hp"""

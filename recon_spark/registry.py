@@ -1314,6 +1314,13 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's token share — the input to a data-mixture sampling config.
     One groupBy + a 1-row broadcast total.
 
+    Round 13: the row also carries α-temperature sampling weights
+    (``w_alpha_micros``, ``upsample_micros`` — operators/sampling
+    temperature_mixture, the mT5 §3.1 recipe computed FROM the measured
+    distribution); the oracle recomputes both with the same
+    sorted-left-fold normalizer, so the pow/normalize/ratio arithmetic
+    is graded row-for-row alongside the tallies.
+
     Round-10 fold: DSIR's integer substrate (operators/dsir.py — hashed
     unigram+bigram features, the data-selection sibling of this mixing
     table) is drive-graded at zero slot cost through (n_dsir_rows,
@@ -1346,6 +1353,7 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe as _bpe
     from .operators import dsir as _dsir
     from .operators import quality_clf as _qclf
+    from .operators import sampling
 
     # single-split fixture parquet -> repartition before the DSIR
     # tokenize+bigram explode (docs_aug r12 note)
@@ -1356,6 +1364,12 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
     )
+    # r13: α-temperature sampling weights (operators/sampling
+    # temperature_mixture — the mT5 recipe, computed FROM the measured
+    # distribution) join the row's primary output: w_alpha_micros +
+    # upsample_micros per stratum, sorted-left-fold normalizer on both
+    # engines. |strata|-sized arithmetic, zero extra corpus work.
+    per = sampling.temperature_mixture(per)
     tot = per.agg(F.sum("n_tokens").alias("t"))
     feats = _dsir.dsir_features(docs)
     d_ck = DD._hash32(
@@ -1404,6 +1418,8 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens").cast("double") / F.col("t") * 1_000_000)
             .cast("long")
             .alias("token_share_micros"),
+            "w_alpha_micros",
+            "upsample_micros",
             "n_dsir_rows",
             "dsir_ck",
             "n_qclf_rows",

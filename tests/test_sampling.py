@@ -152,3 +152,55 @@ def test_resample_to_mixture_hits_target_shares(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_temperature_mixture_matches_python_twin(spark):
+    """α-temperature sampling weights (operators/sampling
+    temperature_mixture, r13): micros match an independent Python twin
+    computed with the SAME sorted-left-fold normalizer, zero-token
+    strata get NULLs, and the weights normalize to ~1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(0xA1FA)
+    for _trial in range(3):
+        rows = [
+            (f"l{i}", f"s{i%3}", rnd.choice([0, rnd.randrange(1, 10**9)]))
+            for i in range(rnd.randrange(2, 14))
+        ]
+        per = spark.createDataFrame(rows, "lang string, source string, n_tokens long")
+        got = {
+            (r.lang, r.source): (r.w_alpha_micros, r.upsample_micros)
+            for r in sampling.temperature_mixture(per).collect()
+        }
+        a = sampling.TEMPERATURE_ALPHA
+        z = 0.0
+        for x in sorted(float(n) for _l, _s, n in rows):
+            z += x**a
+        t = sum(n for _l, _s, n in rows)
+        for lang, src, n in rows:
+            if n == 0:
+                assert got[(lang, src)] == (None, None)
+                continue
+            w = n**a / z
+            assert got[(lang, src)] == (
+                round(w * 1_000_000),
+                round(w / (n / t) * 1_000_000),
+            ), (lang, src, n)
+        live = [v[0] for v in got.values() if v[0] is not None]
+        assert abs(sum(live) - 1_000_000) <= len(live)  # rounding slack
+
+
+def test_temperature_mixture_upsamples_low_resource_strata(spark):
+    """The property the recipe exists for (mT5 §3.1): with α < 1 the
+    small stratum's sampling weight exceeds its natural share and the
+    big stratum's falls below it."""
+    per = spark.createDataFrame(
+        [("en", "web", 99_000_000), ("yo", "web", 1_000_000)],
+        "lang string, source string, n_tokens long",
+    )
+    got = {r.lang: r for r in sampling.temperature_mixture(per).collect()}
+    assert got["yo"].upsample_micros > 1_000_000  # drawn above natural share
+    assert got["en"].upsample_micros < 1_000_000
+    assert got["yo"].w_alpha_micros + got["en"].w_alpha_micros in (999999, 1000000, 1000001)
