@@ -134,6 +134,12 @@ HEADLINE = [
     # spelling (VERDICT r12 #1); integer substrate graded at sf0.01 as
     # the parity fold inside data_mixing_weights
     "dsir_select_topk",
+    # sequential-Poisson πps weighted sampling (operators/sampling.
+    # pps_sample, r13): md5-uniform u/w keys + the bucket-pruned
+    # distributed bottom-k (ranking.bottomk_rows); the full selected
+    # set is graded at sf0.01 as the parity fold inside
+    # data_sample_stratified
+    "pps_weighted_sample",
 ]
 
 
@@ -449,8 +455,28 @@ def _q_tokenizer_bpe(spark, sf_dir):
     )
 
 
+def _q_pps_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import sampling, text
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition before the tokenize
+    # pass (registry.docs_aug r12 note); weight = token count, keep a
+    # 10% budget — the key is a narrow projection, the top-k the
+    # bucket-pruned two-phase rank
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = max(docs.count() // 10, 1)
+    return sampling.pps_sample(
+        docs.select("doc_id", text.token_count("text").alias("w")), "w", k
+    )
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
+    "pps_weighted_sample": _q_pps_sample,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "corpus_build_full": _q_corpus_build_full,

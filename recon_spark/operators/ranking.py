@@ -39,6 +39,83 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: persisted frames :func:`bottomk_rows` staged internally (same
+#: cache-lifecycle contract as dsir._STAGED / exactsubstr._AUTO_STAGED:
+#: the persist is load-bearing while the returned plan executes — the
+#: frame feeds both the bucket-count aggregate and the row join)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`bottomk_rows` staged internally;
+    returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
+
+def bottomk_rows(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    lg_scale: int = 32,
+) -> DataFrame:
+    """The k smallest rows by ``(key ASC, id ASC)`` with their exact
+    global ``rank`` — value-identical to ``row_number() OVER (ORDER BY
+    key, id) <= k`` (asserted in tests/test_ranking.py) but WITHOUT the
+    SinglePartition row sort that window plans: at corpus scale the
+    global-window spelling funnels every row through one task.
+
+    Contract: ``key`` must be a POSITIVE double (the coarse bucket is
+    ``floor(log2(key) * lg_scale)`` — a monotone coarsening whose bucket
+    COUNT is bounded by the key's log-RANGE times ``lg_scale``, never by
+    the row count, so the one global step — the cumulative count over
+    the bucket frame — stays metadata-sized for any value distribution;
+    a linear ``floor(key * scale)`` quantizer would explode to row-sized
+    bucket frames on heavy-tailed keys). Rows with null/non-positive
+    keys are the caller's bug — filter first.
+
+    Shape: (1) bucket counts + ascending cumulative offsets over the
+    bucket frame (the ONLY global window, bucket-frame-sized); (2)
+    buckets whose offset is already >= k are pruned BEFORE any row-level
+    work — only the candidate buckets (holding the bottom ~k rows plus
+    one bucket of slack) are joined back; (3) within candidate buckets a
+    window partitioned by bucket orders by ``(key, id)`` — task size is
+    bounded by bucket granularity (raise ``lg_scale`` to shrink it).
+    Unlike dsir_select's tie-flood phase there is no id-block sub-split:
+    a continuous key has no mass ties, and a pathological all-ties key
+    serializes only its one bucket.
+
+    The derived frame is consumed twice (bucket counts + the row join),
+    so it is persisted here and the handle appended to ``_STAGED``; call
+    :func:`release_staged` after the consuming action.
+    """
+    rows = df.withColumn(
+        "__bk", F.floor(F.log2(F.col(key_col)) * F.lit(lg_scale)).cast("long")
+    ).persist()
+    _STAGED.append(rows)
+
+    counts = rows.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
+    w_cum = Window.orderBy(F.col("__bk").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__bk", (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off")
+    )
+    cand = offsets.filter(F.col("__off") < k)
+
+    w_in = Window.partitionBy("__bk").orderBy(
+        F.col(key_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        rows.join(F.broadcast(cand), "__bk")
+        .withColumn("rank", F.col("__off") + F.row_number().over(w_in))
+        .filter(F.col("rank") <= k)
+        .drop("__bk", "__off")
+    )
+
 
 def ntile_bins(
     df: DataFrame,

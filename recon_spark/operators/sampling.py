@@ -236,6 +236,109 @@ def resample_to_mixture(
     )
 
 
+def pps_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pps:v1",
+) -> DataFrame:
+    """Weighted sampling without replacement, probability-proportional-
+    to-size: SEQUENTIAL POISSON SAMPLING (Ohlsson 1998, *Sequential
+    Poisson Sampling*, J. Official Statistics 14(2) — the πps design
+    behind the Swedish CPI). Each row gets an order key ``ξ = u / w``
+    (u uniform, w its weight) and the k SMALLEST keys are the sample:
+    P(selected) ≈ k·w/Σw, the fixed-size counterpart of Poisson πps
+    sampling. The training-data use: draw a fixed-budget corpus slice
+    where a document's chance of inclusion is proportional to its
+    token count / quality weight.
+
+    Determinism + oracle replay — why this scheme and not the
+    better-known Efraimidis–Vassilvitskii ``u^(1/w)`` reservoir key:
+    ``u = (md5_coin + 0.5) / 2^32`` is an exact dyadic rational and
+    ``ξ = u / w`` involves ONE IEEE division — correctly rounded, so
+    bit-identical on every engine — whereas ``pow``/``log`` keys are
+    transcendental (libm-dependent last-ulp drift could flip the k-th
+    selection between engines). The DuckDB oracle replays the full
+    selected set AND its rank order exactly (llm_sql.pps_parity_ctes).
+    Same md5-coin properties as :func:`with_split`: reproducible across
+    runs/engines/partitionings, and growing the corpus never changes an
+    existing document's key.
+
+    Output: ``(id, weight, rank, p_micros)`` for the k sampled rows —
+    ``rank`` is the exact selection order (key asc, id asc), ``p_micros``
+    the nominal inclusion probability ``min(1, k·w/Σw)`` in micros.
+    Rows with null or non-positive weight are excluded (a weight of 0
+    must never be drawn; πps needs w > 0).
+
+    Scale shape: the key is a narrow projection riding the scan; the
+    top-k is :func:`~.ranking.bottomk_rows` — bucket-pruned two-phase
+    rank, no SinglePartition row sort; Σw is one 1-row aggregate. The
+    staged frame contract is ranking._STAGED (release after the
+    consuming action).
+    """
+    from .ranking import bottomk_rows
+
+    w = F.col(weight_col).cast("double")
+    base = docs.filter(w.isNotNull() & (w > 0)).select(
+        F.col(id_col).alias("id"),
+        w.alias("weight"),
+        (
+            (hash_bucket(id_col, salt).cast("double") + F.lit(0.5))
+            / F.lit(float(_SCALE))
+            / w
+        ).alias("__key"),
+    )
+    tot = base.agg(F.sum("weight").alias("__wsum"))
+    picked = bottomk_rows(base, "__key", "id", k)
+    return (
+        picked.crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "weight",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(
+                F.least(F.lit(1.0), F.lit(float(k)) * F.col("weight") / F.col("__wsum"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("p_micros"),
+        )
+    )
+
+
+def pps_parity(
+    docs: DataFrame,
+    weight_expr: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pps:v1",
+) -> DataFrame:
+    """1-row checksum frame over the FULL πps selected set — (n_pps_rows,
+    pps_ck) where the checksum covers every sampled row's (id, weight,
+    rank, p_micros). Rides a graded host row (zero-slot-cost fold,
+    the dsir/qclf/bpe convention); the DuckDB oracle recomputes the
+    keys, the selection, the rank order and the inclusion probabilities
+    from scratch (llm_sql.pps_parity_ctes)."""
+    from .dedup import _hash32
+
+    sel = pps_sample(docs.select(F.col(id_col), weight_expr.alias("__w")), "__w", k,
+                     id_col=id_col, salt=salt)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("id").cast("string"),
+            F.col("weight").cast("long").cast("string"),
+            F.col("rank").cast("string"),
+            F.col("p_micros").cast("string"),
+        )
+    )
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pps_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("pps_ck"),
+    )
+
+
 #: mT5's sampling temperature (Xue et al. 2021 §3.1; XLM-R uses 0.7):
 #: raises low-resource strata toward parity without flattening entirely
 TEMPERATURE_ALPHA = 0.3

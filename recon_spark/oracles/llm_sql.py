@@ -546,6 +546,50 @@ para_parity AS (
 )"""
 
 
+#: πps sample size for the graded fold (single-sourced: the registry's
+#: Spark side reads this same constant)
+PPS_K = 100
+
+
+def pps_parity_ctes(k: int = PPS_K) -> str:
+    """Sequential-Poisson πps sampling twin (operators/sampling.
+    pps_sample, Ohlsson 1998): recompute every selected row — md5
+    uniform, key = ((u + 0.5) / 2^32) / w in the exact Spark operation
+    order (one addition + two IEEE divisions, correctly rounded, so
+    bit-identical across engines — the reason the scheme is Ohlsson's
+    u/w and not Efraimidis' transcendental u^(1/w)), the k-smallest
+    selection WITH its rank order, and the nominal inclusion
+    probability min(1, k*w/Σw) in micros. Weight = token count (exact
+    BIGINT; the Σw double cast is exact below 2^53, so the one float
+    sum is order-independent)."""
+    return f"""pps_base AS (
+  SELECT doc_id AS id, CAST(len({tokens('text')}) AS BIGINT) AS w,
+         ((CAST({hash32("'pps:v1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+          / 4294967296.0) / CAST(len({tokens('text')}) AS DOUBLE) AS key
+  FROM documents
+  WHERE len({tokens('text')}) > 0
+),
+pps_tot AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum FROM pps_base),
+pps_sel AS (
+  SELECT id, w, row_number() OVER (ORDER BY key, id) AS rank FROM pps_base
+),
+pps_rows AS (
+  SELECT id, w, rank,
+         CAST(round(least(1.0, CAST({k} AS DOUBLE) * CAST(w AS DOUBLE) / wsum)
+                    * 1000000) AS BIGINT) AS p_micros
+  FROM pps_sel CROSS JOIN pps_tot WHERE rank <= {k}
+),
+pps_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pps_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(id AS VARCHAR) || '|' || CAST(w AS VARCHAR)"
+             " || '|' || CAST(rank AS VARCHAR)"
+             " || '|' || CAST(p_micros AS VARCHAR)"
+         )}), 0) AS BIGINT) AS pps_ck
+  FROM pps_rows
+)"""
+
+
 STRATIFIED_SAMPLE_SQL = f"""WITH b AS (
   SELECT doc_id, lang,
          {hash32("'sample:v1' || CAST(doc_id AS VARCHAR)")} AS hb
@@ -584,6 +628,7 @@ copies AS (
   FROM toks t JOIN ratio USING (lang)
 ),
 {lines_parity_ctes()},
+{pps_parity_ctes()},
 samp AS (
   SELECT 'stratified' AS method, lang AS stratum, doc_id, 0 AS k
   FROM r WHERE rn <= (1 * cnt + 10 - 1) // 10
@@ -591,8 +636,10 @@ samp AS (
   SELECT 'mixture', lang, doc_id, CAST(unnest(range(0, n_copies)) AS INT)
   FROM copies WHERE n_copies > 0
 )
-SELECT samp.*, c4p.n_c4_rows, c4p.c4_ck, pp.n_para_rows, pp.para_ck
-FROM samp CROSS JOIN c4_parity c4p CROSS JOIN para_parity pp"""
+SELECT samp.*, c4p.n_c4_rows, c4p.c4_ck, pp.n_para_rows, pp.para_ck,
+       psp.n_pps_rows, psp.pps_ck
+FROM samp CROSS JOIN c4_parity c4p CROSS JOIN para_parity pp
+CROSS JOIN pps_parity psp"""
 
 #: eval-contamination scan: test docs sharing any 5-shingle with a train
 #: doc (split replayed from the same md5 edges).

@@ -1533,8 +1533,22 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4_ck, n_para_rows, para_ck); the oracle replays line splitting,
     the keep predicate and the positional first-occurrence scan
     verbatim (llm_sql.lines_parity_ctes). Hosted on this unbenched row
-    so the certificate costs zero bench wall time."""
+    so the certificate costs zero bench wall time.
+
+    Round-13 fold: sequential-Poisson πps weighted sampling
+    (operators/sampling.pps_sample, Ohlsson 1998 — fixed-size
+    weighted-without-replacement by k-smallest ``u/w`` key, the
+    pure-arithmetic πps design whose selection the oracle can replay
+    bit-for-bit, unlike transcendental ``u^(1/w)`` keys) rides as
+    (n_pps_rows, pps_ck): a checksum over the FULL selected set —
+    ids, weights, exact rank order and inclusion probabilities — with
+    weight = token count and k = llm_sql.PPS_K (single-sourced). The
+    Spark side runs the distributed bucket-pruned bottom-k
+    (operators/ranking.bottomk_rows), the oracle a plain global
+    window: value-identity between those two spellings is exactly
+    what the checksum certifies."""
     from .operators import lines as _lines
+    from .operators import ranking as _ranking
     from .operators import sampling
 
     docs = _load_table(spark, sf_dir, "documents")
@@ -1554,11 +1568,23 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("copy_idx").cast("int").alias("k"),
     )
-    return (
+    out = (
         strat.unionByName(mix)
         .crossJoin(F.broadcast(_lines.c4_parity(docs)))
         .crossJoin(F.broadcast(_lines.para_parity(docs)))
+        .crossJoin(
+            F.broadcast(
+                sampling.pps_parity(
+                    docs, F.size(T.tokens("text")).cast("long"), k=llm_sql.PPS_K
+                )
+            )
+        )
     )
+    # bottomk_rows stages a persisted frame internally; hand it to the
+    # registry's release mechanism so session hygiene stays uniform
+    while _ranking._STAGED:
+        _stage_persist(_ranking._STAGED.pop())
+    return out
 
 
 @register("data_contamination_check", llm_sql.CONTAMINATION_SQL)
