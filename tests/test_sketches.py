@@ -302,3 +302,84 @@ def test_reach_hypertable_week_month_total_from_one_partials_table(spark):
             A.build_reach_rollup(partials, "fortnight")
     finally:
         partials.unpersist()
+
+
+# --- Misra-Gries frequent items -------------------------------------------------
+
+
+def _zipfish(spark, n_parts):
+    """~6k items over ~400 distinct keys with a heavy head: item j is
+    'k<j>' where j = floor(sqrt(i mod 160000 heavy-tailed))."""
+    rows = []
+    rng = random.Random(7)
+    for i in range(6000):
+        j = min(int(rng.paretovariate(1.2)), 400)
+        rows.append((f"k{j}",))
+    return spark.createDataFrame(rows, "item string").repartition(n_parts)
+
+
+def test_mg_band_and_guarantee_across_partitionings(spark):
+    """Both directions of the Misra-Gries band — est <= true (counters
+    only ever undercount) and true - est <= n DIV (k+1) — plus the
+    presence guarantee (any item with true count > n/(k+1) is reported),
+    across several physical partitionings of the same data."""
+    for n_parts in (1, 4, 16):
+        df = _zipfish(spark, n_parts)
+        exact = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+        n = sum(exact.values())
+        k = 64
+        got = {r.item: (r.est, r.n_total, r.err_bound) for r in SK.frequent_items(df, "item", k).collect()}
+        SK.release_staged()
+        assert len(got) <= k
+        bound = n // (k + 1)
+        for item, (est, n_total, err_bound) in got.items():
+            assert n_total == n and err_bound == bound
+            assert est <= exact[item], (item, est, exact[item])
+            assert exact[item] - est <= bound, (item, est, exact[item], bound)
+        for item, true_c in exact.items():
+            if true_c > bound:
+                assert item in got, (item, true_c, bound)
+
+
+def test_mg_exact_when_distinct_below_k(spark):
+    """With fewer than k distinct items no decrement ever fires, so the
+    sketch is EXACT for every item under any partitioning."""
+    df = spark.range(5000).select(
+        F.concat(F.lit("u"), (F.col("id") % 37).cast("string")).alias("item")
+    ).repartition(8)
+    exact = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    got = {r.item: r.est for r in SK.frequent_items(df, "item", 64).collect()}
+    SK.release_staged()
+    assert got == exact
+
+
+def test_mg_skips_nulls_and_counts_total(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",), (None,)], "item string"
+    )
+    rows = SK.frequent_items(df, "item", 8).collect()
+    SK.release_staged()
+    assert {r.item for r in rows} == {"a", "b"}
+    assert all(r.n_total == 3 for r in rows)
+
+
+def test_mg_partials_bounded_per_partition(spark):
+    """The scale contract: each partition emits <= k item rows + 1
+    sentinel, whatever the partition's cardinality."""
+    df = spark.range(20000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("item")
+    ).repartition(4)  # 20k distinct items, 4 partitions
+    k = 32
+    parts = SK.mg_partials(df, "item", k)
+    per = (
+        parts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count(F.when(F.col("item").isNotNull(), 1)).alias("items"),
+            F.count(F.when(F.col("item").isNull(), 1)).alias("sentinels"),
+        )
+        .collect()
+    )
+    assert all(r.items <= k and r.sentinels >= 0 for r in per)
+    total_rows = parts.count()
+    assert total_rows <= 4 * (k + 1) + 8  # bounded candidate frame
