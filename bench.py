@@ -146,6 +146,11 @@ HEADLINE = [
     # guarantee (partitioning-dependent by nature, like HLL/KLL — the
     # exact twins of top-item questions are the graded value-count rows)
     "mg_heavy_hitters",
+    # exact table profiler (operators/profile.py, r13): one agg pass +
+    # one melted (column, value) groupBy over the LARGEST fixture table,
+    # every column; graded at sf0.01 as the parity fold inside
+    # qa_warning_metrics (documents table)
+    "profile_lineitem",
 ]
 
 
@@ -495,10 +500,19 @@ def _q_mg_heavy_hitters(spark, sf_dir):
     return sketches.frequent_items(toks, "tok", k=sketches.MG_K)
 
 
+def _q_profile_lineitem(spark, sf_dir):
+    from recon_spark.operators import profile
+    from recon_spark.sources.tpch import load
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile.profile_table(li, li.columns)
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "pps_weighted_sample": _q_pps_sample,
     "mg_heavy_hitters": _q_mg_heavy_hitters,
+    "profile_lineitem": _q_profile_lineitem,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "corpus_build_full": _q_corpus_build_full,

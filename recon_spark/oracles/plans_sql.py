@@ -331,11 +331,79 @@ GROUP BY 1, 2, 3"""
 
 from .cleaning_sql import PRELUDE as _CLEAN_PRELUDE  # noqa: E402
 
+#: columns the graded profiler fold profiles (documents table; text is
+#: deliberately excluded — exact-profiling an open-text column is the
+#: sketch twins' job, see operators/profile.py docstring). Single-sourced:
+#: the registry's Spark side reads this same tuple.
+PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def profile_parity_ctes(table: str = "documents", cols=PROFILE_COLS) -> str:
+    """Table-profiler twin (operators/profile.py, r13): recompute the
+    FULL per-column profile — row/null counts, typed min/max (cast to
+    VARCHAR after, matching the Spark side), exact distinct counts and
+    the deterministic (cnt DESC, value ASC) top value — then checksum
+    every stat row."""
+    meta = "\n  UNION ALL\n".join(
+        f"""  SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+         CAST(min({c}) AS VARCHAR) AS mn, CAST(max({c}) AS VARCHAR) AS mx
+  FROM {table}"""
+        for c in cols
+    )
+    vals = "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM {table}"
+        for c in cols
+    )
+    return f"""prof_meta AS (
+{meta}
+),
+prof_vc AS (
+  SELECT col, v, count(*) AS cnt FROM (
+{vals}
+  ) WHERE v IS NOT NULL GROUP BY 1, 2
+),
+prof_stats AS (
+  SELECT r.col, d.n_distinct, r.v AS top_value, CAST(r.cnt AS BIGINT) AS top_n
+  FROM (
+    SELECT col, v, cnt,
+           row_number() OVER (PARTITION BY col ORDER BY cnt DESC, v ASC) AS rn
+    FROM prof_vc
+  ) r
+  JOIN (SELECT col, CAST(count(*) AS BIGINT) AS n_distinct
+        FROM prof_vc GROUP BY col) d USING (col)
+  WHERE rn = 1
+),
+prof_rows AS (
+  SELECT m.col, m.n_rows, m.n_null,
+         coalesce(s.n_distinct, 0) AS n_distinct, m.mn, m.mx,
+         s.top_value, coalesce(s.top_n, 0) AS top_n
+  FROM prof_meta m LEFT JOIN prof_stats s USING (col)
+),
+prof_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_prof_rows,
+         CAST(COALESCE(SUM({_hash32(
+             "col || '|' || CAST(n_rows AS VARCHAR)"
+             " || '|' || CAST(n_null AS VARCHAR)"
+             " || '|' || CAST(n_distinct AS VARCHAR)"
+             " || '|' || coalesce(mn, chr(0))"
+             " || '|' || coalesce(mx, chr(0))"
+             " || '|' || coalesce(top_value, chr(0))"
+             " || '|' || CAST(top_n AS VARCHAR)"
+         )}), 0) AS BIGINT) AS prof_ck
+  FROM prof_rows
+)"""
+
+
 #: V7 — post-normalization warning counters as a (source, metric, n)
 #: frame. Since round 5 the J5 join-coverage numbers ride along as three
 #: more metric rows (engine_a relius_rows_total / matched /
 #: coverage_ratio_micros), folding the standalone COVERAGE_A query.
+#: Since round 13 the table-profiler parity columns (n_prof_rows,
+#: prof_ck — operators/profile.py over the documents table) ride on
+#: every row, the zero-slot fold convention.
 WARNING_METRICS_SQL = f"""{_CLEAN_PRELUDE},
+{profile_parity_ctes()},
 cov AS (
   SELECT CAST(count(*) AS BIGINT) AS n_left,
          CAST(count(rk.hit) AS BIGINT) AS n_matched
@@ -389,7 +457,8 @@ m AS (
     GROUP BY 1
   ) cnt USING (digit)
 )
-SELECT source, metric, n FROM m"""
+SELECT source, metric, n, pf.n_prof_rows, pf.prof_ck
+FROM m CROSS JOIN prof_parity pf"""
 
 
 # --- stateful streaming oracles ----------------------------------------------

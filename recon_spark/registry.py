@@ -1062,7 +1062,17 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     amounts (plans/analytics.build_benford_audit), graded on its INTEGER
     digit counts; the chi-square arithmetic stays pytest-graded because
     libm log10 may differ across engines in the last ulp while counts
-    cannot."""
+    cannot.
+
+    Round-13 fold: the table profiler (operators/profile.py — the
+    ANALYZE-style per-column n/null/distinct/min/max/top-value surface)
+    rides as (n_prof_rows, prof_ck): a checksum over the FULL profile
+    of the documents table on plans_sql.PROFILE_COLS (single-sourced);
+    the oracle recomputes every stat row from scratch
+    (plans_sql.profile_parity_ctes). Hosted on this unbenched row so
+    the certificate costs zero bench wall time."""
+    from .operators import profile as _profile
+
     t = clean_tables(spark, sf_dir)
     cov = quality.join_coverage(
         t["relius"], t["matrix"], ["plan_id", "ssn", "gross_amt"]
@@ -1097,6 +1107,14 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
         .unionByName(cov_rows)
         .unionByName(benford_rows)
+        .crossJoin(
+            F.broadcast(
+                _profile.profile_parity(
+                    _load_table(spark, sf_dir, "documents"),
+                    plans_sql.PROFILE_COLS,
+                )
+            )
+        )
     )
 
 
