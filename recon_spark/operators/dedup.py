@@ -404,6 +404,85 @@ def ngram_jaccard_pairs_from_shingles(
     )
 
 
+def near_dup_recall_from_shingles(
+    sh: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+) -> DataFrame:
+    """Near-dup CANDIDATE-quality evaluation — the dedup twin of the ANN
+    family's ``similarity_recall``: measure the MinHash-LSH banding's
+    candidate set against the EXACT n-gram-Jaccard truth set (pairs with
+    J >= t) computed off the SAME staged shingle frame. One row:
+
+    - ``n_nd_truth`` — exact pairs at the threshold (the count-based
+      set-similarity join);
+    - ``n_nd_cand`` — distinct LSH candidate pairs (any shared band);
+    - ``n_nd_hits`` — candidates that are true pairs;
+    - ``nd_recall_micros`` — hits/truth (the banding MISS rate's
+      complement: every miss is a true near-dup the LSH pipeline will
+      never even verify), null when truth is empty;
+    - ``nd_precision_micros`` — hits/cand (candidate efficiency: how
+      much of the verify stage's work is wasted), null when no
+      candidates.
+
+    This is the measurement behind choosing (n_hashes, n_bands) — the
+    S-curve position — on a REAL corpus rather than from the formula;
+    a production pipeline runs it on a sample before committing a
+    banding config to a 100 TB pass. All counts are exact integers and
+    the micros divide exact longs, so the DuckDB oracle replays the
+    whole verdict (graded as a parity fold on ``dedup_exact_documents``;
+    both ingredient pair sets are additionally graded on their own rows).
+
+    Scale shape: reuses the staged shingles; the extra cost over running
+    the two (already individually benched) generators is one marker
+    full-outer join on the pair key + a 1-row aggregate.
+    """
+    sigs = (
+        sh.select("id", signature_from_shingles(F.col("sh"), n_hashes).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    rows = n_hashes // n_bands
+    # both sides of the band self-join read this frame: without the
+    # persist the 12-md5-per-shingle signature pass runs twice (the
+    # minhash_lsh_candidates precedent; lifecycle = caller's clearCache)
+    banded = sigs.select(
+        "id", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
+    ).select("id", "b.band_idx", "b.band_hash").persist()
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("__in_c", F.lit(1))
+    )
+    truth = ngram_jaccard_pairs_from_shingles(sh, t_num, t_den).select(
+        "id_a", "id_b", F.lit(1).alias("__in_t")
+    )
+    j = cand.join(truth, ["id_a", "id_b"], "full")
+    h = F.coalesce(
+        F.sum(F.col("__in_c") * F.col("__in_t")), F.lit(0)
+    ).cast("long")
+    c = F.coalesce(F.sum("__in_c"), F.lit(0)).cast("long")
+    t = F.coalesce(F.sum("__in_t"), F.lit(0)).cast("long")
+    agg = j.agg(
+        t.alias("n_nd_truth"), c.alias("n_nd_cand"), h.alias("n_nd_hits")
+    )
+    micros = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den) * 1_000_000).cast("long"),
+    )
+    return agg.select(
+        "n_nd_truth",
+        "n_nd_cand",
+        "n_nd_hits",
+        micros("n_nd_hits", "n_nd_truth").alias("nd_recall_micros"),
+        micros("n_nd_hits", "n_nd_cand").alias("nd_precision_micros"),
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -705,12 +705,19 @@ FROM nfc_parity np"""
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.
 
-_BAND_SELECTS = "\n  UNION ALL\n".join(
-    f"""  SELECT id, sig, {b} AS band_idx,
+def _band_selects(src: str = "sigs") -> str:
+    """LSH band rows from a ``(id, sig)`` CTE — parameterized on the
+    source name so MINHASH_LSH_SQL and the dedup_exact recall fold share
+    one banding spelling (r13)."""
+    return "\n  UNION ALL\n".join(
+        f"""  SELECT id, sig, {b} AS band_idx,
     md5(array_to_string(list_slice(sig, {b * D.BAND_ROWS + 1}, {b * D.BAND_ROWS + D.BAND_ROWS}), '|')) AS band_hash
-  FROM sigs"""
-    for b in range(D.N_BANDS)
-)
+  FROM {src}"""
+        for b in range(D.N_BANDS)
+    )
+
+
+_BAND_SELECTS = _band_selects()
 
 MINHASH_LSH_SQL = f"""WITH {DOCS_AUG_CTE},
 shs AS MATERIALIZED (
@@ -2031,14 +2038,53 @@ _NGRAM_AUTO_PARITY_CTE = f"""ng_auto_parity AS (
   FROM ng_pairs
 )"""
 
+#: r13 fold: MinHash-LSH candidate recall/precision vs the exact n-gram
+#: Jaccard truth set (operators/dedup.near_dup_recall_from_shingles) —
+#: banding replayed via the shared _band_selects spelling, truth = the
+#: ng_pairs CTE already in this query. The micros divide exact BIGINTs
+#: in the Spark operation order (CAST(h AS DOUBLE)/den*1e6).
+_LSH_RECALL_CTES = f"""mh_sigs AS MATERIALIZED (
+  SELECT id, {minhash_signature_from('sh')} AS sig FROM ng_shs0
+  WHERE len(sh) > 0
+),
+mh_banded AS MATERIALIZED (
+{_band_selects('mh_sigs')}
+),
+mh_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mh_banded a JOIN mh_banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.id < b.id
+),
+mh_counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ng_pairs) AS n_nd_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM mh_cand) AS n_nd_cand,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT id_a, id_b FROM mh_cand
+                INTERSECT SELECT id_a, id_b FROM ng_pairs)) AS n_nd_hits
+),
+lshr_parity AS (
+  SELECT n_nd_truth, n_nd_cand, n_nd_hits,
+         CASE WHEN n_nd_truth > 0 THEN CAST(round(
+           CAST(n_nd_hits AS DOUBLE) / n_nd_truth * 1000000) AS BIGINT) END
+           AS nd_recall_micros,
+         CASE WHEN n_nd_cand > 0 THEN CAST(round(
+           CAST(n_nd_hits AS DOUBLE) / n_nd_cand * 1000000) AS BIGINT) END
+           AS nd_precision_micros
+  FROM mh_counts
+)"""
+
 DEDUP_EXACT_SQL = _splice(
     _splice(
         _splice(
             DEDUP_EXACT_BODY_SQL,
             "\nSELECT f.doc_id, f.fingerprint,",
             f",\n{bloom_gate_ctes()},\n{cdc_parity_ctes(src='docs_aug')},\n"
-            f"{_ESUB_PARITY_CTES},\n{_NGRAM_AUTO_PARITY_CTE}\n"
-            "SELECT f.doc_id, f.fingerprint,",
+            f"{_ESUB_PARITY_CTES},\n{_NGRAM_AUTO_PARITY_CTE},\n"
+            f"{_LSH_RECALL_CTES}\n"
+            "SELECT f.doc_id, f.fingerprint,\n"
+            "       lr.n_nd_truth, lr.n_nd_cand, lr.n_nd_hits,\n"
+            "       lr.nd_recall_micros, lr.nd_precision_micros,",
         ),
         "bp.n_bloom_fp, bp.bloom_ck",
         "bp.n_bloom_fp, bp.bloom_ck,\n"
@@ -2050,7 +2096,7 @@ DEDUP_EXACT_SQL = _splice(
     "CROSS JOIN bl_parity bp",
     "CROSS JOIN bl_parity bp CROSS JOIN bgate_parity bg"
     " CROSS JOIN cdc_parity cp CROSS JOIN es_parity ep"
-    " CROSS JOIN ng_auto_parity na",
+    " CROSS JOIN ng_auto_parity na CROSS JOIN lshr_parity lr",
 )
 
 

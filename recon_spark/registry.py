@@ -1918,6 +1918,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auto_route", F.lit(probe["route"])
     )
 
+    # round-13 fold: MinHash-LSH candidate RECALL/PRECISION against the
+    # exact n-gram-Jaccard truth set (dedup.near_dup_recall_from_shingles
+    # — the dedup twin of similarity_recall), computed off the SAME
+    # staged shingle frame. Five parity columns ride every row
+    # (n_nd_truth, n_nd_cand, n_nd_hits, nd_recall_micros,
+    # nd_precision_micros); the oracle replays banding, the exact pair
+    # join, the intersection and both micros divisions — so the S-curve
+    # measurement a user would size (n_hashes, n_bands) with is itself
+    # driver-graded.
+    out = out.crossJoin(F.broadcast(DD.near_dup_recall_from_shingles(sh)))
+
     from .operators import spans as SP
 
     aug_rep = aug.repartition(spark.sparkContext.defaultParallelism)
