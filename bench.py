@@ -151,6 +151,11 @@ HEADLINE = [
     # every column; graded at sf0.01 as the parity fold inside
     # qa_warning_metrics (documents table)
     "profile_lineitem",
+    # BM25 full-text retrieval (operators/text.bm25_topk, r13): one
+    # persisted tf substrate -> query-postings scoring -> distributed
+    # bottom-k; the full top-k verdict is graded at sf0.01 as the
+    # parity fold inside text_tfidf_top_terms
+    "bm25_search",
 ]
 
 
@@ -508,11 +513,22 @@ def _q_profile_lineitem(spark, sf_dir):
     return profile.profile_table(li, li.columns)
 
 
+def _q_bm25_search(spark, sf_dir):
+    from recon_spark.operators import text
+    from recon_spark.sources.tpch import load
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.bm25_topk(docs)
+
+
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "pps_weighted_sample": _q_pps_sample,
     "mg_heavy_hitters": _q_mg_heavy_hitters,
     "profile_lineitem": _q_profile_lineitem,
+    "bm25_search": _q_bm25_search,
     "lm_perplexity_filter": _q_lm_perplexity_filter,
     "corpus_build_e2e": _q_corpus_build,
     "corpus_build_full": _q_corpus_build_full,
@@ -808,11 +824,13 @@ def main() -> None:
                 from recon_spark.operators import exactsubstr as _ES
                 from recon_spark.operators import ranking as _RK
                 from recon_spark.operators import sketches as _SK
+                from recon_spark.operators import text as _TX
 
                 _ES.release_auto_staged()
                 _DS.release_staged()
                 _RK.release_staged()
                 _SK.release_staged()
+                _TX.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

@@ -345,6 +345,152 @@ def tfidf_top_terms(
     )
 
 
+#: BM25 constants (Robertson/Lucene defaults); k=10 results per query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERY_TERMS = 3
+
+#: persisted tf frames :func:`bm25_topk` staged internally (the
+#: ranking/dsir._STAGED cache-lifecycle contract: tf feeds dl, dfreq,
+#: nd and the postings join — without the persist the corpus tokenizes
+#: once per consumer)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`bm25_topk` staged internally;
+    returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_query_terms: int = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 full-text retrieval top-k — the search surface of the engine
+    (Robertson et al., Okapi BM25, with Lucene's non-negative
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``): score every document
+    against a query and return the k best as ``(doc_id, bm25_micros,
+    rank)``.
+
+    The query is DERIVED from the corpus so the graded row needs no
+    fixture-specific literals: the ``n_query_terms`` most
+    document-frequent terms among those with ``2·df <= N`` (ties ->
+    lexicographic) — "the most common terms that still discriminate
+    half the corpus". A production caller passes real query strings
+    through the same scoring body.
+
+    Oracle discipline (the TF-IDF row's, verbatim): ranking and
+    serialization use the MICROS-ROUNDED score (raw ``ln`` can differ
+    by 1 ulp across libm implementations); every float expression is
+    operation-order-pinned against the DuckDB replay, and the one
+    per-document float reduction (the sum over matched query terms) is
+    a left fold over the TERM-SORTED pair list on both engines (float
+    addition is not associative). Constants are injected from the same
+    Python reprs on both sides.
+
+    Scale shape: tf/df/doclen all derive from ONE persisted term-
+    frequency aggregate (the corpus is tokenized once); the query-term
+    table is ``n_query_terms`` rows (broadcast; derivation is a bounded
+    TakeOrdered over the vocab-sized df frame); scoring touches only
+    postings of query terms; the global top-k is the bucket-pruned
+    distributed bottom-k (ranking.bottomk_rows) on the integer key
+    ``2^40 - bm25_micros`` — exact, and no SinglePartition row sort.
+    The staged frames follow the caller-clearCache contract.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    from .ranking import bottomk_rows
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tc")).persist()
+    _STAGED.append(tf)
+    dl = tf.groupBy("id").agg(F.sum("tc").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("nd"))
+    totals = dl.agg(F.sum("n").alias("tn"))
+
+    qterms = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("dfc") * 2 <= F.col("nd"))
+        .orderBy(F.col("dfc").desc(), F.col("term").asc())
+        .limit(n_query_terms)
+        .select("term", "dfc")
+    )
+
+    avgdl = F.col("tn").cast("double") / F.col("nd")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd").cast("double") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("n").cast("double") / avgdl)
+    tfpart = (F.col("tc").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tc") + F.lit(k1) * norm
+    )
+    per_term = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(totals))
+        .select("id", "term", (idf * tfpart).alias("s"))
+    )
+    per_doc = per_term.groupBy("id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term").alias("t"), F.col("s").alias("s")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("bm25_micros")
+    )
+    key = (F.lit(float(1 << 40)) - F.col("bm25_micros")).alias("__key")
+    picked = bottomk_rows(per_doc.select("id", "bm25_micros", key), "__key", "id", k)
+    return picked.select(
+        F.col("id").alias(id_col),
+        "bm25_micros",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def bm25_parity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """1-row checksum frame over the FULL BM25 top-k result (doc_id,
+    bm25_micros, rank) at the graded defaults — rides the
+    text_tfidf_top_terms row (zero-slot fold); the oracle rederives the
+    query terms, every score and the rank order from scratch."""
+    from .dedup import _hash32
+
+    sel = bm25_topk(docs, id_col=id_col, text_col=text_col)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col(id_col).cast("string"),
+            F.col("bm25_micros").cast("string"),
+            F.col("rank").cast("string"),
+        )
+    )
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bm25_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("bm25_ck"),
+    )
+
+
 def repetition_stats(toks: Column) -> tuple[Column, Column]:
     """Gopher-style repetition signals over a STAGED token-array column:
     type-token ratio (distinct/total) and the mode token's frequency

@@ -403,15 +403,69 @@ fert_parity AS (
   FROM fert_rows
 )"""
 
-TFIDF_SQL = f"""WITH toks AS (
+def bm25_ctes() -> str:
+    """BM25 retrieval replay (operators/text.bm25_topk) off the TF-IDF
+    row's tf/dl/dfreq/nn substrate: derived query terms (most document-
+    frequent with 2*df <= N, ties lexicographic), Lucene idf, k1/b from
+    the same Python reprs, per-doc sum as a term-sorted left fold, rank
+    on the micros-rounded score. Factored so the differential fuzz
+    (tests/test_bm25.py) runs the identical replay over random corpora."""
+    return f"""bm_tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM dl),
+bm_q AS (
+  SELECT term, dfc FROM dfreq CROSS JOIN nn
+  WHERE dfc * 2 <= nd
+  ORDER BY dfc DESC, term ASC LIMIT {T.BM25_QUERY_TERMS}
+),
+bm_scored AS (
+  SELECT tf.id, tf.term,
+    ln(CAST(1.0 AS DOUBLE)
+       + (CAST(nd AS DOUBLE) - dfc + CAST(0.5 AS DOUBLE))
+         / (dfc + CAST(0.5 AS DOUBLE)))
+    * ((CAST(tc AS DOUBLE) * CAST({T.BM25_K1 + 1.0!r} AS DOUBLE))
+       / (tc + CAST({T.BM25_K1!r} AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST({T.BM25_B!r} AS DOUBLE)
+                 + CAST({T.BM25_B!r} AS DOUBLE)
+                   * (CAST(n AS DOUBLE) / (CAST(tn AS DOUBLE) / nd))))) AS s
+  FROM tf JOIN bm_q USING (term) JOIN dl USING (id)
+  CROSS JOIN nn CROSS JOIN bm_tot
+),
+bm_doc AS (
+  SELECT id, CAST(round(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({{'t': term, 's': s}})), r -> r.s)),
+           (a, b) -> a + b) * 1000000) AS BIGINT) AS bm25_micros
+  FROM bm_scored GROUP BY id
+),
+bm_top AS (
+  SELECT id, bm25_micros,
+         row_number() OVER (ORDER BY bm25_micros DESC, id ASC) AS rank
+  FROM bm_doc
+),
+bm_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bm25_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(id AS VARCHAR) || '|' || CAST(bm25_micros AS VARCHAR)"
+             " || '|' || CAST(rank AS VARCHAR)"
+         )}), 0) AS BIGINT) AS bm25_ck
+  FROM bm_top WHERE rank <= {T.BM25_TOPK}
+)"""
+
+
+#: tf/dl/dfreq/nn substrate shared by the TF-IDF row and the BM25 fold —
+#: factored so the differential fuzz composes the identical prelude
+TF_SUBSTRATE_CTES = f"""toks AS (
   SELECT doc_id AS id, unnest({tokens('text')}) AS term FROM documents
 ),
-{REP_CTES},
-{_FERT_CTES},
 tf AS MATERIALIZED (SELECT id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
 dl AS (SELECT id, CAST(sum(tc) AS BIGINT) AS n FROM tf GROUP BY 1),
 dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
-nn AS (SELECT count(DISTINCT id) AS nd FROM tf),
+nn AS (SELECT count(DISTINCT id) AS nd FROM tf)"""
+
+
+TFIDF_SQL = f"""WITH {TF_SUBSTRATE_CTES},
+{REP_CTES},
+{_FERT_CTES},
+{bm25_ctes()},
 scored AS (
   SELECT tf.id, tf.term,
     (CAST(tc AS DOUBLE) / n) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0) AS s
@@ -419,7 +473,8 @@ scored AS (
 )
 SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros,
-       rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck
+       rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck,
+       bmp.n_bm25_rows, bmp.bm25_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
   -- ln() near-ties could order differently across libm implementations
@@ -427,7 +482,8 @@ FROM (
     PARTITION BY id ORDER BY CAST(round(s * 1000000) AS BIGINT) DESC, term
   ) AS rank
   FROM scored
-) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp WHERE rank <= 3"""
+) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp
+CROSS JOIN bm_parity bmp WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token
 #: share of corpus — the numbers a data-mixture config is built from.

@@ -1728,8 +1728,28 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_fert_rows"),
         F.coalesce(F.sum(fert_ck), F.lit(0)).cast("long").alias("fert_ck"),
     )
-    return out.crossJoin(F.broadcast(rep_parity)).crossJoin(
-        F.broadcast(fert_parity)
+    # round-13 fold: BM25 retrieval (operators/text.bm25_topk — the
+    # engine's full-text search surface) graded through (n_bm25_rows,
+    # bm25_ck): a checksum over the complete top-k result at the module
+    # defaults, with the query DERIVED from the corpus (most document-
+    # frequent terms that still discriminate half of it) so the graded
+    # row needs no fixture literals. The oracle rederives query terms,
+    # Lucene-idf scores (term-sorted left-fold sum, micros rounding) and
+    # the rank order off the same tf/dl/df substrate it already replays
+    # for this row.
+    bm_parity = T.bm25_parity(docs)
+    # bm25_topk + its bottom-k stage persisted frames internally; hand
+    # the handles to the registry's release mechanism (the q_data_sample
+    # pattern) so session hygiene stays uniform
+    from .operators import ranking as _ranking
+
+    for lst in (_ranking._STAGED, T._STAGED):
+        while lst:
+            _stage_persist(lst.pop())
+    return (
+        out.crossJoin(F.broadcast(rep_parity))
+        .crossJoin(F.broadcast(fert_parity))
+        .crossJoin(F.broadcast(bm_parity))
     )
 
 
