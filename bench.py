@@ -824,6 +824,7 @@ def main() -> None:
                 from recon_spark.operators import exactsubstr as _ES
                 from recon_spark.operators import ranking as _RK
                 from recon_spark.operators import sketches as _SK
+                from recon_spark.operators import sampling as _SA
                 from recon_spark.operators import text as _TX
 
                 _ES.release_auto_staged()
@@ -831,6 +832,7 @@ def main() -> None:
                 _RK.release_staged()
                 _SK.release_staged()
                 _TX.release_staged()
+                _SA.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 SPLIT_SALT = "split:v1"
 
+#: persisted base frames :func:`pps_sample` staged internally (the
+#: ranking/dsir._STAGED cache-lifecycle contract: the weighted base
+#: feeds BOTH the Σw aggregate and the bottom-k scan — without the
+#: persist the weight expression, a corpus tokenize in the graded fold,
+#: executes once per consumer, r13 review)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`pps_sample` staged internally;
+    returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 #: uint32 thresholds for the default 90/5/5 split (integer compares only)
 TRAIN_NUM, VAL_NUM, DEN = 90, 5, 100
 _SCALE = 1 << 32
@@ -271,11 +287,18 @@ def pps_sample(
     Rows with null or non-positive weight are excluded (a weight of 0
     must never be drawn; πps needs w > 0).
 
+    Determinism scope: the SELECTION and its rank are per-row functions
+    of (id, weight) — always reproducible. ``p_micros`` additionally
+    divides by the float Σw, which is order-exact only for
+    INTEGER-VALUED weights summing below 2^53 (the graded fold's token
+    counts); fractional weights can wobble its last micro across
+    partitionings while leaving the sample itself unchanged.
+
     Scale shape: the key is a narrow projection riding the scan; the
     top-k is :func:`~.ranking.bottomk_rows` — bucket-pruned two-phase
-    rank, no SinglePartition row sort; Σw is one 1-row aggregate. The
-    staged frame contract is ranking._STAGED (release after the
-    consuming action).
+    rank, no SinglePartition row sort; Σw is one 1-row aggregate off
+    the same persisted base the bottom-k reads (staged in this module's
+    ``_STAGED``; release after the consuming action).
     """
     from .ranking import bottomk_rows
 
@@ -288,7 +311,8 @@ def pps_sample(
             / F.lit(float(_SCALE))
             / w
         ).alias("__key"),
-    )
+    ).persist()
+    _STAGED.append(base)
     tot = base.agg(F.sum("weight").alias("__wsum"))
     picked = bottomk_rows(base, "__key", "id", k)
     return (

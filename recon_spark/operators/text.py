@@ -403,12 +403,17 @@ def bm25_topk(
     table is ``n_query_terms`` rows (broadcast; derivation is a bounded
     TakeOrdered over the vocab-sized df frame); scoring touches only
     postings of query terms; the global top-k is the bucket-pruned
-    distributed bottom-k (ranking.bottomk_rows) on the integer key
-    ``2^40 - bm25_micros`` — exact, and no SinglePartition row sort.
-    The staged frames follow the caller-clearCache contract.
+    distributed bottom-k (ranking.bottomk_rows) on the key
+    ``1 / (1 + bm25_micros)`` — ascending key = descending score, and
+    the reciprocal SPANS log space (bottomk's quantizer is
+    ``floor(log2(key)·scale)``, so an affine key like ``2^40 − micros``
+    would land every row in ONE bucket and re-create the single-task
+    sort, r13 review). Strictly monotone for distinct micros: adjacent
+    reciprocals differ by ~1/m² while a double ulp near 1/m is
+    ~2^-52/m — distinct for any m < 4.5e15. Exact micros ties order by
+    doc id, matching the oracle's (micros DESC, id ASC). The staged
+    frames follow the caller-clearCache contract.
     """
-    from pyspark.sql import DataFrame as _DF  # noqa: F401
-
     from .ranking import bottomk_rows
 
     toks = docs.select(
@@ -460,7 +465,7 @@ def bm25_topk(
         .cast("long")
         .alias("bm25_micros")
     )
-    key = (F.lit(float(1 << 40)) - F.col("bm25_micros")).alias("__key")
+    key = (F.lit(1.0) / (F.lit(1.0) + F.col("bm25_micros"))).alias("__key")
     picked = bottomk_rows(per_doc.select("id", "bm25_micros", key), "__key", "id", k)
     return picked.select(
         F.col("id").alias(id_col),

@@ -1598,10 +1598,12 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # bottomk_rows stages a persisted frame internally; hand it to the
-    # registry's release mechanism so session hygiene stays uniform
-    while _ranking._STAGED:
-        _stage_persist(_ranking._STAGED.pop())
+    # pps_sample + its bottom-k stage persisted frames internally; hand
+    # the handles to the registry's release mechanism so session hygiene
+    # stays uniform
+    for lst in (_ranking._STAGED, sampling._STAGED):
+        while lst:
+            _stage_persist(lst.pop())
     return out
 
 

@@ -22,27 +22,34 @@ def _df(spark, docs):
 
 def test_bm25_ranks_denser_matches_higher(spark):
     """Docs with more query-term mass rank above docs with less, at
-    equal length; non-matching docs never appear."""
-    # query terms derive as the most doc-frequent with 2*df <= N:
-    # 'data' and 'query' appear in 4 of 10 docs, everything else is
-    # either rarer or too common
+    equal length; non-matching docs never appear. Every pad token is
+    UNIQUE to its doc (df=1) so the derived query really is
+    {'data', 'query'} (df=3 each, the most document-frequent terms with
+    2*df <= N=10) — an earlier draft let shared pads (df=4) win the
+    derivation and the ranking asserts degenerated to the id tiebreak
+    (r13 review)."""
     docs = (
         # heavy match: query terms twice each (8 tokens)
-        [(1, "data query data query pad1 pad2 pad3 pad4")]
+        [(1, "data query data query a1 a2 a3 a4")]
         # light match: once each, same length
-        + [(2, "data query pad1 pad2 pad3 pad4 pad5 pad6")]
-        + [(3, "data pad1 pad2 pad3 pad4 pad5 pad6 pad7")]
-        + [(4, "query pad1 pad2 pad3 pad4 pad5 pad6 pad7")]
-        # fillers sharing the too-common pads (df > N/2 for none needed)
+        + [(2, "data query b1 b2 b3 b4 b5 b6")]
+        + [(3, "data c1 c2 c3 c4 c5 c6 c7")]
+        + [(4, "query d1 d2 d3 d4 d5 d6 d7")]
+        # fillers: all-unique junk, df=1 everywhere
         + [(10 + i, f"fill{i} alpha{i} beta{i} gamma{i} delta{i} x{i} y{i} z{i}") for i in range(6)]
     )
     got = T.bm25_topk(_df(spark, docs), n_query_terms=2, k=10).collect()
     ranking.release_staged()
+    T.release_staged()
     by_rank = {r.rank: r.doc_id for r in got}
-    assert by_rank[1] == 1  # densest match first
-    assert set(r.doc_id for r in got) == {1, 2, 3, 4}  # only matching docs
-    # two-term match beats one-term match at equal length
-    assert {by_rank[2]} == {2}
+    micros = {r.doc_id: r.bm25_micros for r in got}
+    assert set(micros) == {1, 2, 3, 4}  # only matching docs
+    assert by_rank[1] == 1  # densest match first, STRICTLY
+    assert micros[1] > micros[2]
+    # two-term match beats one-term match at equal length, strictly
+    assert by_rank[2] == 2 and micros[2] > micros[3]
+    # same df, same tf, same length -> equal scores, id tiebreak
+    assert micros[3] == micros[4] and by_rank[3] == 3 and by_rank[4] == 4
 
 
 def test_bm25_matches_global_window_spelling(spark):
