@@ -395,15 +395,82 @@ prof_parity AS (
 )"""
 
 
+from ..plans.quality import NEAR_MISS_LEV as _NM_LEV  # noqa: E402
+
+#: r13 fold: near-miss reconciliation audit replay (plans/quality.
+#: near_miss_audit): exact-key anti-joins on both sides, ±1-cent band
+#: as an exploded equi-join, unit-cost Levenshtein on the SSNs, and the
+#: three-way reason verdict — the full pair table checksummed.
+NEAR_MISS_CTES = f"""nm_rk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM relius_clean),
+nm_mk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM matrix_clean),
+nm_run AS (
+  SELECT r.plan_id, r.ssn AS ssn_r, r.full_name AS name_r,
+         CAST(round(r.gross_amt * 100) AS BIGINT) AS cents_r
+  FROM relius_clean r ANTI JOIN nm_mk k USING (plan_id, ssn, gross_amt)
+),
+nm_mun AS (
+  SELECT m.plan_id, m.ssn AS ssn_m, m.participant_name AS name_m,
+         CAST(round(m.gross_amt * 100) AS BIGINT) AS cents_m
+  FROM matrix_clean m ANTI JOIN nm_rk k USING (plan_id, ssn, gross_amt)
+),
+nm_plants AS (
+  -- one deterministic matrix-side twin per unmatched relius row
+  -- (md5(ssn) % 3 selects the shape) so all three verdict branches are
+  -- exercised at every SF — the docs_aug planting convention; mirrors
+  -- plans/quality.near_miss_audit(plant_demos=True)
+  SELECT plan_id,
+         CASE WHEN md % 3 = 0 THEN ssn_r
+              ELSE (CASE WHEN substr(ssn_r, 1, 1) = '9' THEN '8' ELSE '9' END)
+                   || substr(ssn_r, 2, 8) END AS ssn_m,
+         CASE WHEN md % 3 = 0 THEN CAST(NULL AS VARCHAR)
+              WHEN md % 3 = 1 THEN name_r
+              ELSE 'planted near miss' END AS name_m,
+         CAST(cents_r + (CASE WHEN md % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cents_m
+  FROM (SELECT *, {_hash32('ssn_r')} AS md FROM nm_run)
+),
+nm_mside AS (
+  SELECT plan_id, ssn_m, name_m, cents_m FROM nm_mun
+  UNION ALL SELECT plan_id, ssn_m, name_m, cents_m FROM nm_plants
+),
+nm_rows AS (
+  SELECT r.plan_id, ssn_r, ssn_m,
+         CAST(levenshtein(ssn_r, ssn_m) AS INT) AS lev,
+         CAST(cents_m - cents_r AS BIGINT) AS diff,
+         coalesce(name_r IS NOT NULL AND name_r = name_m, FALSE) AS name_match,
+         CASE WHEN levenshtein(ssn_r, ssn_m) = 0 THEN 'amount_mismatch'
+              WHEN coalesce(name_r IS NOT NULL AND name_r = name_m, FALSE)
+                THEN 'ssn_typo_name_match'
+              ELSE 'ssn_near_amount_match' END AS reason
+  FROM (SELECT *, unnest([cents_r - 1, cents_r, cents_r + 1]) AS cand
+        FROM nm_run) r
+  JOIN nm_mside m ON r.plan_id = m.plan_id AND r.cand = m.cents_m
+  WHERE levenshtein(ssn_r, ssn_m) <= {_NM_LEV}
+),
+nm_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nearmiss,
+         CAST(COALESCE(SUM({_hash32(
+             "plan_id || '|' || ssn_r || '|' || ssn_m"
+             " || '|' || CAST(lev AS VARCHAR)"
+             " || '|' || CAST(diff AS VARCHAR)"
+             " || '|' || CAST(name_match AS VARCHAR)"
+             " || '|' || reason"
+         )}), 0) AS BIGINT) AS nearmiss_ck
+  FROM nm_rows
+)"""
+
+
 #: V7 — post-normalization warning counters as a (source, metric, n)
 #: frame. Since round 5 the J5 join-coverage numbers ride along as three
 #: more metric rows (engine_a relius_rows_total / matched /
 #: coverage_ratio_micros), folding the standalone COVERAGE_A query.
 #: Since round 13 the table-profiler parity columns (n_prof_rows,
-#: prof_ck — operators/profile.py over the documents table) ride on
-#: every row, the zero-slot fold convention.
+#: prof_ck — operators/profile.py over the documents table) and the
+#: near-miss audit columns (n_nearmiss, nearmiss_ck — plans/quality.
+#: near_miss_audit) ride on every row, the zero-slot fold convention.
 WARNING_METRICS_SQL = f"""{_CLEAN_PRELUDE},
 {profile_parity_ctes()},
+{NEAR_MISS_CTES},
 cov AS (
   SELECT CAST(count(*) AS BIGINT) AS n_left,
          CAST(count(rk.hit) AS BIGINT) AS n_matched
@@ -457,8 +524,9 @@ m AS (
     GROUP BY 1
   ) cnt USING (digit)
 )
-SELECT source, metric, n, pf.n_prof_rows, pf.prof_ck
-FROM m CROSS JOIN prof_parity pf"""
+SELECT source, metric, n, pf.n_prof_rows, pf.prof_ck,
+       nmp.n_nearmiss, nmp.nearmiss_ck
+FROM m CROSS JOIN prof_parity pf CROSS JOIN nm_parity nmp"""
 
 
 # --- stateful streaming oracles ----------------------------------------------

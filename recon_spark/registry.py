@@ -1070,7 +1070,18 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the documents table on plans_sql.PROFILE_COLS (single-sourced);
     the oracle recomputes every stat row from scratch
     (plans_sql.profile_parity_ctes). Hosted on this unbenched row so
-    the certificate costs zero bench wall time."""
+    the certificate costs zero bench wall time.
+
+    Round-13 fold #2: the NEAR-MISS reconciliation audit
+    (plans/quality.near_miss_audit — Engine A's unmatched piles
+    re-joined under relaxed keys: same plan, gross within one cent,
+    SSN Levenshtein <= 2 or exact name match; the "why didn't this row
+    match" question the reference's left_only/right_only categories
+    stop short of) rides as (n_nearmiss, nearmiss_ck): a checksum over
+    the FULL pair table incl. edit distances, cent diffs, name-match
+    flags and the three-way reason verdict — the oracle replays
+    anti-joins, the exploded ±1-cent band join, unit-cost Levenshtein
+    and the verdict CASE (plans_sql.NEAR_MISS_CTES)."""
     from .operators import profile as _profile
 
     t = clean_tables(spark, sf_dir)
@@ -1103,6 +1114,23 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.*")
+    nm = quality.near_miss_audit(t["relius"], t["matrix"], plant_demos=True)
+    nm_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("plan_id"),
+            F.col("ssn_relius"),
+            F.col("ssn_matrix"),
+            F.col("ssn_edit_distance").cast("string"),
+            F.col("amount_diff_cents").cast("string"),
+            F.col("name_match").cast("string"),
+            F.col("reason"),
+        )
+    )
+    nm_parity = nm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nearmiss"),
+        F.coalesce(F.sum(nm_ck), F.lit(0)).cast("long").alias("nearmiss_ck"),
+    )
     return (
         quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
         .unionByName(cov_rows)
@@ -1115,6 +1143,7 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        .crossJoin(F.broadcast(nm_parity))
     )
 
 
