@@ -826,6 +826,7 @@ def main() -> None:
                 from recon_spark.operators import sketches as _SK
                 from recon_spark.operators import sampling as _SA
                 from recon_spark.operators import text as _TX
+                from recon_spark.plans import quality as _QL
 
                 _ES.release_auto_staged()
                 _DS.release_staged()
@@ -833,6 +834,7 @@ def main() -> None:
                 _SK.release_staged()
                 _TX.release_staged()
                 _SA.release_staged()
+                _QL.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

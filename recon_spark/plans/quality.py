@@ -156,6 +156,21 @@ def observe_warnings(df: DataFrame, code_col: str, name: str = "quality") -> tup
 #: SSN edit-distance cap for a "typo" verdict; gross tolerance is ±1 cent
 NEAR_MISS_LEV = 2
 
+#: persisted frames :func:`near_miss_audit` staged internally when
+#: planting (the ranking/dsir._STAGED contract: the relius anti-join
+#: projection feeds BOTH the band explode and the plant builder —
+#: without the persist the anti-join shuffle runs once per consumer)
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`near_miss_audit` staged internally;
+    returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 
 def near_miss_audit(
     relius_clean: DataFrame,
@@ -209,12 +224,18 @@ def near_miss_audit(
         distinct_keys(relius_clean, key), key, "left_anti"
     )
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
-    r = r_un.select(
+    r_base = r_un.select(
         "plan_id",
         F.col("ssn").alias("ssn_r"),
         F.col("full_name").alias("name_r"),
         cents("gross_amt").alias("cents_r"),
-    ).withColumn(
+    )
+    if plant_demos:
+        # two consumers (band explode + plant builder) read this
+        # projection; persist so the relius anti-join shuffle runs once
+        r_base = r_base.persist()
+        _STAGED.append(r_base)
+    r = r_base.withColumn(
         "cand_cents",
         F.explode(
             F.array(
@@ -238,12 +259,7 @@ def near_miss_audit(
             ),
             F.substring("ssn_r", 2, 8),
         )
-        plants = r_un.select(
-            "plan_id",
-            F.col("ssn").alias("ssn_r"),
-            F.col("full_name").alias("name_r"),
-            cents("gross_amt").alias("cents_r"),
-        ).select(
+        plants = r_base.select(
             "plan_id",
             F.when(mod == 0, F.col("ssn_r")).otherwise(swapped).alias("ssn_m"),
             F.when(mod == 0, F.lit(None).cast("string"))

@@ -1115,6 +1115,10 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.*")
     nm = quality.near_miss_audit(t["relius"], t["matrix"], plant_demos=True)
+    # the plant path stages a persisted frame internally; hand it to the
+    # registry's release mechanism so session hygiene stays uniform
+    while quality._STAGED:
+        _stage_persist(quality._STAGED.pop())
     nm_ck = DD._hash32(
         F.concat_ws(
             "|",

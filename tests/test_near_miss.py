@@ -32,9 +32,10 @@ def test_near_miss_verdict_branches(spark):
             ("P1", "222222222", 50.00, "bob brown"),   # amount off by a cent
             ("P1", "333333333", 75.00, "cal cole"),    # ssn typo, name differs
             ("P1", "444444444", 10.00, "dee dunn"),    # exact match -> excluded
-            ("P1", "555555555", 20.00, "ed evans"),    # lev 3 -> no pair
+            ("P1", "555555555", 20.00, "ed evans"),    # far SSN (lev 9) -> no pair
             ("P2", "666666666", 30.00, "fay fox"),     # wrong plan -> no pair
             ("P1", "777777777", 40.00, "gil gray"),    # 2 cents off -> no pair
+            ("P1", "999999999", 60.00, "hal hart"),    # lev exactly 2 -> pair (boundary)
         ],
     )
     m = _matrix(
@@ -47,10 +48,14 @@ def test_near_miss_verdict_branches(spark):
             ("P1", "888888888", 20.00, "ed evans"),
             ("P3", "666666666", 30.00, "fay fox"),
             ("P1", "777777777", 40.02, "gil gray"),
+            ("P1", "999999977", 60.00, "hal hart"),
         ],
     )
     rows = {r_.ssn_relius: r_ for r_ in quality.near_miss_audit(r, m).collect()}
-    assert set(rows) == {"111111111", "222222222", "333333333"}
+    assert set(rows) == {"111111111", "222222222", "333333333", "999999999"}
+    # the <= NEAR_MISS_LEV boundary itself: distance exactly 2 pairs
+    d = rows["999999999"]
+    assert d.ssn_edit_distance == 2 and d.reason == "ssn_typo_name_match"
     a = rows["111111111"]
     assert a.reason == "ssn_typo_name_match" and a.ssn_edit_distance == 1
     assert a.amount_diff_cents == 0 and a.name_match

@@ -40,6 +40,7 @@ def test_bottomk_matches_global_window(spark, n, k):
     }
     got = {(r.id, r.rank) for r in ranking.bottomk_rows(df, "key", "id", k).collect()}
     ranking.release_staged()
+    sampling.release_staged()
     assert got == expected
 
 
@@ -83,6 +84,16 @@ def _docs(spark, n=400):
     )
 
 
+def test_pps_release_staged_contract(spark):
+    """pps_sample persists its weighted base internally; the module's
+    release handle must drain it (and a second call must be a no-op)."""
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit(2.0).alias("w"))
+    sampling.pps_sample(df, "w", 3).collect()
+    ranking.release_staged()
+    assert sampling.release_staged() >= 1
+    assert sampling.release_staged() == 0
+
+
 def test_pps_sample_matches_global_window_spelling(spark):
     """Selection set + rank identical to the naive single-window top-k
     over the same key."""
@@ -112,6 +123,7 @@ def test_pps_sample_matches_global_window_spelling(spark):
         ).collect()
     }
     ranking.release_staged()
+    sampling.release_staged()
     assert got == expected
 
 
@@ -122,6 +134,7 @@ def test_pps_sample_excludes_nonpositive_and_null_weights(spark):
     )
     got = sorted(r.id for r in sampling.pps_sample(df, "w", 10).collect())
     ranking.release_staged()
+    sampling.release_staged()
     assert got == [1, 5]
 
 
@@ -129,6 +142,7 @@ def test_pps_sample_k_exceeds_n_returns_all(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(2.0).alias("w"))
     rows = sampling.pps_sample(df, "w", 100).collect()
     ranking.release_staged()
+    sampling.release_staged()
     assert len(rows) == 5
     # equal weights, k>n: every inclusion probability clamps to 1
     assert all(r.p_micros == 1_000_000 for r in rows)
@@ -147,6 +161,7 @@ def test_pps_inclusion_proportional_to_weight(spark):
         for r in sampling.pps_sample(docs, "w", k, salt=f"pps:t{t}").collect():
             counts[r.id] = counts.get(r.id, 0) + 1
     ranking.release_staged()
+    sampling.release_staged()
     docs.unpersist()
     # group doc inclusion frequency by weight (weights 1..8, 25 docs each)
     by_w = {wt: 0.0 for wt in range(1, 9)}
@@ -173,6 +188,7 @@ def test_pps_key_bit_parity_with_duckdb(spark):
         ).collect()
     }
     ranking.release_staged()
+    sampling.release_staged()
     con = duckdb.connect()
     con.register("documents", docs.toPandas())
     sql = f"WITH {llm_sql.pps_parity_ctes()} SELECT id, w, rank, p_micros FROM pps_rows"
