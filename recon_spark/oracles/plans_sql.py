@@ -269,7 +269,65 @@ z_parity AS (
 )"""
 
 
+from ..streaming.heavy_hitters import MGG_K as _MGG_K  # noqa: E402
+
+
+def mgg_parity_ctes(n_batches: int = 3, k: int = _MGG_K) -> str:
+    """Streaming Misra-Gries heavy-hitter rollup twin
+    (streaming/heavy_hitters.replay_heavy_hitters over the
+    ``event_id % n`` micro-batch split): per batch, exact user counts
+    reduced by the (k+1)-th-largest decrement to a <= k-row fragment +
+    total sentinel; fragments merged with the same Agarwal combine.
+    The decrement is the (k+1)-th largest COUNT VALUE — independent of
+    any tie order, so the whole verdict is deterministic and
+    engine-replayable (unlike the batch sketch, whose partition
+    boundaries are physical; micro-batch boundaries are data)."""
+    return f"""mgg_counts AS (
+  SELECT CAST(event_id % {n_batches} AS INT) AS b,
+         CAST(user_id AS VARCHAR) AS item, count(*) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+mgg_d AS (
+  SELECT b, coalesce(max(CASE WHEN rn = {k + 1} THEN c END), 0) AS d
+  FROM (SELECT b, c, row_number() OVER (PARTITION BY b ORDER BY c DESC) AS rn
+        FROM mgg_counts)
+  GROUP BY b
+),
+mgg_frag AS (
+  SELECT item, CAST(mc.c - d AS BIGINT) AS c
+  FROM mgg_counts mc JOIN mgg_d USING (b) WHERE mc.c > d
+  UNION ALL
+  SELECT NULL, CAST(sum(c) AS BIGINT) FROM mgg_counts GROUP BY b
+),
+mgg_cand AS (
+  SELECT item, sum(c) AS s FROM mgg_frag WHERE item IS NOT NULL GROUP BY 1
+),
+mgg_dd AS (
+  SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN s END), 0) AS d
+  FROM (SELECT s, row_number() OVER (ORDER BY s DESC) AS rn FROM mgg_cand)
+),
+mgg_tot AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_total
+  FROM mgg_frag WHERE item IS NULL
+),
+mgg_rows AS (
+  SELECT item, CAST(s - d AS BIGINT) AS est, n_total,
+         n_total // {k + 1} AS err_bound
+  FROM mgg_cand CROSS JOIN mgg_dd CROSS JOIN mgg_tot WHERE s > d
+),
+mgg_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mgg_rows,
+         CAST(COALESCE(SUM({_hash32(
+             "item || '|' || CAST(est AS VARCHAR)"
+             " || '|' || CAST(n_total AS VARCHAR)"
+             " || '|' || CAST(err_bound AS VARCHAR)"
+         )}), 0) AS BIGINT) AS mgg_ck
+  FROM mgg_rows
+)"""
+
+
 USER_REACH_SQL = f"""WITH {zorder_parity_ctes()},
+{mgg_parity_ctes()},
 ur AS (
   SELECT
     event_type,
@@ -280,8 +338,8 @@ ur AS (
   WHERE ts IS NOT NULL
   GROUP BY event_type
 )
-SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck
-FROM ur CROSS JOIN z_parity zp"""
+SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck, mp.n_mgg_rows, mp.mgg_ck
+FROM ur CROSS JOIN z_parity zp CROSS JOIN mgg_parity mp"""
 
 #: stream-stream interval join replay: with availableNow over complete
 #: data, an INNER stream-stream join emits exactly the batch inequality

@@ -940,7 +940,34 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_zorder_rows"),
         F.coalesce(F.sum(z_ck), F.lit(0)).cast("long").alias("zorder_ck"),
     )
-    return out.crossJoin(F.broadcast(z_parity))
+    # round-13 fold: the streaming Misra-Gries heavy-hitter rollup
+    # (streaming/heavy_hitters.py) replayed IN-PLAN over the
+    # deterministic event_id % 3 micro-batch split: per-batch exact
+    # counts reduced to <= k-row fragments + total sentinels, merged
+    # with the Agarwal combine. Micro-batch boundaries are DATA (not
+    # physical partitions), so the whole verdict — survivors, lower
+    # bounds, n_total, the n/(k+1) band — is engine-replayable; the
+    # oracle recomputes it from scratch (plans_sql.mgg_parity_ctes).
+    # The side-effectful store/stream machinery (parquet fragments,
+    # dynamic-overwrite idempotence, availableNow drain) is
+    # pytest-verified, the exactly-once-sink split.
+    from .streaming import heavy_hitters as _HH
+
+    hh = _HH.replay_heavy_hitters(ev)
+    hh_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.col("item"),
+            F.col("est").cast("string"),
+            F.col("n_total").cast("string"),
+            F.col("err_bound").cast("string"),
+        )
+    )
+    hh_parity = hh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mgg_rows"),
+        F.coalesce(F.sum(hh_ck), F.lit(0)).cast("long").alias("mgg_ck"),
+    )
+    return out.crossJoin(F.broadcast(z_parity)).crossJoin(F.broadcast(hh_parity))
 
 
 @register("streaming_click_purchase_join", plans_sql.STREAM_JOIN_SQL)
