@@ -100,7 +100,8 @@ def test_tfidf_repetition_fold_differential_fuzz(spark):
         docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
         got = sorted(
             (r.doc_id, r.term, r.rank, r.tfidf_micros,
-             r.n_rep_rows, r.rep_ck, r.n_fert_rows, r.fert_ck)
+             r.n_rep_rows, r.rep_ck, r.n_fert_rows, r.fert_ck,
+             r.n_bm25_rows, r.bm25_ck)
             for r in registry.tfidf_with_repetition_parity(docs).collect()
         )
         registry.release_staged_frames()
