@@ -71,6 +71,12 @@ def with_split(
     )
 
 
+#: hash_bucket is uint32; keep the top 8 bits -> 256 coarse buckets per
+#: stratum, a monotonic coarsening of the (hash, id) selection order
+#: (the packing.BUCKET_SHIFT convention)
+_STRAT_SHIFT = 24
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str,
@@ -82,20 +88,73 @@ def stratified_sample(
     """Keep exactly ``ceil(frac * n)`` rows per stratum, chosen by hash
     order (deterministic; ties impossible for unique ids). Quota is
     integer ceil — ``(num*n + den - 1) DIV den`` — so both engines agree
-    without float arithmetic."""
-    b = hash_bucket(id_col, salt)
-    w_cnt = Window.partitionBy(stratum_col)
-    w_rank = Window.partitionBy(stratum_col).orderBy(
-        b.asc(), F.col(id_col).asc()
+    without float arithmetic.
+
+    Scale shape — the two-phase bucket rank of
+    :mod:`recon_spark.operators.ranking`, NOT a per-stratum
+    ``row_number`` window: strata are FEW and HUGE by nature (language,
+    source, quality bin — a 100 TB corpus that is 40% English would
+    funnel 40 TB of rows through the one task ranking the ``en``
+    stratum; the r13 perf_weak). Instead:
+
+    1. coarsen the md5 coin into 256 buckets (``hash >> 24`` — a
+       monotone coarsening of the ``(hash, id)`` order, so bucket ASC
+       truly coarsens the row order); per-``(stratum, bucket)`` counts
+       cumulative-sum WITHIN each stratum — the only windows run over
+       the bucket-count frame (|strata| x 256 rows, metadata-sized),
+       never over rows, and they are stratum-partitioned (no
+       SinglePartition exchange anywhere);
+    2. the per-stratum total (and hence the exact ceil quota) falls out
+       of the same bucket frame; buckets whose offset already meets the
+       quota are pruned before any row-level work;
+    3. rows rank inside ``Window.partitionBy(stratum, bucket)`` — task
+       size is ~1/256 of the stratum regardless of how dominant the
+       stratum is; global per-stratum rank = bucket offset +
+       within-bucket row_number.
+
+    Value-identical to the per-stratum-window spelling (asserted in
+    tests/test_sampling.py, incl. a single-stratum corpus) — the DuckDB
+    oracle keeps the plain window SQL. The derived frame is consumed
+    twice (bucket counts + the row join), so it is persisted here and
+    the handle appended to ``_STAGED``; call :func:`release_staged`
+    after the consuming action (the registry row drains it into
+    ``_stage_persist``).
+    """
+    rows = docs.withColumn("__hb", hash_bucket(id_col, salt)).withColumn(
+        "__bk", F.shiftright("__hb", _STRAT_SHIFT)
+    ).persist()
+    _STAGED.append(rows)
+
+    counts = rows.groupBy(stratum_col, "__bk").agg(
+        F.count(F.lit(1)).alias("__bn")
     )
-    quota = F.expr(
-        f"({frac_num} * __cnt + {frac_den} - 1) DIV {frac_den}"
+    w_cum = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("__bk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(stratum_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        stratum_col,
+        "__bk",
+        (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off"),
+        F.sum("__bn").over(w_tot).alias("__cnt"),
+    )
+    quota = F.expr(f"({frac_num} * __cnt + {frac_den} - 1) DIV {frac_den}")
+    cand = offsets.withColumn("__quota", quota).filter(
+        F.col("__off") < F.col("__quota")
+    )
+
+    w_in = Window.partitionBy(stratum_col, "__bk").orderBy(
+        F.col("__hb").asc(), F.col(id_col).asc()
     )
     return (
-        docs.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .filter(F.col("__rn") <= quota)
-        .drop("__cnt", "__rn")
+        rows.join(F.broadcast(cand), [stratum_col, "__bk"])
+        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__hb", "__bk", "__off", "__cnt", "__quota", "__rn")
     )
 
 

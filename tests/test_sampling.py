@@ -36,6 +36,69 @@ def test_stratified_sample_exact_quota(spark):
     assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
 
 
+def test_stratified_sample_matches_window_spelling(spark):
+    """The two-phase (stratum, bucket) rank must be value-identical to
+    the obvious per-stratum-window spelling — for several quota
+    fractions including keep-everything, and with strata of very
+    different sizes (the dominant-stratum case the distribution exists
+    for)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (i, "en" if i % 10 < 7 else ("fr" if i % 10 < 9 else "de"))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    b = sampling.hash_bucket("doc_id", "sample:v1")
+    for num, den in ((1, 10), (3, 7), (1, 1)):
+        got = sorted(
+            (r.doc_id, r.lang)
+            for r in sampling.stratified_sample(docs, "lang", num, den).collect()
+        )
+        w_cnt = Window.partitionBy("lang")
+        w_rank = Window.partitionBy("lang").orderBy(b.asc(), F.col("doc_id").asc())
+        want = sorted(
+            (r.doc_id, r.lang)
+            for r in docs.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+            .withColumn("__rn", F.row_number().over(w_rank))
+            .filter(F.col("__rn") <= F.expr(f"({num} * __cnt + {den} - 1) DIV {den}"))
+            .collect()
+        )
+        assert got == want, (num, den)
+    spark.catalog.clearCache()
+
+
+def test_stratified_sample_single_stratum_spreads_buckets(spark):
+    """One dominant stratum (the 40%-English-at-100TB shape) must not
+    rank in one task: the quota is still exact, the rows genuinely
+    occupy many coarse hash buckets, and the row-level window is
+    partitioned by (stratum, bucket) — never the bare stratum."""
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    out = sampling.stratified_sample(docs, "lang", 1, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    row_windows = [
+        l for l in plan.splitlines() if "Window" in l and "__hb" in l
+    ]
+    assert row_windows, "row-level window missing from plan"
+    for l in row_windows:
+        assert "SinglePartition" not in l
+        assert "__bk" in l  # partitioned by (stratum, bucket)
+    assert out.count() == (2000 + 2) // 3
+    nbk = (
+        docs.select(
+            F.shiftright(
+                sampling.hash_bucket("doc_id", "sample:v1"), sampling._STRAT_SHIFT
+            ).alias("bk")
+        )
+        .distinct()
+        .count()
+    )
+    assert nbk > 100  # 2000 uniform hashes really spread over ~256 buckets
+    spark.catalog.clearCache()
+
+
 def test_contamination_check_flags_shared_shingles(spark):
     """A test-split doc that shares a 5-shingle with a train doc is
     flagged; unrelated test docs are not."""
