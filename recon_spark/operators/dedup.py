@@ -40,17 +40,52 @@ SIMHASH_BITS = 32
 
 
 def exact_dedup(
-    df: DataFrame, key: Column, order_cols: list[str], id_col: str = "doc_id"
+    df: DataFrame,
+    key: Column,
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    hot_safe: bool = True,
 ) -> DataFrame:
-    """Keep one row per ``key``; deterministic winner via ``order_cols``.
+    """Keep one row per ``key``; deterministic winner via ``order_cols``
+    (which must be a TOTAL order within each key group — the callers
+    pass the unique row id — else all tied winners survive under the
+    default form).
 
     Generalization of the cleaners' D1 dedup to arbitrary content keys.
-    """
-    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+
+    ``hot_safe=True`` (default, r13 advice) computes the winner via a
+    ``groupBy(key).agg(min_by(order, order))`` + equi-join instead of a
+    per-key ordered ``row_number`` window: web corpora routinely carry
+    duplicate clusters of 10^6-10^7 copies (empty documents, boilerplate
+    pages), and an ordered window serializes each cluster through one
+    task, while the aggregate form is map-side combining (partial min
+    per input partition) and the join back is a plain equi-join — the
+    one shape AQE's skew-join splitting handles. Same remedy as
+    spans.span_dedup_verdicts(hot_safe=True) (spans.py:150).
+    ``hot_safe=False`` keeps the textbook window spelling as the tested
+    twin (value-parity asserted in tests/test_llm_ops.py)."""
+    if not hot_safe:
+        w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    withk = df.withColumn("__k", key).withColumn(
+        "__o", F.struct(*[F.col(c) for c in order_cols])
+    )
+    # null-safe equi-join (still a plain shuffle-hash join key): a NULL
+    # content key forms one group under the window spelling, so the
+    # aggregate twin must not silently drop it the way `=` would
+    first = (
+        withk.groupBy("__k")
+        .agg(F.min_by("__o", "__o").alias("__f"))
+        .withColumnRenamed("__k", "__k2")
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        withk.join(first, F.col("__k").eqNullSafe(F.col("__k2")))
+        .filter(F.col("__o") == F.col("__f"))
+        .drop("__k", "__k2", "__o", "__f")
     )
 
 

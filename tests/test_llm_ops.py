@@ -100,6 +100,30 @@ def test_exact_dedup_keeps_lowest_id(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
 
 
+def test_exact_dedup_hot_safe_matches_window_twin(spark):
+    """The hot-cluster-safe min_by+join form (default) must be
+    value-identical to the textbook row_number window spelling —
+    including a hot duplicate cluster, a NULL content key group (the
+    window treats NULL as one group; a plain `=` join would drop it),
+    and untouched unique rows."""
+    rows = (
+        [(i, "boilerplate page") for i in range(100, 200)]  # hot cluster
+        + [(1, "unique one"), (2, "unique two"), (7, None), (5, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "fp", F.when(F.col("text").isNotNull(), T.fingerprint("text"))
+    )
+    got = sorted(
+        (r.doc_id, r.text) for r in DD.exact_dedup(df, F.col("fp"), ["doc_id"]).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.text)
+        for r in DD.exact_dedup(df, F.col("fp"), ["doc_id"], hot_safe=False).collect()
+    )
+    assert got == want
+    assert [i for i, _ in got] == [1, 2, 5, 100]
+
+
 def test_minhash_salts_are_distinct(spark):
     """Regression guard: each signature slot uses a different salt, so a
     multi-shingle doc must NOT produce 12 identical hash values."""
