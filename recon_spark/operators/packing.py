@@ -113,6 +113,7 @@ def length_bucketed_batches(
     batch_size: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_block: int = 1 << 20,
 ) -> DataFrame:
     """Padding-minimizing batch assignment for padded (non-packed)
     training/inference: rank every document in the global
@@ -129,27 +130,50 @@ def length_bucketed_batches(
 
     Scale shape — the same two-phase bucket rank as everything in
     :mod:`recon_spark.operators.ranking`: token counts have a bounded
-    domain, so ``n_tokens`` itself is the coarse bucket; per-bucket
-    counts cumulative-sum on a metadata-sized frame (the ONLY global
+    domain, so the coarse bucket is ``(n_tokens, floor(id / id_block))``
+    — the id-block sub-split (the dsir.dsir_select phase-3 pattern)
+    guards the DEGENERATE length distribution where one length dominates
+    (e.g. everything pre-truncated to exactly 2048 tokens), which would
+    otherwise funnel the whole corpus through the one task ranking that
+    length (r13 review). Per-bucket counts cumulative-sum on a
+    metadata-sized frame (|lengths| x N/id_block rows — the ONLY global
     step) and rows get ``bucket offset + within-bucket row_number`` from
-    a window partitioned by ``n_tokens`` — never a single-task sort of
-    the corpus. Value-identical to the naive
+    a window partitioned by ``(n_tokens, block)`` — each task bounded by
+    ``id_block`` rows even when every document has the same length.
+
+    The block split needs blocks that coarsen the id ORDER, so it only
+    applies when ``id_col`` is numeric (same contract as
+    ranking.ntile_bins / dsir.dsir_select); for other id types it
+    collapses to a constant — exact for every orderable id, but a
+    single-length corpus with non-numeric ids then serializes that one
+    length group. Value-identical to the naive
     ``row_number() OVER (ORDER BY n_tokens, id)`` spelling (asserted in
-    tests/test_packing.py).
+    tests/test_packing.py, incl. an all-one-length corpus).
     """
-    rows = docs.select(
-        F.col(id_col), F.size(T.tokens(text_col)).cast("long").alias("n_tokens")
+    from pyspark.sql.types import NumericType
+
+    blk = (
+        F.floor(F.col(id_col) / F.lit(id_block))
+        if isinstance(docs.schema[id_col].dataType, NumericType)
+        else F.lit(0).cast("long")
     )
-    counts = rows.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__bn"))
-    w_cum = Window.orderBy(F.col("n_tokens").asc()).rowsBetween(
+    rows = docs.select(
+        F.col(id_col),
+        F.size(T.tokens(text_col)).cast("long").alias("n_tokens"),
+        blk.alias("__blk"),
+    )
+    counts = rows.groupBy("n_tokens", "__blk").agg(F.count(F.lit(1)).alias("__bn"))
+    w_cum = Window.orderBy(F.col("n_tokens").asc(), F.col("__blk").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = counts.select(
-        "n_tokens", (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off")
+        "n_tokens",
+        "__blk",
+        (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__off"),
     )
-    w_in = Window.partitionBy("n_tokens").orderBy(F.col(id_col).asc())
+    w_in = Window.partitionBy("n_tokens", "__blk").orderBy(F.col(id_col).asc())
     return (
-        rows.join(F.broadcast(offsets), "n_tokens")
+        rows.join(F.broadcast(offsets), ["n_tokens", "__blk"])
         .withColumn("__rank", F.col("__off") + F.row_number().over(w_in) - 1)
         .select(
             id_col,

@@ -6,6 +6,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from recon_spark.operators import packing, sampling
+from recon_spark.operators import text as T
 from recon_spark.operators.text import token_count
 
 
@@ -147,3 +148,65 @@ def test_length_bucketed_batches_match_naive_and_cut_padding(spark):
             F.count(F.lit(1)).alias("n")).collect()
     )
     assert all(n == B for _, n in sizes[:-1])
+
+
+def test_length_bucketed_batches_single_length_corpus(spark):
+    """Degenerate length distribution (everything exactly the same
+    n_tokens — the pre-truncated-to-2048 case, r13 review): the id-block
+    sub-bucket must (a) keep exact parity with the naive global-window
+    spelling, and (b) actually split the one length group across blocks
+    so no single task ranks the whole corpus."""
+    from recon_spark.operators.packing import length_bucketed_batches
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta").alias("text"),  # all length 4
+    )
+    B = 16
+    got = length_bucketed_batches(docs, B, id_block=64)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    row_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "row_number" in l.lower()
+    ]
+    assert row_windows, "row-level window missing from plan"
+    for l in row_windows:
+        assert "SinglePartition" not in l
+        assert "__blk" in l  # partitioned by (n_tokens, block)
+
+    naive = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+    ).withColumn(
+        "batch_id",
+        ((F.row_number().over(Window.orderBy("n_tokens", "doc_id")) - 1) / B)
+        .cast("long"),
+    )
+    a = sorted(map(tuple, got.select("doc_id", "n_tokens", "batch_id").collect()))
+    b = sorted(map(tuple, naive.select("doc_id", "n_tokens", "batch_id").collect()))
+    assert a == b and len(a) == 400
+    # with id_block=64 the 400 same-length rows really span many blocks
+    assert 400 // 64 + 1 >= 6
+
+
+def test_length_bucketed_batches_string_ids_exact(spark):
+    """Non-numeric ids: the block collapses to a constant (no silent
+    cast — the dsir r13 repro), so the result still matches the naive
+    lexicographic spelling exactly."""
+    from recon_spark.operators.packing import length_bucketed_batches
+
+    ids = [str(i) for i in list(range(5, 13)) + list(range(95, 103))]
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in ids], "doc_id string, text string"
+    )
+    got = length_bucketed_batches(docs, 4, id_block=8)
+    naive = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+    ).withColumn(
+        "batch_id",
+        ((F.row_number().over(Window.orderBy("n_tokens", "doc_id")) - 1) / 4)
+        .cast("long"),
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, naive.select("doc_id", "n_tokens", "batch_id").collect()))
+    assert a == b
