@@ -820,6 +820,7 @@ def main() -> None:
                 # drop the handles ExactSubstr's default path tracked
                 # for its internally-created staged frame (ADVICE r11);
                 # the data blocks are already gone via clearCache
+                from recon_spark.operators import dedup as _DD
                 from recon_spark.operators import dsir as _DS
                 from recon_spark.operators import exactsubstr as _ES
                 from recon_spark.operators import ranking as _RK
@@ -827,14 +828,17 @@ def main() -> None:
                 from recon_spark.operators import sampling as _SA
                 from recon_spark.operators import text as _TX
                 from recon_spark.plans import quality as _QL
+                from recon_spark.streaming import heavy_hitters as _HH
 
                 _ES.release_auto_staged()
+                _DD.release_staged()
                 _DS.release_staged()
                 _RK.release_staged()
                 _SK.release_staged()
                 _TX.release_staged()
                 _SA.release_staged()
                 _QL.release_staged()
+                _HH.release_staged()
         lap_times.append(lt)
         lap_loads.append(la)
         lap_exts.append(le)

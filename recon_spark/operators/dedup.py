@@ -38,6 +38,21 @@ N_BANDS = 4  # 4 bands x 3 rows
 BAND_ROWS = N_MINHASH // N_BANDS
 SIMHASH_BITS = 32
 
+#: persisted frames :func:`near_dup_recall_from_shingles` staged
+#: internally (the ranking/sampling lifecycle contract, ADVICE r13):
+#: long-lived sessions that avoid a blanket clearCache can release
+#: precisely via :func:`release_staged`
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame this module staged internally; returns how
+    many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 
 def exact_dedup(
     df: DataFrame,
@@ -481,10 +496,14 @@ def near_dup_recall_from_shingles(
     rows = n_hashes // n_bands
     # both sides of the band self-join read this frame: without the
     # persist the 12-md5-per-shingle signature pass runs twice (the
-    # minhash_lsh_candidates precedent; lifecycle = caller's clearCache)
+    # minhash_lsh_candidates precedent); staged in this module's
+    # _STAGED so callers can release it precisely after the consuming
+    # action (registry drains into _stage_persist, bench's release
+    # hook calls release_staged — ADVICE r13)
     banded = sigs.select(
         "id", F.explode(band_hashes(F.col("sig"), n_bands, rows)).alias("b")
     ).select("id", "b.band_idx", "b.band_hash").persist()
+    _STAGED.append(banded)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_hash"])

@@ -967,6 +967,13 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_mgg_rows"),
         F.coalesce(F.sum(hh_ck), F.lit(0)).cast("long").alias("mgg_ck"),
     )
+    # the replay staged per-batch count frames + the merge candidate
+    # frame internally (each feeds both its bounded collects and the
+    # returned lazy plan); hand the handles to the registry's release
+    # mechanism so they stay cached through the consuming action
+    # (ADVICE r13)
+    while _HH._STAGED:
+        _stage_persist(_HH._STAGED.pop())
     return out.crossJoin(F.broadcast(z_parity)).crossJoin(F.broadcast(hh_parity))
 
 
@@ -2010,6 +2017,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measurement a user would size (n_hashes, n_bands) with is itself
     # driver-graded.
     out = out.crossJoin(F.broadcast(DD.near_dup_recall_from_shingles(sh)))
+    # the recall evaluator persisted its banded frame internally; hand
+    # the handle to the registry's release mechanism (ADVICE r13)
+    while DD._STAGED:
+        _stage_persist(DD._STAGED.pop())
 
     from .operators import spans as SP
 

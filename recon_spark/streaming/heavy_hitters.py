@@ -60,6 +60,26 @@ MGG_K = 64
 
 FRAGMENT_SCHEMA = "item string, c long, __batch_id long"
 
+#: persisted count/candidate frames staged by :func:`mg_batch_fragment`
+#: / :func:`merge_fragments` (the ranking/sampling lifecycle contract,
+#: ADVICE r13): each frame feeds BOTH the eager bounded collects (the
+#: (k+1)-th threshold, the total) and the returned LAZY plan — an
+#: immediate unpersist after the collects would recompute the count
+#: aggregate at the consuming action. The registry fold drains this
+#: into _stage_persist; bench's release hook and the foreachBatch
+#: writer (whose write IS the consuming action) call
+#: :func:`release_staged`.
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame this module staged internally; returns how
+    many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 
 def _kth_threshold(cand: DataFrame, count_col: str, k: int) -> int:
     """The (k+1)-th largest counter (0 when <= k candidates): the MG
@@ -87,15 +107,14 @@ def mg_batch_fragment(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    _STAGED.append(counts)
     d = _kth_threshold(counts, "c", k)
     tot = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n")).collect()[0].n
     frag = counts.filter(F.col("c") > d).select(
         "item", (F.col("c") - F.lit(d)).cast("long").alias("c")
     )
     sentinel = spark.createDataFrame([(None, int(tot))], "item string, c long")
-    out = frag.unionByName(sentinel)
-    counts.unpersist()
-    return out
+    return frag.unionByName(sentinel)
 
 
 def heavy_hitters_writer(
@@ -113,6 +132,8 @@ def heavy_hitters_writer(
             .partitionBy("__batch_id")
             .parquet(store_dir)
         )
+        # the write above is this batch's consuming action
+        release_staged()
 
     return apply_batch
 
@@ -128,11 +149,12 @@ def merge_fragments(frags: DataFrame, k: int = MGG_K) -> DataFrame:
         .agg(F.sum("c").alias("s"))
         .persist()
     )
+    _STAGED.append(cand)
     d = _kth_threshold(cand, "s", k)
     n_total = frags.filter(F.col("item").isNull()).agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
     )
-    out = (
+    return (
         cand.filter(F.col("s") > d)
         .crossJoin(F.broadcast(n_total))
         .select(
@@ -142,8 +164,6 @@ def merge_fragments(frags: DataFrame, k: int = MGG_K) -> DataFrame:
             F.expr(f"n_total DIV {k + 1}").alias("err_bound"),
         )
     )
-    cand.unpersist()
-    return out
 
 
 def read_heavy_hitters(
