@@ -122,7 +122,69 @@ def _matrix_select(tax_code_1: str, txn_id: str, src: int) -> str:
     FROM oc"""
 
 
-FIXTURE_CTES = f"""oc AS (
+# organic near-miss twins (spec.NEAR_MISS_MOD; VERDICT r13 #7): the
+# matrix-side one-field-off row per o % 35 == 34 order, mirroring
+# sources/fixtures.matrix_nearmiss_raw expression-for-expression
+_NM_WHERE = f"({O}) % {spec.NEAR_MISS_MOD} = {spec.NEAR_MISS_REM}"
+_NM_SSN = (
+    f"(CASE WHEN ({O}) % 3 = 0 THEN {SSN_RAW}"
+    f" ELSE '9' || substr({SSN9}, 2, 8) END)"
+)
+_NM_NAME = (
+    f"(CASE WHEN ({O}) % 3 = 1 THEN {PARTICIPANT_NAME}"
+    f" WHEN ({O}) % 3 = 2 THEN {sql.lit(spec.NEAR_MISS_FOREIGN_NAME)} END)"
+)
+_NM_GROSS = (
+    f"(CASE WHEN ({O}) % 3 = 0 THEN (floor(o_totalprice * 100) + 1) / 100"
+    f" ELSE {GROSS} END)"
+)
+
+
+def _matrix_nearmiss_select() -> str:
+    return f"""SELECT
+      {MATRIX_ACCOUNT} AS "Matrix Account",
+      {PLAN_ID} AS "Client Account",
+      {_NM_SSN} AS "Participant SSN",
+      {_NM_NAME} AS "Participant Name",
+      {STATE} AS "Participant State",
+      {_NM_GROSS} AS "Gross Amount",
+      CAST({TXN_DATE} AS VARCHAR) AS "Transaction Date",
+      {TXN_METHOD} AS "Transaction Type",
+      {sql.pick(O, spec.TAX_CODES_1)} AS "Tax Code",
+      {sql.pick(O, spec.TAX_CODES_2)} AS "Tax Code 2",
+      {sql.pick(O, spec.TAX_FORMS)} AS "Tax Form",
+      {sql.pick(O, spec.FED_TAXING_METHODS)} AS "Federal Taxing Method",
+      {sql.pick(O, ["Rollover", "Cash", "Roth"])} AS "Distribution Type",
+      {TRANSACTION_ID} AS "Transaction Id",
+      {FED_TAXABLE} AS "Fed Taxable Amount",
+      {RIC_YEAR} AS "Roth Initial Contribution Year",
+      CAST(2 AS BIGINT) AS src_order,
+      CAST({O} AS BIGINT) AS src_seq
+    FROM oc"""
+
+
+def fixture_ctes(nearmiss: bool = False) -> str:
+    """The raw-fixture CTE block; ``nearmiss=True`` appends the organic
+    near-miss arms (one relius row + one one-field-off matrix twin per
+    o % 35 == 34 order — orders absent from both base exports, so every
+    base row is byte-identical to the default rendering)."""
+    r_nm = (
+        f"""
+  UNION ALL
+  {_relius_select(sql.pick(O, spec.DIST_CODES_1), sql.pick(O, spec.DIST_NAMES), 2)}
+  WHERE {_NM_WHERE}"""
+        if nearmiss
+        else ""
+    )
+    m_nm = (
+        f"""
+  UNION ALL
+  {_matrix_nearmiss_select()}
+  WHERE {_NM_WHERE}"""
+        if nearmiss
+        else ""
+    )
+    return f"""oc AS (
   SELECT o_orderkey AS o, c_custkey AS k, o_totalprice, o_orderdate
   FROM orders JOIN customer ON o_custkey = c_custkey
 ),
@@ -131,14 +193,14 @@ relius_raw AS (
   WHERE ({O}) % 5 <> 4
   UNION ALL
   {_relius_select("'1'", "'Rollover'", 1)}
-  WHERE ({O}) % 5 <> 4 AND ({O}) % 50 = 0
+  WHERE ({O}) % 5 <> 4 AND ({O}) % 50 = 0{r_nm}
 ),
 matrix_raw AS (
   {_matrix_select(sql.pick(O, spec.TAX_CODES_1), TRANSACTION_ID, 0)}
   WHERE ({O}) % 7 <> 6
   UNION ALL
   {_matrix_select("'1'", TXN_ID_BASE + " || '9'", 1)}
-  WHERE ({O}) % 7 <> 6 AND ({O}) % 60 = 0
+  WHERE ({O}) % 7 <> 6 AND ({O}) % 60 = 0{m_nm}
 ),
 cust AS (SELECT c_custkey AS k FROM customer),
 demo_raw AS (
@@ -161,3 +223,8 @@ basis_raw AS (
          CAST(1 AS BIGINT), CAST({K} AS BIGINT)
   FROM cust WHERE ({K}) % 10 IN (3, 4, 5) AND ({K}) % 3 <> 2 AND ({K}) % 12 = 0
 )"""
+
+
+#: default rendering (no near-miss arms) — byte-identical to the
+#: pre-r14 constant; every graded oracle composes this one
+FIXTURE_CTES = fixture_ctes()

@@ -455,23 +455,15 @@ prof_parity AS (
 
 from ..plans.quality import NEAR_MISS_LEV as _NM_LEV  # noqa: E402
 
-#: r13 fold: near-miss reconciliation audit replay (plans/quality.
-#: near_miss_audit): exact-key anti-joins on both sides, ±1-cent band
-#: as an exploded equi-join, unit-cost Levenshtein on the SSNs, and the
-#: three-way reason verdict — the full pair table checksummed.
-NEAR_MISS_CTES = f"""nm_rk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM relius_clean),
-nm_mk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM matrix_clean),
-nm_run AS (
-  SELECT r.plan_id, r.ssn AS ssn_r, r.full_name AS name_r,
-         CAST(round(r.gross_amt * 100) AS BIGINT) AS cents_r
-  FROM relius_clean r ANTI JOIN nm_mk k USING (plan_id, ssn, gross_amt)
-),
-nm_mun AS (
-  SELECT m.plan_id, m.ssn AS ssn_m, m.participant_name AS name_m,
-         CAST(round(m.gross_amt * 100) AS BIGINT) AS cents_m
-  FROM matrix_clean m ANTI JOIN nm_rk k USING (plan_id, ssn, gross_amt)
-),
-nm_plants AS (
+def near_miss_ctes(plant: bool = True) -> str:
+    """Near-miss audit replay, parameterized over the planting shim:
+    ``plant=True`` renders the graded NEAR_MISS_CTES verbatim (the
+    docs_aug planting convention — the DEFAULT fixture has no organic
+    near-misses); ``plant=False`` audits the matrix side as-is, for the
+    r14 organic near-miss fixture variant
+    (fixtures_sql.fixture_ctes(nearmiss=True), tests/test_near_miss.py).
+    """
+    plants = f"""nm_plants AS (
   -- one deterministic matrix-side twin per unmatched relius row
   -- (md5(ssn) % 3 selects the shape) so all three verdict branches are
   -- exercised at every SF — the docs_aug planting convention; mirrors
@@ -490,7 +482,23 @@ nm_plants AS (
 nm_mside AS (
   SELECT plan_id, ssn_m, name_m, cents_m FROM nm_mun
   UNION ALL SELECT plan_id, ssn_m, name_m, cents_m FROM nm_plants
+),"""
+    no_plants = """nm_mside AS (
+  SELECT plan_id, ssn_m, name_m, cents_m FROM nm_mun
+),"""
+    return f"""nm_rk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM relius_clean),
+nm_mk AS (SELECT DISTINCT plan_id, ssn, gross_amt FROM matrix_clean),
+nm_run AS (
+  SELECT r.plan_id, r.ssn AS ssn_r, r.full_name AS name_r,
+         CAST(round(r.gross_amt * 100) AS BIGINT) AS cents_r
+  FROM relius_clean r ANTI JOIN nm_mk k USING (plan_id, ssn, gross_amt)
 ),
+nm_mun AS (
+  SELECT m.plan_id, m.ssn AS ssn_m, m.participant_name AS name_m,
+         CAST(round(m.gross_amt * 100) AS BIGINT) AS cents_m
+  FROM matrix_clean m ANTI JOIN nm_rk k USING (plan_id, ssn, gross_amt)
+),
+{plants if plant else no_plants}
 nm_rows AS (
   SELECT r.plan_id, ssn_r, ssn_m,
          CAST(levenshtein(ssn_r, ssn_m) AS INT) AS lev,
@@ -516,6 +524,13 @@ nm_parity AS (
          )}), 0) AS BIGINT) AS nearmiss_ck
   FROM nm_rows
 )"""
+
+
+#: r13 fold: near-miss reconciliation audit replay (plans/quality.
+#: near_miss_audit): exact-key anti-joins on both sides, ±1-cent band
+#: as an exploded equi-join, unit-cost Levenshtein on the SSNs, and the
+#: three-way reason verdict — the full pair table checksummed.
+NEAR_MISS_CTES = near_miss_ctes(plant=True)
 
 
 #: V7 — post-normalization warning counters as a (source, metric, n)

@@ -372,6 +372,83 @@ def roth_basis_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(dups)
 
 
+def _nearmiss_oc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = F.col("o_orderkey")
+    return _orders_customer(spark, sf_dir).filter(
+        o % spec.NEAR_MISS_MOD == spec.NEAR_MISS_REM
+    )
+
+
+def relius_nearmiss_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``relius_raw`` + the ORGANIC near-miss block (VERDICT r13 #7):
+    one extra relius row per ``o % 35 == 34`` order — orders absent
+    from BOTH base exports, so nothing pre-existing moves. Paired with
+    :func:`matrix_nearmiss_raw`'s one-field-off twins, this fixture
+    variant exercises the near-miss audit with ``plant_demos=False``
+    (no planting shim); dual-rendered by
+    oracles/fixtures_sql.fixture_ctes(nearmiss=True)."""
+    oc = _nearmiss_oc(spark, sf_dir)
+    o, k = F.col("o_orderkey"), F.col("c_custkey")
+    block = oc.select(
+        plan_id_expr(k).alias("PLANID_1"),
+        ssn_raw_expr(k).alias("SSNUM_1"),
+        first_name_expr(k).alias("FIRSTNAM"),
+        last_name_expr(k).alias("LASTNAM"),
+        state_expr(k).alias("STATEADDR"),
+        gross_expr().alias("GROSSDISTRAMT"),
+        exported_date_expr(o).cast("string").alias("EXPORTEDDATE"),
+        tax_year_raw_expr(o).alias("TAXYR"),
+        pick(o, spec.DIST_CODES_1).alias("DISTR1CD"),
+        pick(o, spec.DIST_NAMES).alias("DISTRNAM"),
+        F.lit(2).cast("long").alias("src_order"),
+        o.cast("long").alias("src_seq"),
+    )
+    return relius_raw(spark, sf_dir).unionByName(block)
+
+
+def matrix_nearmiss_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``matrix_raw`` + the ORGANIC one-field-off twins of
+    :func:`relius_nearmiss_raw`'s block — shape by ``o % 3`` (see
+    spec.NEAR_MISS_MOD): same-SSN/+1-cent, flipped-SSN/name-kept, or
+    flipped-SSN/foreign-name. The flipped first digit is always '9'
+    (organic SSNs stay <= 8 by the modulus), giving edit distance 1 on
+    the cleaned value; the +1 cent is exact integer arithmetic before
+    the one division, so both engines render the identical double."""
+    oc = _nearmiss_oc(spark, sf_dir)
+    o, k = F.col("o_orderkey"), F.col("c_custkey")
+    shape = o % 3
+    ssn = F.when(shape == 0, ssn_raw_expr(k)).otherwise(
+        F.concat(F.lit("9"), F.substring(ssn9_expr(k), 2, 8))
+    )
+    name = F.when(shape == 1, participant_name_expr(k)).otherwise(
+        F.when(shape == 2, F.lit(spec.NEAR_MISS_FOREIGN_NAME))
+    )
+    gross = F.when(
+        shape == 0, (F.floor(F.col("o_totalprice") * 100) + 1) / 100
+    ).otherwise(gross_expr())
+    block = oc.select(
+        matrix_account_expr(o, k).alias("Matrix Account"),
+        plan_id_expr(k).alias("Client Account"),
+        ssn.alias("Participant SSN"),
+        name.alias("Participant Name"),
+        state_expr(k).alias("Participant State"),
+        gross.alias("Gross Amount"),
+        txn_date_expr(o).cast("string").alias("Transaction Date"),
+        txn_method_expr(o).alias("Transaction Type"),
+        pick(o, spec.TAX_CODES_1).alias("Tax Code"),
+        pick(o, spec.TAX_CODES_2).alias("Tax Code 2"),
+        pick(o, spec.TAX_FORMS).alias("Tax Form"),
+        pick(o, spec.FED_TAXING_METHODS).alias("Federal Taxing Method"),
+        pick(o, ["Rollover", "Cash", "Roth"]).alias("Distribution Type"),
+        transaction_id_expr(o).alias("Transaction Id"),
+        fed_taxable_expr(o).alias("Fed Taxable Amount"),
+        ric_year_expr(k).alias("Roth Initial Contribution Year"),
+        F.lit(2).cast("long").alias("src_order"),
+        o.cast("long").alias("src_seq"),
+    )
+    return matrix_raw(spark, sf_dir).unionByName(block)
+
+
 def unicode_twin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents corpus with planted composed/decomposed Unicode twins
     (VERDICT r12 #6) — the mixed-encoding input the NFC stage

