@@ -156,7 +156,25 @@ HEADLINE = [
     # bottom-k; the full top-k verdict is graded at sf0.01 as the
     # parity fold inside text_tfidf_top_terms
     "bm25_search",
+    # PMI collocation mining (operators/text.pmi_collocations, r14):
+    # bigram explode -> two map-side-combinable count tables -> pinned-
+    # order PMI micros; zero windows. The full thresholded table is
+    # graded at sf0.01 as the parity fold inside
+    # data_contamination_check
+    "pmi_collocations",
 ]
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    from recon_spark.operators import text as T
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition before the bigram
+    # explode (registry.docs_aug r12 note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return T.pmi_collocations(docs)
 
 
 def _q_topk_blas(spark, sf_dir):
@@ -525,6 +543,7 @@ def _q_bm25_search(spark, sf_dir):
 
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
+    "pmi_collocations": _q_pmi_collocations,
     "pps_weighted_sample": _q_pps_sample,
     "mg_heavy_hitters": _q_mg_heavy_hitters,
     "profile_lineitem": _q_profile_lineitem,

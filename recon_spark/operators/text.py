@@ -747,3 +747,122 @@ def fertility_stats_trained(
         ),
         F.when(F.col("n_words") > 0, tpw).alias("trained_tokens_per_word_micros"),
     )
+
+
+#: minimum bigram occurrences for a pair to enter the collocation table
+#: (the standard low-count cut: PMI of a hapax pair is pure noise and
+#: the threshold keeps the output vocabulary-bounded)
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) over adjacent token pairs — the corpus-analytics table behind
+    "which word pairs belong together" (multi-word expressions,
+    tokenizer-merge candidates, domain phrase discovery).
+
+    One row per ordered bigram with ``c_ab >= min_count``:
+    ``(term_a, term_b, c_ab, c_a, c_b, n_bigrams, n_unigrams,
+    pmi_micros)`` where ``pmi = ln( (c_ab/n_bigrams) /
+    ((c_a/n_unigrams) * (c_b/n_unigrams)) )``.
+
+    Float discipline (the TF-IDF/BM25 precedent): every count is an
+    exact BIGINT; the probability divisions and the one product happen
+    in a PINNED operation order (p_ab first, then p_a * p_b, then the
+    ratio, then ln), and the score is shipped as micros — so the DuckDB
+    oracle replays the whole table bit-for-bit (llm_sql.pmi_ctes).
+
+    Scale shape (100 TB): the bigram fan-out is a per-row posexplode of
+    n_tokens-1 structs riding the scan; both count tables come from
+    map-side-combinable groupBys (bigram/unigram keys are uniformly
+    vocabulary-distributed — no hot key beyond natural Zipf, which AQE
+    skew-split handles on the join back); the two totals are 1-row
+    aggregates broadcast to the (vocabulary-bounded, min_count-cut)
+    pair table; the c_a/c_b attachments are plain equi-joins against
+    the unigram count table. ZERO windows — nothing ranks, so nothing
+    funnels; output ordering is the caller's concern.
+    """
+    toks = docs.select(tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    # both count tables are vocabulary-bounded and each is read by
+    # multiple consumers (totals + the joins back) — persist them so the
+    # corpus tokenize/explode lineage runs once per table, not once per
+    # consumer (the tfidf tf-aggregate convention; handles in _STAGED,
+    # released by the registry/bench hooks after the consuming action)
+    uni = (
+        toks.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    _STAGED.append(uni)
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_unigrams"))
+    pairs = toks.filter(F.size("__toks") > 1).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__toks", 1, F.size("__toks") - 1).alias("a"),
+                F.slice("__toks", 2, F.size("__toks") - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    bi = (
+        pairs.select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .persist()
+    )
+    _STAGED.append(bi)
+    n_bi = bi.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))
+    out = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a")), "term_a")
+        .join(uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b")), "term_b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("n_bigrams")
+    p_a = F.col("c_a").cast("double") / F.col("n_unigrams")
+    p_b = F.col("c_b").cast("double") / F.col("n_unigrams")
+    pmi = F.log(p_ab / (p_a * p_b))
+    return out.select(
+        "term_a",
+        "term_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "n_bigrams",
+        "n_unigrams",
+        F.round(pmi * 1_000_000).cast("long").alias("pmi_micros"),
+    )
+
+
+def pmi_parity(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """1-row checksum frame over the FULL collocation table — (n_pmi_rows,
+    pmi_ck) covering every pair's counts, totals and pmi_micros; the
+    DuckDB oracle recomputes the bigram explode, both count tables and
+    the pinned-order PMI from scratch (llm_sql.pmi_ctes)."""
+    from .dedup import _hash32
+
+    t = pmi_collocations(docs, min_count)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("term_a"),
+            F.col("term_b"),
+            F.col("c_ab").cast("string"),
+            F.col("c_a").cast("string"),
+            F.col("c_b").cast("string"),
+            F.col("n_bigrams").cast("string"),
+            F.col("n_unigrams").cast("string"),
+            F.col("pmi_micros").cast("string"),
+        )
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pmi_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("pmi_ck"),
+    )

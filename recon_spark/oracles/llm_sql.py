@@ -837,6 +837,58 @@ CROSS JOIN pps_parity psp"""
 
 #: eval-contamination scan: test docs sharing any 5-shingle with a train
 #: doc (split replayed from the same md5 edges).
+def pmi_ctes(min_count: int = T.PMI_MIN_COUNT) -> str:
+    """PMI collocation replay (operators/text.pmi_collocations, r14):
+    adjacent-bigram and unigram counts rebuilt from scratch, totals,
+    min-count cut, and the pinned-order PMI micros
+    (p_ab first, then p_a * p_b, then the ratio, then ln — the
+    TF-IDF/BM25 float discipline). Factored so the differential fuzz
+    (tests/test_pmi.py) runs the identical replay over random corpora."""
+    toks = tokens("text")
+    return f"""pmi_toks AS MATERIALIZED (
+  SELECT {toks} AS toks FROM documents WHERE len({toks}) > 0
+),
+pmi_uni AS MATERIALIZED (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS t FROM pmi_toks) GROUP BY 1
+),
+pmi_nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_unigrams FROM pmi_uni),
+pmi_bi AS MATERIALIZED (
+  SELECT p['a'] AS term_a, p['b'] AS term_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+          i -> {{'a': toks[i], 'b': toks[i + 1]}})) AS p
+        FROM pmi_toks WHERE len(toks) > 1)
+  GROUP BY 1, 2
+),
+pmi_nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM pmi_bi),
+pmi_rows AS (
+  SELECT term_a, term_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+         n_bigrams, n_unigrams,
+    CAST(round(ln((CAST(c_ab AS DOUBLE) / n_bigrams)
+      / ((CAST(ua.c AS DOUBLE) / n_unigrams)
+         * (CAST(ub.c AS DOUBLE) / n_unigrams)))
+      * 1000000) AS BIGINT) AS pmi_micros
+  FROM pmi_bi
+  JOIN pmi_uni ua ON ua.term = term_a
+  JOIN pmi_uni ub ON ub.term = term_b
+  CROSS JOIN pmi_nb CROSS JOIN pmi_nu
+  WHERE c_ab >= {min_count}
+),
+pmi_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pmi_rows,
+         CAST(COALESCE(SUM({hash32(
+             "term_a || '|' || term_b"
+             " || '|' || CAST(c_ab AS VARCHAR)"
+             " || '|' || CAST(c_a AS VARCHAR)"
+             " || '|' || CAST(c_b AS VARCHAR)"
+             " || '|' || CAST(n_bigrams AS VARCHAR)"
+             " || '|' || CAST(n_unigrams AS VARCHAR)"
+             " || '|' || CAST(pmi_micros AS VARCHAR)"
+         )}), 0) AS BIGINT) AS pmi_ck
+  FROM pmi_rows
+)"""
+
+
 CONTAMINATION_SQL = f"""WITH labeled AS (
   SELECT doc_id, text,
     CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
@@ -880,21 +932,23 @@ nfc_parity AS (
              " || '|' || CAST(coalesce(n_chars_after, -1) AS VARCHAR)"
          )}), 0) AS BIGINT) AS nfc_ck
   FROM nfc_verdicts
-)
+),
+{pmi_ctes()}
 SELECT h.id, h.n_shared, h.n_distinct_shared, t.n_shingles,
        CAST(round(CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles * 1000000)
             AS BIGINT) AS overlap_micros,
        (CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles
         >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated,
-       np.n_nfc_rows, np.nfc_ck
+       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck
 FROM hits h JOIN test_totals t USING (id) CROSS JOIN nfc_parity np
+CROSS JOIN pmi_parity pp
 UNION ALL
 -- sentinel row: the NFC certificate must survive a zero-hit corpus
 -- (ADVICE r12 — an empty hits frame would otherwise vacate the fold)
 SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE,
-       np.n_nfc_rows, np.nfc_ck
-FROM nfc_parity np"""
+       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck
+FROM nfc_parity np CROSS JOIN pmi_parity pp"""
 
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.

@@ -1708,7 +1708,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executed plan, r13 review); _stage_persist so the session hygiene
     # wrapper releases it like every other registry-internal cache
     parity = F.broadcast(_stage_persist(_un.nfc_parity(docs)))
-    sentinel = parity.select(
+    # round-14 fold: PMI collocation mining (operators/text.
+    # pmi_collocations — Church & Hanks 1990 word-association table,
+    # zero windows) as (n_pmi_rows, pmi_ck): the oracle rebuilds bigram
+    # and unigram counts, both totals, the min-count cut and the
+    # pinned-order PMI micros from scratch (llm_sql.pmi_ctes). Staged
+    # like nfc_parity — the 1-row frame feeds both the hits cross-join
+    # and the sentinel branch.
+    pmi = F.broadcast(_stage_persist(T.pmi_parity(docs)))
+    # pmi_collocations staged its vocab-sized count tables internally;
+    # hand the handles to the registry's release mechanism
+    while T._STAGED:
+        _stage_persist(T._STAGED.pop())
+    sentinel = parity.crossJoin(pmi).select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),
         F.lit(0).cast("long").alias("n_distinct_shared"),
@@ -1717,10 +1729,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("contaminated"),
         "n_nfc_rows",
         "nfc_ck",
+        "n_pmi_rows",
+        "pmi_ck",
     )
     return (
         sampling.contamination_check(docs)
         .crossJoin(parity)
+        .crossJoin(pmi)
         .unionByName(sentinel)
     )
 
