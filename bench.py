@@ -746,6 +746,18 @@ def main() -> None:
     # query's executions by a full suite pass (~1 min+), so a spike must
     # persist across the whole run to survive the min.
     laps_n = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2")))
+    # attribution subset (r14): SPARK_GRAFT_BENCH_ONLY=q1,q2,... runs
+    # only the named entries — built to test suite-LENGTH effects (the
+    # steady min over interleaved laps sees more page-cache/JIT churn
+    # between repeats as the suite grows, which uniform per-query
+    # ambient attribution cannot explain). Never used for the canonical
+    # committed artifact, which always runs the full HEADLINE.
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+    headline = [q for q in HEADLINE if not only or q in only]
     # Per-QUERY contended-lap rejection (VERDICT r11 #8): the 1-min
     # loadavg cannot attribute a mid-lap spike — on a QUIET run the
     # bench's own local[32] bursts read 3-9 at query starts, the same
@@ -802,7 +814,7 @@ def main() -> None:
         lt: dict[str, float] = {}
         la: dict[str, float] = {}
         le: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in headline:
             if name in errors:
                 continue
             # ambient-load attribution: recording the 1-min loadavg at

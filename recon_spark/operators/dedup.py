@@ -86,6 +86,14 @@ def exact_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # BOTH sides of the winner join read this frame (the min_by
+    # aggregate and the probe side) and the two exchanges have
+    # different children, so the upstream lineage executes twice.
+    # Deliberately NOT persisted here: caching a corpus-sized frame
+    # with its text columns measured SLOWER than the second codegen'd
+    # scan on corpus_build_e2e at sf0.1 (24.7s vs 17.1s steady, r14
+    # A/B) — a caller whose upstream is genuinely expensive (not
+    # scan + column algebra) should persist its input before calling.
     withk = df.withColumn("__k", key).withColumn(
         "__o", F.struct(*[F.col(c) for c in order_cols])
     )
