@@ -10,8 +10,14 @@ between queries.
 
 Scale design (100 TB):
 
-- **Exact dedup** is a single ``row_number`` window over the fingerprint
-  hash — one shuffle on the hash key (uniformly distributed, no skew).
+- **Exact dedup** picks each content key's winner with a map-side
+  combining ``min_by`` aggregate + null-safe equi-join (r14 default):
+  hash keys are uniformly distributed ACROSS keys, but a single hot
+  duplicate cluster (empty docs, boilerplate — 1e6-1e7 copies in web
+  corpora) would serialize one task under an ordered per-key window;
+  the aggregate form reduces it map-side and leaves only an equi-join
+  probe, the shape AQE skew-split handles. The textbook ``row_number``
+  spelling remains as the tested twin (``hot_safe=False``).
 - **MinHash-LSH** never compares all pairs: signatures are computed in a
   narrow map stage, exploded to ``bands`` rows per doc, and candidates
   come from an equi-join on ``(band_idx, band_hash)`` — i.e. only
