@@ -480,3 +480,102 @@ def temperature_mixture(
             ).alias("upsample_micros"),
         )
     )
+
+
+#: UniMax's per-language epoch cap (Chung et al. 2023 use N in {1..6};
+#: their headline configs cap repeats at a few epochs)
+UNIMAX_EPOCHS = 2
+
+
+def unimax_mixture(
+    per: DataFrame,
+    n_epochs: int = UNIMAX_EPOCHS,
+    budget: int | None = None,
+    token_col: str = "n_tokens",
+    key_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining") over a per-stratum token table — the successor recipe
+    to :func:`temperature_mixture`: instead of a power-law compromise,
+    spread the training budget ``B`` as UNIFORMLY as possible across
+    strata while capping every stratum at ``n_epochs`` repeats of its
+    own data (the constraint that stops a 10-million-token language
+    being epoch-ed 400× just to hit a temperature share).
+
+    The paper's greedy (ascending by size; give each stratum the equal
+    share of the remaining budget unless the epoch cap binds) has a
+    closed form because the cap-binding set is a PREFIX of the
+    ascending order: if stratum ``k`` is uncapped, the per-stratum
+    share of the remaining budget is invariant from there on
+    (``B_rem·(m−1)/m ÷ (m−1) = B_rem/m``), and every later stratum is
+    at least as large, so it is uncapped too. The prefix test is pure
+    BIGINT arithmetic — ``N·n_k·(m−k+1) ≤ B − N·Σ_{j<k} n_j`` — so the
+    capped/uncapped verdict is engine-exact; the only float ops are the
+    final divisions (micros discipline: ``+ - * /`` only).
+
+    Appends to every input row:
+
+    - ``unimax_budget_micros`` — the stratum's share of ``B`` (micros);
+    - ``unimax_epochs_micros`` — allocated epochs over the stratum's
+      own data, ``b_l / n_l`` (capped strata read exactly
+      ``n_epochs·1e6``);
+    - ``unimax_capped`` — 1 if the epoch cap bound, else 0.
+
+    Zero-token strata get NULLs (the :func:`temperature_mixture`
+    convention). ``budget`` defaults to the corpus total (Σ tokens), so
+    the default question is "one pass over the corpus, how should it be
+    mixed?".
+
+    Scale shape: ``per`` is the |strata|-row output of a corpus rollup —
+    everything here, including the two global windows (rank + prefix
+    sum), runs on a metadata-sized frame; the ranking.py bucket-frame
+    precedent applies, a ``WindowExec: No Partition Defined`` over
+    |strata| rows is by design, never a corpus funnel.
+    """
+    n = F.col(token_col).cast("long")
+    cap = F.lit(int(n_epochs)).cast("long")
+    pos = per.filter(n.isNotNull() & (n > 0)).select(
+        *key_cols, n.alias("__n")
+    )
+    order = [F.col("__n").asc()] + [F.col(c).asc() for c in key_cols]
+    w_ord = Window.orderBy(*order)
+    ranked = pos.select(
+        *key_cols,
+        "__n",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.coalesce(
+            F.sum("__n").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("__cum_prev"),
+    )
+    sizes = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        (F.lit(int(budget)).cast("long") if budget is not None
+         else F.sum("__n").cast("long")).alias("__B"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(sizes)).withColumn(
+        "__capped",
+        (cap * F.col("__n") * (F.col("__m") - F.col("__rk") + F.lit(1))
+         <= F.col("__B") - cap * F.col("__cum_prev")).cast("int"),
+    )
+    caps = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("__capped") == 1, cap * F.col("__n"))),
+                   F.lit(0)).cast("long").alias("__S"),
+        F.coalesce(F.sum("__capped"), F.lit(0)).cast("long").alias("__K"),
+    )
+    b = F.when(
+        F.col("__capped") == 1, (cap * F.col("__n")).cast("double")
+    ).otherwise(
+        (F.col("__B") - F.col("__S")).cast("double")
+        / (F.col("__m") - F.col("__K")).cast("double")
+    )
+    alloc = flagged.crossJoin(F.broadcast(caps)).select(
+        *key_cols,
+        F.round(b / F.col("__B").cast("double") * 1_000_000.0)
+        .cast("long").alias("unimax_budget_micros"),
+        F.round(b / F.col("__n").cast("double") * 1_000_000.0)
+        .cast("long").alias("unimax_epochs_micros"),
+        F.col("__capped").alias("unimax_capped"),
+    )
+    return per.join(F.broadcast(alloc), on=list(key_cols), how="left")

@@ -2513,6 +2513,50 @@ tempz AS (
              x -> pow(x, CAST({_SAMP.TEMPERATURE_ALPHA} AS DOUBLE))),
            (a, b) -> a + b) AS z
   FROM per
+),
+-- r14: UniMax epoch-capped allocation (operators/sampling
+-- unimax_mixture, Chung et al. 2023): the cap-binding set is a PREFIX
+-- of the ascending-size order, so the verdict is one BIGINT window
+-- predicate — N·n_k·(m−k+1) <= B − N·Σ_{{j<k}} n_j — and the only
+-- float ops are the final divisions (micros discipline)
+unib AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(n_tokens) AS BIGINT) AS B
+  FROM per WHERE n_tokens > 0
+),
+unir AS (
+  SELECT lang, source, n_tokens AS un,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, lang, source) AS rk,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY n_tokens, lang, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_prev
+  FROM per WHERE n_tokens > 0
+),
+unif AS (
+  SELECT unir.*, m, B,
+         CASE WHEN CAST({_SAMP.UNIMAX_EPOCHS} AS BIGINT) * un * (m - rk + 1)
+                   <= B - CAST({_SAMP.UNIMAX_EPOCHS} AS BIGINT) * cum_prev
+              THEN 1 ELSE 0 END AS capped
+  FROM unir CROSS JOIN unib
+),
+unis AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN capped = 1
+           THEN CAST({_SAMP.UNIMAX_EPOCHS} AS BIGINT) * un END), 0) AS BIGINT) AS S,
+         CAST(COALESCE(SUM(capped), 0) AS BIGINT) AS K
+  FROM unif
+),
+unia AS (
+  SELECT lang, source,
+         CAST(round((CASE WHEN capped = 1
+             THEN CAST(CAST({_SAMP.UNIMAX_EPOCHS} AS BIGINT) * un AS DOUBLE)
+             ELSE CAST(B - S AS DOUBLE) / CAST(m - K AS DOUBLE) END)
+           / CAST(B AS DOUBLE) * 1000000.0) AS BIGINT) AS unimax_budget_micros,
+         CAST(round((CASE WHEN capped = 1
+             THEN CAST(CAST({_SAMP.UNIMAX_EPOCHS} AS BIGINT) * un AS DOUBLE)
+             ELSE CAST(B - S AS DOUBLE) / CAST(m - K AS DOUBLE) END)
+           / CAST(un AS DOUBLE) * 1000000.0) AS BIGINT) AS unimax_epochs_micros,
+         CAST(capped AS INT) AS unimax_capped
+  FROM unif CROSS JOIN unis
 )
 SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros,
@@ -2522,8 +2566,10 @@ SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   (CASE WHEN n_tokens > 0 THEN
     CAST(round((pow(CAST(n_tokens AS DOUBLE), CAST({_SAMP.TEMPERATURE_ALPHA} AS DOUBLE)) / z)
                / (CAST(n_tokens AS DOUBLE) / t) * 1000000.0) AS BIGINT) END) AS upsample_micros,
+  unimax_budget_micros, unimax_epochs_micros, unimax_capped,
   dp.n_dsir_rows, dp.dsir_ck, qp.n_qclf_rows, qp.qclf_ck,
   bp.n_bpe_pairs, bp.bpe_pairs_ck, hp.n_dist_words, hp.total_words, hp.hist_ck
 FROM per CROSS JOIN tot CROSS JOIN tempz CROSS JOIN dsir_parity dp
 CROSS JOIN qclf_parity qp
-CROSS JOIN bpe_parity bp CROSS JOIN bpe_hist_par hp"""
+CROSS JOIN bpe_parity bp CROSS JOIN bpe_hist_par hp
+LEFT JOIN unia USING (lang, source)"""

@@ -1406,6 +1406,16 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-left-fold normalizer, so the pow/normalize/ratio arithmetic
     is graded row-for-row alongside the tallies.
 
+    Round 14: the UniMax allocation (operators/sampling unimax_mixture,
+    Chung et al. 2023 — uniform budget spread under a per-stratum epoch
+    cap, the successor recipe to temperature sampling) rides the same
+    row: ``unimax_budget_micros`` / ``unimax_epochs_micros`` /
+    ``unimax_capped`` per stratum. The cap-binding prefix test is pure
+    BIGINT window arithmetic, so the oracle replays the whole greedy
+    closed-form (llm_sql unib/unir/unif/unis/unia CTEs), capped AND
+    uncapped branches both live at every SF (22/28/2 capped strata at
+    sf0.001/0.01/0.1 with N=2).
+
     Round-10 fold: DSIR's integer substrate (operators/dsir.py — hashed
     unigram+bigram features, the data-selection sibling of this mixing
     table) is drive-graded at zero slot cost through (n_dsir_rows,
@@ -1454,7 +1464,13 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution) join the row's primary output: w_alpha_micros +
     # upsample_micros per stratum, sorted-left-fold normalizer on both
     # engines. |strata|-sized arithmetic, zero extra corpus work.
-    per = sampling.temperature_mixture(per)
+    # r14: the UniMax successor (unimax_mixture, Chung 2023) rides the
+    # same row — budget share, allocated epochs and the cap verdict per
+    # stratum; the rollup is persisted because temperature + unimax +
+    # the final select now fan it out to several consumers, and it is
+    # |strata|-sized metadata (the persist-only-metadata rule).
+    per = _stage_persist(per)
+    per = sampling.unimax_mixture(sampling.temperature_mixture(per))
     tot = per.agg(F.sum("n_tokens").alias("t"))
     feats = _dsir.dsir_features(docs)
     d_ck = DD._hash32(
@@ -1505,6 +1521,9 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_share_micros"),
             "w_alpha_micros",
             "upsample_micros",
+            "unimax_budget_micros",
+            "unimax_epochs_micros",
+            "unimax_capped",
             "n_dsir_rows",
             "dsir_ck",
             "n_qclf_rows",

@@ -267,3 +267,103 @@ def test_temperature_mixture_upsamples_low_resource_strata(spark):
     assert got["yo"].upsample_micros > 1_000_000  # drawn above natural share
     assert got["en"].upsample_micros < 1_000_000
     assert got["yo"].w_alpha_micros + got["en"].w_alpha_micros in (999999, 1000000, 1000001)
+
+
+def _unimax_greedy(rows, n_epochs, budget=None):
+    """Independent Python twin of unimax_mixture: the PAPER's greedy
+    loop (ascending by size, equal share of the remaining budget unless
+    the epoch cap binds) — deliberately NOT the closed-form prefix test
+    the operator uses, so the two agree only if the closed form is
+    right."""
+    live = sorted(
+        [(l, s, n) for l, s, n in rows if n and n > 0],
+        key=lambda t: (t[2], t[0], t[1]),
+    )
+    out = {(l, s): (None, None, None) for l, s, n in rows}
+    if not live:
+        return out
+    B = budget if budget is not None else sum(n for _l, _s, n in live)
+    b_rem, m_rem = float(B), len(live)
+    for l, s, n in live:
+        share = b_rem / m_rem
+        if n_epochs * n <= share:
+            b = float(n_epochs * n)
+            capped = 1
+        else:
+            b = share
+            capped = 0
+        out[(l, s)] = (
+            round(b / float(B) * 1_000_000.0),
+            round(b / float(n) * 1_000_000.0),
+            capped,
+        )
+        b_rem -= b
+        m_rem -= 1
+    return out
+
+
+def test_unimax_matches_python_greedy(spark):
+    """UniMax allocation (operators/sampling unimax_mixture, r14):
+    micros + cap verdicts match the paper's greedy loop on random
+    frames, including ties, zero-token strata (NULLs), single stratum
+    and an every-stratum-capped oversized budget."""
+    import random
+
+    rnd = random.Random(0x114A)
+    trials = []
+    for _ in range(4):
+        rows = [
+            (f"l{i}", f"s{i % 3}", rnd.choice([0, rnd.randrange(1, 10**7), 5_000]))
+            for i in range(rnd.randrange(2, 14))
+        ]
+        trials.append((rows, 2, None))
+    trials.append(([("en", "web", 100)], 2, None))           # single stratum
+    trials.append(([("a", "x", 10), ("b", "x", 10), ("c", "x", 10)], 2, None))  # all ties
+    trials.append(([("a", "x", 10), ("b", "x", 90)], 3, 1000))  # all capped
+    trials.append(([("a", "x", 0), ("b", "x", 0)], 2, None))    # all zero
+    for rows, n_epochs, budget in trials:
+        per = spark.createDataFrame(rows, "lang string, source string, n_tokens long")
+        got = {
+            (r.lang, r.source): (
+                r.unimax_budget_micros, r.unimax_epochs_micros, r.unimax_capped
+            )
+            for r in sampling.unimax_mixture(per, n_epochs=n_epochs, budget=budget).collect()
+        }
+        want = _unimax_greedy(rows, n_epochs, budget)
+        assert got == want, (rows, n_epochs, budget)
+
+
+def test_unimax_allocation_properties(spark):
+    """The invariants the recipe exists for (Chung 2023): capped strata
+    get exactly n_epochs epochs; uncapped strata all get the SAME
+    budget (uniformity); the allocation exhausts the budget; the capped
+    set is an ascending-size prefix."""
+    per = spark.createDataFrame(
+        [("yo", "web", 1_000), ("sw", "web", 5_000), ("de", "web", 30_000_000),
+         ("fr", "web", 40_000_000), ("en", "web", 90_000_000)],
+        "lang string, source string, n_tokens long",
+    )
+    rows = {r.lang: r for r in sampling.unimax_mixture(per, n_epochs=2).collect()}
+    capped = {l for l, r in rows.items() if r.unimax_capped == 1}
+    assert capped == {"yo", "sw"}  # the small prefix, not the giants
+    for l in capped:
+        assert rows[l].unimax_epochs_micros == 2_000_000
+    unc = {rows[l].unimax_budget_micros for l in rows if l not in capped}
+    assert len(unc) == 1  # uniform share across every uncapped stratum
+    total = sum(r.unimax_budget_micros for r in rows.values())
+    assert abs(total - 1_000_000) <= len(rows)  # rounding slack
+    # epoch cap honoured everywhere: nobody repeats beyond n_epochs
+    assert all(r.unimax_epochs_micros <= 2_000_000 for r in rows.values())
+
+
+def test_unimax_nonvacuous_on_fixture(spark):
+    """The graded fold must certify both branches: on the fixture corpus
+    at the graded parameters (N=2, budget=corpus) there are capped AND
+    uncapped strata."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    per = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens")
+    )
+    out = sampling.unimax_mixture(per).collect()
+    flags = {r.unimax_capped for r in out if r.unimax_capped is not None}
+    assert flags == {0, 1}
