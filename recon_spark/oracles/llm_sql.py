@@ -263,6 +263,115 @@ LM_SUBSTRATE_SQL = f"""WITH base AS (
 {_LM_CTES}
 SELECT * FROM lm_sub"""
 
+#: interpolated Kneser-Ney bigram model substrate (operators/lm.py
+#: train_kn_lm/kn_count_substrate, r14 — the smoothing KenLM/CCNet
+#: actually runs, folded into TFIDF_SQL): an INDEPENDENT DuckDB replay
+#: of the whole KN data flow — hash-split, train the bigram-TYPE
+#: aggregate on 'train', derive context totals + forward/backward
+#: continuation-type counts + the singleton/doubleton discount inputs
+#: from it, three-way LEFT-join every document's bigrams, aggregate the
+#: integer-exact per-document substrate. Self-contained over
+#: `documents` (the REP_CTES pattern); only the discount/interpolation/
+#: ln() float layer stays pytest-graded (the score_count_substrate
+#: split verbatim).
+_KN_CK = hash32(
+    "CAST(doc_id AS VARCHAR) || '|' || CAST(kn_n_scored AS VARCHAR) || '|' "
+    "|| CAST(kn_sum_c2 AS VARCHAR) || '|' || CAST(kn_unseen_bigrams AS VARCHAR) || '|' "
+    "|| CAST(kn_sum_c1 AS VARCHAR) || '|' || CAST(kn_unseen_contexts AS VARCHAR) || '|' "
+    "|| CAST(kn_sum_n1f AS VARCHAR) || '|' || CAST(kn_sum_n1b AS VARCHAR) || '|' "
+    "|| CAST(kn_unseen_cont AS VARCHAR) || '|' || CAST(kn_t_types AS VARCHAR) || '|' "
+    "|| CAST(kn_n1 AS VARCHAR) || '|' || CAST(kn_n2 AS VARCHAR) || '|' "
+    "|| CAST(kn_v AS VARCHAR)"
+)
+
+#: the fixture vocabulary is CLOSED under the hash split (every token
+#: appears in the 90% train slice), so without planting, the unseen-
+#: context / unseen-continuation branches of the KN substrate would be
+#: certified vacuously. Deterministic plants (the docs_aug convention):
+#: every KN_PLANT_MOD-th document contributes one extra SCORING-ONLY
+#: row of novel tokens under a corpus-derived offset id — the model
+#: never trains on plants, so all three miss branches fire at any SF.
+KN_PLANT_MOD = 10
+KN_PLANT_TEXT = "zzknqa zzknqb zzknqa"
+
+KN_CTES = f"""kn_base AS (
+  SELECT doc_id, {tokens('text')} AS toks FROM documents
+),
+kn_pairs AS (
+  SELECT doc_id,
+    CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
+         WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.VAL_EDGE} THEN 'val'
+         ELSE 'test' END AS split,
+    unnest({_LM_PAIRS}) AS p
+  FROM kn_base WHERE len(toks) > 0
+),
+kn_bg AS (SELECT doc_id, split, p.w1 AS w1, p.w2 AS w2 FROM kn_pairs),
+kn_off AS (
+  SELECT CAST(coalesce(max(doc_id), 0) + {NEAR_ID_OFFSET} + 1 AS BIGINT) AS off
+  FROM documents
+),
+kn_pbase AS (
+  SELECT doc_id + off AS doc_id, {tokens(f"'{KN_PLANT_TEXT}'")} AS toks
+  FROM documents CROSS JOIN kn_off WHERE doc_id % {KN_PLANT_MOD} = 0
+),
+kn_plant_bg AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+  FROM (SELECT doc_id, toks, unnest({_LM_PAIRS}) AS p
+        FROM kn_pbase WHERE len(toks) > 0)
+),
+kn_score_bg AS (
+  SELECT doc_id, w1, w2 FROM kn_bg
+  UNION ALL
+  SELECT doc_id, w1, w2 FROM kn_plant_bg
+),
+kn_big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM kn_bg WHERE split = 'train' GROUP BY 1, 2
+),
+kn_ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+  FROM kn_big GROUP BY 1
+),
+kn_back AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM kn_big GROUP BY 1),
+kn_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_types,
+         CAST(coalesce(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+         CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v
+  FROM kn_big
+),
+kn_sub AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS kn_n_scored,
+    CAST(sum(coalesce(c2, 0)) AS BIGINT) AS kn_sum_c2,
+    CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kn_unseen_bigrams,
+    CAST(sum(coalesce(c1, 0)) AS BIGINT) AS kn_sum_c1,
+    CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kn_unseen_contexts,
+    CAST(sum(coalesce(n1f, 0)) AS BIGINT) AS kn_sum_n1f,
+    CAST(sum(coalesce(n1b, 0)) AS BIGINT) AS kn_sum_n1b,
+    CAST(sum(CASE WHEN n1b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kn_unseen_cont,
+    CAST(max(t_types) AS BIGINT) AS kn_t_types,
+    CAST(max(n1) AS BIGINT) AS kn_n1,
+    CAST(max(n2) AS BIGINT) AS kn_n2,
+    CAST(max(v) AS BIGINT) AS kn_v
+  FROM kn_score_bg
+  LEFT JOIN kn_big USING (w1, w2)
+  LEFT JOIN kn_ctx USING (w1)
+  LEFT JOIN kn_back USING (w2)
+  CROSS JOIN kn_tot
+  GROUP BY doc_id
+),
+kn_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_kn_rows,
+         CAST(COALESCE(SUM({_KN_CK}), 0) AS BIGINT) AS kn_ck
+  FROM kn_sub
+)"""
+
+#: standalone KN substrate query (differential fuzz; the driver grades
+#: the same stack through the TFIDF_SQL fold)
+KN_SUBSTRATE_SQL = f"""WITH {KN_CTES}
+SELECT * FROM kn_sub"""
+
 #: Gopher n-gram repetition battery replay (operators/repetition.py) —
 #: rides TEXT_STATS_SQL as a round-9 zero-slot parity fold. One UNION
 #: branch per n builds overlapping grams over the SAME token arrays;
@@ -602,6 +711,7 @@ TFIDF_SQL = f"""WITH {TF_SUBSTRATE_CTES},
 {_FERT_CTES},
 {trained_fert_ctes()},
 {bm25_ctes()},
+{KN_CTES},
 scored AS (
   SELECT tf.id, tf.term,
     (CAST(tc AS DOUBLE) / n) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0) AS s
@@ -611,7 +721,8 @@ SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS tfidf_micros,
        rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck,
        tfp.n_tfert_rows, tfp.tfert_ck,
-       bmp.n_bm25_rows, bmp.bm25_ck
+       bmp.n_bm25_rows, bmp.bm25_ck,
+       knp.n_kn_rows, knp.kn_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
   -- ln() near-ties could order differently across libm implementations
@@ -621,7 +732,7 @@ FROM (
   FROM scored
 ) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp
 CROSS JOIN tfert_parity tfp
-CROSS JOIN bm_parity bmp WHERE rank <= 3"""
+CROSS JOIN bm_parity bmp CROSS JOIN kn_parity knp WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token
 #: share of corpus — the numbers a data-mixture config is built from.

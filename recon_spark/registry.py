@@ -1870,12 +1870,25 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
     # the rank order off the same tf/dl/df substrate it already replays
     # for this row.
     bm_parity = T.bm25_parity(docs)
-    # bm25_topk + its bottom-k stage persisted frames internally; hand
-    # the handles to the registry's release mechanism (the q_data_sample
-    # pattern) so session hygiene stays uniform
+    # round-14 fold: interpolated Kneser-Ney bigram LM (operators/lm.py
+    # train_kn_lm / kn_count_substrate — the smoothing KenLM/CCNet
+    # actually runs, upgrading the Laplace model text_stats grades).
+    # (n_kn_rows, kn_ck) checksums the FULL per-document substrate —
+    # all twelve counters incl. the forward/backward continuation-type
+    # sums and the singleton/doubleton discount inputs; the oracle
+    # retrains the model from its own hash split and recomputes every
+    # row (llm_sql.KN_CTES). The discount/interpolation/ln float layer
+    # stays pytest-graded (tests/test_lm.py), the score_count_substrate
+    # split verbatim.
+    from .operators import lm as _lm
+
+    kn_parity = _lm.kn_parity(docs)
+    # bm25_topk/train_kn_lm + the bottom-k stage persisted frames
+    # internally; hand the handles to the registry's release mechanism
+    # (the q_data_sample pattern) so session hygiene stays uniform
     from .operators import ranking as _ranking
 
-    for lst in (_ranking._STAGED, T._STAGED):
+    for lst in (_ranking._STAGED, T._STAGED, _lm._STAGED):
         while lst:
             _stage_persist(lst.pop())
     return (
@@ -1883,6 +1896,7 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(fert_parity))
         .crossJoin(F.broadcast(tfert_parity))
         .crossJoin(F.broadcast(bm_parity))
+        .crossJoin(F.broadcast(kn_parity))
     )
 
 

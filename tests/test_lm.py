@@ -147,3 +147,136 @@ def test_keep_fraction_threshold(spark):
     assert lm.perplexity_filter_threshold(scored, 1.0) == math.inf
     with pytest.raises(ValueError):
         lm.perplexity_filter_threshold(scored, 0.0)
+
+
+def test_kn_probabilities_by_hand(spark):
+    """Interpolated Kneser-Ney (r14): reference 'a b' 'a b' 'a c' with a
+    fixed discount d=0.5 and continuation alpha=0.5 — every probability
+    hand-derived from the model tables.
+
+    Bigram types: (<s>,a) c=3, (a,b) c=2, (a,c) c=1 -> t_types=3,
+    n1={(a,c)}=1, n2={(a,b)}=1, v=|{a,b,c}|+1=4.
+    contexts: <s>: c1=3,n1f=1; a: c1=3,n1f=2.
+    cont_back: a:1, b:1, c:1.  P_cont(x)=(n1b+.5)/(3+.5*4)=(1.5 or .5)/5.
+    """
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    kn = lm.train_kn_lm(ref)
+    tot = kn["totals"].first()
+    assert (tot.t_types, tot.n1, tot.n2, tot.v) == (3, 1, 1, 4)
+    scored = {
+        r.doc_id: r
+        for r in lm.score_kn_perplexity(
+            spark.createDataFrame(
+                [(10, "a b"), (11, "a z"), (12, "q q")],
+                "doc_id long, text string",
+            ),
+            kn,
+            discount=0.5,
+        ).collect()
+    }
+    pc = {"a": 1.5 / 5.0, "b": 1.5 / 5.0, "c": 1.5 / 5.0, "z": 0.5 / 5.0,
+          "q": 0.5 / 5.0}
+    # doc 10: p(a|<s>) = (max(3-.5,0) + .5*1*pc[a])/3 ; p(b|a) = (max(2-.5,0)+.5*2*pc[b])/3
+    want_10 = math.log((2.5 + 0.5 * pc["a"]) / 3) + math.log((1.5 + 1.0 * pc["b"]) / 3)
+    assert scored[10].logprob == pytest.approx(want_10, rel=1e-12)
+    # doc 11: unseen continuation z in seen context a: max(0-.5,0)=0 -> backoff mass only
+    want_11 = math.log((2.5 + 0.5 * pc["a"]) / 3) + math.log(0.5 * 2 * pc["z"] / 3)
+    assert scored[11].logprob == pytest.approx(want_11, rel=1e-12)
+    # doc 12: q unseen everywhere: p(q|<s>)=(0+.5*1*pc[q])/3, then unseen context q -> pc[q]
+    want_12 = math.log(0.5 * 1 * pc["q"] / 3) + math.log(pc["q"])
+    assert scored[12].logprob == pytest.approx(want_12, rel=1e-12)
+    lm.release_staged()
+
+
+def test_kn_ney_discount_estimate(spark):
+    """discount=None derives d = n1/(n1+2*n2) from the model's own
+    singleton/doubleton type counts; verified against an explicit
+    fixed-discount run at the same value."""
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    kn = lm.train_kn_lm(ref)
+    docs = spark.createDataFrame([(10, "a b c a")], "doc_id long, text string")
+    # n1=1, n2=1 -> d = 1/3
+    est = lm.score_kn_perplexity(docs, kn).first()
+    fixed = lm.score_kn_perplexity(docs, kn, discount=1.0 / 3.0).first()
+    assert est.logprob == pytest.approx(fixed.logprob, rel=1e-12)
+    lm.release_staged()
+
+
+def test_kn_substrate_by_hand(spark):
+    """The integer substrate the driver grades: counts for 'a b' and
+    'a z' against the 3-doc reference (d/alpha never enter)."""
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    kn = lm.train_kn_lm(ref)
+    sub = {
+        r.doc_id: r
+        for r in lm.kn_count_substrate(
+            spark.createDataFrame(
+                [(10, "a b"), (11, "a z")], "doc_id long, text string"
+            ),
+            kn,
+        ).collect()
+    }
+    r10 = sub[10]
+    # bigrams (<s>,a) and (a,b): c2 = 3+2; c1 = 3+3; n1f = 1+2; n1b(a)+n1b(b) = 1+1
+    assert (r10.kn_n_scored, r10.kn_sum_c2, r10.kn_unseen_bigrams) == (2, 5, 0)
+    assert (r10.kn_sum_c1, r10.kn_unseen_contexts) == (6, 0)
+    assert (r10.kn_sum_n1f, r10.kn_sum_n1b, r10.kn_unseen_cont) == (3, 2, 0)
+    assert (r10.kn_t_types, r10.kn_n1, r10.kn_n2, r10.kn_v) == (3, 1, 1, 4)
+    r11 = sub[11]
+    # (a,z) unseen bigram, z unseen continuation; context a seen
+    assert (r11.kn_sum_c2, r11.kn_unseen_bigrams) == (3, 1)
+    assert (r11.kn_sum_n1b, r11.kn_unseen_cont) == (1, 1)
+    lm.release_staged()
+
+
+def test_kn_in_domain_beats_token_soup(spark):
+    """The discriminative property, KN edition: fluent in-domain text
+    scores lower perplexity than shuffled junk against the same model."""
+    import random
+
+    rnd = random.Random(7)
+    base = ("the plan pays the participant a gross amount and the "
+            "participant reports the amount on the return").split()
+    ref_rows = []
+    for i in range(60):
+        k = rnd.randrange(6, len(base))
+        ref_rows.append((i, " ".join(base[:k])))
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    kn = lm.train_kn_lm(ref)
+    soup = " ".join(rnd.sample(base, len(base)))
+    probe = spark.createDataFrame(
+        [(1000, " ".join(base)), (1001, soup)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.perplexity for r in lm.score_kn_perplexity(probe, kn).collect()}
+    assert got[1000] < got[1001]
+    lm.release_staged()
+
+
+def test_kn_nonvacuous_on_fixture(spark):
+    """The graded fold must exercise all branches on the fixture corpus
+    THROUGH THE GRADED LINEAGE (base ∪ scoring-only plants): seen +
+    unseen bigrams, unseen contexts and unseen continuations all
+    present, and the discount inputs live (n1, n2 > 0). Without the
+    plants the fixture vocabulary is closed under the hash split and
+    the miss branches would be certified vacuously."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sub = lm.kn_graded_substrate(docs)
+    agg = sub.agg(
+        F.sum("kn_sum_c2").alias("c2"),
+        F.sum("kn_unseen_bigrams").alias("ub"),
+        F.sum("kn_unseen_contexts").alias("uc"),
+        F.sum("kn_unseen_cont").alias("ucont"),
+        F.max("kn_n1").alias("n1"),
+        F.max("kn_n2").alias("n2"),
+    ).first()
+    assert agg.c2 > 0 and agg.ub > 0 and agg.uc > 0 and agg.ucont > 0
+    assert agg.n1 > 0 and agg.n2 > 0
+    lm.release_staged()

@@ -83,3 +83,34 @@ def test_lm_substrate_differential_fuzz(spark):
         }
         con.close()
         assert got == want, f"trial {trial}: substrate drift"
+
+
+def test_kn_substrate_differential_fuzz(spark):
+    """KN edition (r14): the same ugly corpora through the GRADED
+    lineage (train on the base 'train' split, score base ∪ novel-token
+    plants — operators/lm.kn_graded_substrate) and through the VERBATIM
+    grading SQL (llm_sql.KN_SUBSTRATE_SQL, the CTE stack inside
+    TFIDF_SQL), all twelve counters compared value-for-value."""
+    rnd = random.Random(20260816)
+    for trial in range(4):
+        rows = _corpus(rnd, 120)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (
+                r.kn_n_scored, r.kn_sum_c2, r.kn_unseen_bigrams,
+                r.kn_sum_c1, r.kn_unseen_contexts, r.kn_sum_n1f,
+                r.kn_sum_n1b, r.kn_unseen_cont, r.kn_t_types,
+                r.kn_n1, r.kn_n2, r.kn_v,
+            )
+            for r in lm.kn_graded_substrate(docs).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(llm_sql.KN_SUBSTRATE_SQL).fetchall()
+        }
+        con.close()
+        lm.release_staged()
+        assert got == want, f"trial {trial}: KN substrate drift"
