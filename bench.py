@@ -162,7 +162,39 @@ HEADLINE = [
     # graded at sf0.01 as the parity fold inside
     # data_contamination_check
     "pmi_collocations",
+    # Gopher A1.1 document-level quality battery (operators/gopher.py,
+    # r14): seven rule verdicts + reject rollup, pure column algebra
+    # riding the scan (zero exchanges in the per-doc plan); the full
+    # verdict table is graded at sf0.01 as the parity fold inside
+    # data_sample_stratified
+    "gopher_quality",
+    # Count-Min sketch (operators/sketches.cm_*, r14): depth x width
+    # cell grid + point estimates for the deterministic query sample —
+    # the bounded-shuffle point-frequency path (<= depth*width rows per
+    # partition regardless of item cardinality); cells + verdicts graded
+    # at sf0.01 as the parity fold inside analytics_user_reach
+    "cm_sketch_events",
 ]
+
+
+def _q_cm_sketch_events(spark, sf_dir):
+    from recon_spark.operators import sketches as SK
+    from recon_spark.sources.tpch import load
+
+    ev = load(spark, sf_dir, "events")
+    return SK.cm_parity(ev, "user_id")
+
+
+def _q_gopher_quality(spark, sf_dir):
+    from recon_spark.operators import gopher as G
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition so the per-doc battery
+    # parallelizes (registry.docs_aug r12 note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return G.gopher_quality(docs)
 
 
 def _q_pmi_collocations(spark, sf_dir):
@@ -544,6 +576,8 @@ def _q_bm25_search(spark, sf_dir):
 EXTRA_QUERIES = {
     "similarity_topk_blas": _q_topk_blas,
     "pmi_collocations": _q_pmi_collocations,
+    "gopher_quality": _q_gopher_quality,
+    "cm_sketch_events": _q_cm_sketch_events,
     "pps_weighted_sample": _q_pps_sample,
     "mg_heavy_hitters": _q_mg_heavy_hitters,
     "profile_lineitem": _q_profile_lineitem,

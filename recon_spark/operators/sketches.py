@@ -405,3 +405,206 @@ def frequent_items(df: DataFrame, item_col: str, k: int = MG_K) -> DataFrame:
             F.expr(f"n_total DIV {k + 1}").alias("err_bound"),
         )
     )
+
+
+# --- Count-Min: mergeable POINT-FREQUENCY estimation --------------------------
+#
+# Cormode & Muthukrishnan 2005 ("An improved data stream summary: the
+# count-min sketch and its applications"): a depth x width counter grid;
+# each item increments one cell per row (seeded hash), a point query
+# reads the MIN over its depth cells. est >= true always (counters only
+# overcount), and est <= true + (e/width)*N with probability
+# 1 - exp(-depth). Completes the sketch family's fourth question —
+# "how often does THIS item occur" — next to HLL (how many distinct),
+# KLL (what quantile), Misra-Gries (which items are frequent).
+#
+# Unlike MG/HLL/KLL, the Count-Min state is EXACTLY partition-invariant:
+# every cell is a plain SUM over rows that hash into it, so the sketch a
+# 1000-executor cluster builds is bit-identical to a single-node build —
+# which is why the WHOLE sketch (cells, estimates, overcounts) is
+# DuckDB-oracle-replayable and drive-graded, where the other sketches'
+# certificates stop at pytest bands.
+
+#: grid shape: depth rows (independent md5-seeded hashes), width buckets
+#: per row. Error: overcount <= ~ (e/CM_WIDTH) * N w.p. 1 - e^-CM_DEPTH.
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+#: graded-fold query sample: items with md5('cmq#'||item) % CM_QUERY_MOD
+#: == 0 are point-queried (a deterministic ~8% domain sample — derived
+#: from the corpus, no fixture literals, window-free)
+CM_QUERY_MOD = 13
+
+
+def _cm_item(df: DataFrame, item_col: str, weight_col: str | None) -> DataFrame:
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    return df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("__item"), w.alias("__w")
+    )
+
+
+def cm_cells(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)`` with at most
+    ``depth * width`` rows regardless of input size or item cardinality.
+
+    Scale shape: one posexplode of ``depth`` probe structs per input row
+    riding the scan, then ONE map-side-combinable groupBy onto the
+    bounded (row, bucket) key space — the shuffle is <= depth*width rows
+    per partition by construction (the Misra-Gries bounded-shuffle
+    argument, but with a FIXED key domain so even the combine output is
+    bounded). NULL items are skipped (the count_distinct convention);
+    ``weight_col`` turns occurrence counting into weighted totals.
+    """
+    from .dedup import _hash32
+
+    src = _cm_item(df, item_col, weight_col)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (
+                    _hash32(F.concat(F.lit(f"cm{r}#"), F.col("__item")))
+                    % width
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        src.select(F.explode(probes).alias("p"), "__w")
+        .groupBy(
+            F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+        )
+        .agg(F.sum("__w").cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(*cells: DataFrame) -> DataFrame:
+    """Merge sketches built over disjoint corpus slices: cell-wise sum.
+    Exactly lossless — merge(build(A), build(B)) == build(A ∪ B)
+    bit-for-bit (asserted in tests), the property that makes the sketch
+    a per-partition/per-day partial like the HLL hypertable blobs."""
+    out = cells[0]
+    for c in cells[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cm_point_estimates(
+    cells: DataFrame,
+    queries: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query a sketch: one output row per query item with
+    ``est = min over rows of cell(row, h_row(item))`` (missing cell ->
+    0). The cells frame is bounded (<= depth*width rows) and broadcast;
+    the probe fan-out is ``depth`` rows per query — no shuffle of
+    anything corpus-sized."""
+    from .dedup import _hash32
+
+    q = queries.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("__item")
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (
+                    _hash32(F.concat(F.lit(f"cm{r}#"), F.col("__item")))
+                    % width
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        q.select(F.col("__item").alias("item"), F.explode(probes).alias("p"))
+        .join(
+            F.broadcast(cells),
+            (F.col("p.row") == F.col("row")) & (F.col("p.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cm_parity(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    query_mod: int = CM_QUERY_MOD,
+) -> DataFrame:
+    """1-row certificate frame for the graded fold: ``(n_cm_cells,
+    cm_ck, n_cmq_rows, cmq_ck)`` — a checksum over the FULL cell grid
+    plus one over the point-estimate verdicts ``(item, true_cnt, est,
+    overcount)`` for the deterministic md5 %% query_mod domain sample.
+    ``overcount = est - true_cnt`` is materialized INTO the checksum, so
+    the oracle certifies the never-undercount guarantee on real data,
+    not just the cell sums (plans_sql.cm_parity_ctes replays hashing,
+    cell sums, the query sample, true counts and every min from
+    scratch)."""
+    from .dedup import _hash32
+
+    cells = cm_cells(df, item_col, depth, width).persist()
+    _STAGED.append(cells)
+    cell_ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("row").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("cnt").cast("string"),
+        )
+    )
+    cell_parity = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cm_cells"),
+        F.coalesce(F.sum(cell_ck), F.lit(0)).cast("long").alias("cm_ck"),
+    )
+    src = _cm_item(df, item_col, None)
+    truth = (
+        src.filter(
+            _hash32(F.concat(F.lit("cmq#"), F.col("__item"))) % query_mod == 0
+        )
+        .groupBy(F.col("__item").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = cm_point_estimates(cells, truth, "item", depth, width)
+    verdicts = truth.join(est, "item").select(
+        "item",
+        "true_cnt",
+        "est",
+        (F.col("est") - F.col("true_cnt")).alias("overcount"),
+    )
+    v_ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("item"),
+            F.col("true_cnt").cast("string"),
+            F.col("est").cast("string"),
+            F.col("overcount").cast("string"),
+        )
+    )
+    v_parity = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cmq_rows"),
+        F.coalesce(F.sum(v_ck), F.lit(0)).cast("long").alias("cmq_ck"),
+    )
+    return cell_parity.crossJoin(F.broadcast(v_parity))

@@ -746,6 +746,119 @@ SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
   CAST(round(CAST(n_tokens AS DOUBLE) / t * 1000000) AS BIGINT) AS token_share_micros
 FROM per CROSS JOIN tot"""
 
+def gopher_ctes() -> str:
+    """Gopher A1.1 quality-rule battery replay (operators/gopher.py,
+    r14): every per-document counter, pinned-division micros ratio and
+    integer-threshold rule verdict recomputed from the raw text —
+    words/lines/tokens re-split, occurrence counts via the same
+    length-difference trick, thresholds from the same constants. The
+    checksum column list is generated from gopher.GOPHER_COLUMNS so the
+    two sides cannot drift. Factored so the differential fuzz
+    (tests/test_gopher.py) runs the identical replay over random
+    corpora."""
+    from ..operators import gopher as G
+
+    s = "coalesce(CAST(text AS VARCHAR), '')"
+    words = f"list_filter(string_split_regex({s}, '{_WS}+'), w -> w <> '')"
+    lines_ = f"list_filter(string_split({s}, chr(10)), l -> trim(l) <> '')"
+    bullet_pred = " OR ".join(
+        f"starts_with(ltrim(l), '{p}')" for p in G.GOPHER_BULLET_PREFIXES
+    )
+    stoplist = "[" + ", ".join(f"'{w}'" for w in G.GOPHER_STOPWORDS) + "]"
+
+    def occ(needle_sql: str, width: int) -> str:
+        body = f"length(s) - length(replace(s, {needle_sql}, ''))"
+        if width == 1:
+            return f"CAST({body} AS BIGINT)"
+        return f"CAST(floor(({body}) / {width}) AS BIGINT)"
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"(CASE WHEN {den} > 0 THEN CAST(round(CAST({num} AS DOUBLE)"
+            f" / {den} * 1000000) AS BIGINT) END)"
+        )
+
+    rules = {
+        "rule_word_count": (
+            f"(n_words BETWEEN {G.GOPHER_MIN_WORDS} AND {G.GOPHER_MAX_WORDS})"
+        ),
+        "rule_mean_word_len": (
+            f"(n_words > 0 AND mwl_micros BETWEEN {G.GOPHER_MIN_MWL_MICROS}"
+            f" AND {G.GOPHER_MAX_MWL_MICROS})"
+        ),
+        "rule_symbol_ratio": (
+            f"(n_words > 0"
+            f" AND hash_ratio_micros <= {G.GOPHER_MAX_SYMBOL_RATIO_MICROS}"
+            f" AND ellipsis_ratio_micros <= {G.GOPHER_MAX_SYMBOL_RATIO_MICROS})"
+        ),
+        "rule_bullet_lines": (
+            f"(n_lines > 0"
+            f" AND bullet_ratio_micros <= {G.GOPHER_MAX_BULLET_RATIO_MICROS})"
+        ),
+        "rule_ellipsis_lines": (
+            f"(n_lines > 0 AND ellipsis_line_ratio_micros"
+            f" <= {G.GOPHER_MAX_ELLIPSIS_LINE_RATIO_MICROS})"
+        ),
+        "rule_alpha_words": (
+            f"(n_words > 0"
+            f" AND alpha_ratio_micros >= {G.GOPHER_MIN_ALPHA_RATIO_MICROS})"
+        ),
+        "rule_stop_words": f"(n_stop_hits >= {G.GOPHER_MIN_STOP_HITS})",
+    }
+    keep = " AND ".join(rules.values())
+    ck_parts = ["CAST(doc_id AS VARCHAR)"]
+    for c in G.GOPHER_COLUMNS:
+        if c.endswith("_micros"):
+            ck_parts.append(f"CAST(coalesce({c}, -1) AS VARCHAR)")
+        else:
+            ck_parts.append(f"CAST({c} AS VARCHAR)")
+    ck = " || '|' || ".join(ck_parts)
+    return f"""gq_base AS (
+  SELECT doc_id, {s} AS s, {words} AS words, {lines_} AS ls,
+         {tokens(s)} AS toks
+  FROM documents
+),
+gq_counts AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+         AS BIGINT) AS n_word_chars,
+    {occ("'#'", 1)} AS n_hash,
+    ({occ("'...'", 3)} + {occ("'…'", 1)}) AS n_ellipsis,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, l -> ({bullet_pred}))) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(ls, l -> (ends_with(rtrim(l), '...')
+      OR ends_with(rtrim(l), '…')))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_filter({stoplist}, sw -> list_contains(toks, sw)))
+         AS BIGINT) AS n_stop_hits
+  FROM gq_base
+),
+gq_ratios AS (
+  SELECT *,
+    {ratio('n_word_chars', 'n_words')} AS mwl_micros,
+    {ratio('n_hash', 'n_words')} AS hash_ratio_micros,
+    {ratio('n_ellipsis', 'n_words')} AS ellipsis_ratio_micros,
+    {ratio('n_bullet_lines', 'n_lines')} AS bullet_ratio_micros,
+    {ratio('n_ellipsis_lines', 'n_lines')} AS ellipsis_line_ratio_micros,
+    {ratio('n_alpha_words', 'n_words')} AS alpha_ratio_micros
+  FROM gq_counts
+),
+gq_rows AS (
+  SELECT *,
+    {", ".join(f"{expr} AS {name}" for name, expr in rules.items())},
+    ({keep}) AS gopher_keep
+  FROM gq_ratios
+),
+gq_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gq_rows,
+         CAST(COALESCE(SUM({hash32(ck)}), 0) AS BIGINT) AS gq_ck
+  FROM gq_rows
+)"""
+
+
 #: ntile quality binning (deterministic total order), aggregated to the
 #: 4 bin rows.
 QUALITY_BINS_SQL = f"""WITH scored AS (
@@ -895,7 +1008,8 @@ pps_parity AS (
 )"""
 
 
-STRATIFIED_SAMPLE_SQL = f"""WITH b AS (
+STRATIFIED_SAMPLE_SQL = f"""WITH {gopher_ctes()},
+b AS (
   SELECT doc_id, lang,
          {hash32("'sample:v1' || CAST(doc_id AS VARCHAR)")} AS hb
   FROM documents
@@ -942,9 +1056,9 @@ samp AS (
   FROM copies WHERE n_copies > 0
 )
 SELECT samp.*, c4p.n_c4_rows, c4p.c4_ck, pp.n_para_rows, pp.para_ck,
-       psp.n_pps_rows, psp.pps_ck
+       psp.n_pps_rows, psp.pps_ck, gp.n_gq_rows, gp.gq_ck
 FROM samp CROSS JOIN c4_parity c4p CROSS JOIN para_parity pp
-CROSS JOIN pps_parity psp"""
+CROSS JOIN pps_parity psp CROSS JOIN gq_parity gp"""
 
 #: eval-contamination scan: test docs sharing any 5-shingle with a train
 #: doc (split replayed from the same md5 edges).

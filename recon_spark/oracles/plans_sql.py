@@ -326,8 +326,76 @@ mgg_parity AS (
 )"""
 
 
+def cm_parity_ctes(
+    depth: int | None = None,
+    width: int | None = None,
+    query_mod: int | None = None,
+) -> str:
+    """Count-Min sketch replay (operators/sketches.cm_cells /
+    cm_point_estimates, r14): the full depth x width cell grid rebuilt
+    from scratch (same md5 'cm<r>#' seeds, same modulo), plus the
+    point-estimate verdicts — true counts, min-over-rows estimates and
+    the overcount — for the deterministic md5 %% query_mod domain
+    sample. Every quantity is an exact BIGINT (cell sums are
+    partition-invariant, which is why this sketch alone in the family
+    can be oracle-graded end-to-end). Factored so the differential fuzz
+    (tests/test_cm.py) runs the identical replay over random corpora."""
+    from ..operators import sketches as _SK
+
+    depth = _SK.CM_DEPTH if depth is None else depth
+    width = _SK.CM_WIDTH if width is None else width
+    query_mod = _SK.CM_QUERY_MOD if query_mod is None else query_mod
+    probe = _hash32("'cm' || CAST(r AS VARCHAR) || '#' || item")
+    return f"""cm_src AS (
+  SELECT CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+cm_probe AS (
+  SELECT item, CAST(r AS INT) AS row,
+         CAST({probe} % {width} AS INT) AS bucket
+  FROM cm_src CROSS JOIN (SELECT unnest(range({depth})) AS r)
+),
+cm_cells AS MATERIALIZED (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cm_probe GROUP BY 1, 2
+),
+cm_truth AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM cm_src
+  WHERE {_hash32("'cmq#' || item")} % {query_mod} = 0
+  GROUP BY 1
+),
+cm_qprobe AS (
+  SELECT item, true_cnt, CAST(r AS INT) AS row,
+         CAST({probe} % {width} AS INT) AS bucket
+  FROM cm_truth CROSS JOIN (SELECT unnest(range({depth})) AS r)
+),
+cm_verdicts AS (
+  SELECT item, true_cnt,
+         CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est,
+         CAST(min(coalesce(cnt, 0)) - true_cnt AS BIGINT) AS overcount
+  FROM cm_qprobe LEFT JOIN cm_cells USING (row, bucket)
+  GROUP BY 1, 2
+),
+cm_parity AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM cm_cells) AS n_cm_cells,
+    (SELECT CAST(COALESCE(SUM({_hash32(
+        "CAST(row AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)"
+        " || '|' || CAST(cnt AS VARCHAR)"
+    )}), 0) AS BIGINT) FROM cm_cells) AS cm_ck,
+    (SELECT CAST(count(*) AS BIGINT) FROM cm_verdicts) AS n_cmq_rows,
+    (SELECT CAST(COALESCE(SUM({_hash32(
+        "item || '|' || CAST(true_cnt AS VARCHAR)"
+        " || '|' || CAST(est AS VARCHAR)"
+        " || '|' || CAST(overcount AS VARCHAR)"
+    )}), 0) AS BIGINT) FROM cm_verdicts) AS cmq_ck
+)"""
+
+
 USER_REACH_SQL = f"""WITH {zorder_parity_ctes()},
 {mgg_parity_ctes()},
+{cm_parity_ctes()},
 ur AS (
   SELECT
     event_type,
@@ -338,8 +406,10 @@ ur AS (
   WHERE ts IS NOT NULL
   GROUP BY event_type
 )
-SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck, mp.n_mgg_rows, mp.mgg_ck
-FROM ur CROSS JOIN z_parity zp CROSS JOIN mgg_parity mp"""
+SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck, mp.n_mgg_rows, mp.mgg_ck,
+       cp.n_cm_cells, cp.cm_ck, cp.n_cmq_rows, cp.cmq_ck
+FROM ur CROSS JOIN z_parity zp CROSS JOIN mgg_parity mp
+CROSS JOIN cm_parity cp"""
 
 #: stream-stream interval join replay: with availableNow over complete
 #: data, an INNER stream-stream join emits exactly the batch inequality

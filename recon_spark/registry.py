@@ -974,7 +974,23 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r13)
     while _HH._STAGED:
         _stage_persist(_HH._STAGED.pop())
-    return out.crossJoin(F.broadcast(z_parity)).crossJoin(F.broadcast(hh_parity))
+    # round-14 fold: the Count-Min sketch (operators/sketches.cm_cells /
+    # cm_point_estimates — the one sketch whose state is EXACTLY
+    # partition-invariant, so the full cell grid AND the point-estimate
+    # verdicts incl. the never-undercount overcounts are
+    # oracle-replayable; plans_sql.cm_parity_ctes). Rides as
+    # (n_cm_cells, cm_ck, n_cmq_rows, cmq_ck) over events.user_id with
+    # the deterministic md5 % CM_QUERY_MOD query sample.
+    from .operators import sketches as _SK
+
+    cm_parity = _SK.cm_parity(ev, "user_id")
+    while _SK._STAGED:
+        _stage_persist(_SK._STAGED.pop())
+    return (
+        out.crossJoin(F.broadcast(z_parity))
+        .crossJoin(F.broadcast(hh_parity))
+        .crossJoin(F.broadcast(cm_parity))
+    )
 
 
 @register("streaming_click_purchase_join", plans_sql.STREAM_JOIN_SQL)
@@ -1188,6 +1204,7 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LLM-data-pipeline operators (text / dedup / similarity / multimodal) ----
 
 from .operators import dedup as DD  # noqa: E402
+from .operators import gopher as GOPHER  # noqa: E402
 from .operators import multimodal, similarity  # noqa: E402
 from .operators import text as T  # noqa: E402
 from .oracles import llm_sql  # noqa: E402
@@ -1672,6 +1689,14 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("copy_idx").cast("int").alias("k"),
     )
+    # round-14 fold: the Gopher A1.1 document-level quality-rule battery
+    # (operators/gopher.py — the MassiveText pre-filter set, pure column
+    # algebra, zero shuffles) rides as (n_gq_rows, gq_ck): the oracle
+    # recomputes every counter, micros ratio and rule verdict from the
+    # raw text (llm_sql.gopher_ctes). Hosted on this unbenched row next
+    # to its document-level sibling, the C4 line-filter fold; the
+    # battery's wall time is priced standalone in bench.py
+    # (gopher_quality entry).
     out = (
         strat.unionByName(mix)
         .crossJoin(F.broadcast(_lines.c4_parity(docs)))
@@ -1683,6 +1708,7 @@ def q_data_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        .crossJoin(F.broadcast(GOPHER.gopher_parity(docs)))
     )
     # pps_sample + its bottom-k stage persisted frames internally; hand
     # the handles to the registry's release mechanism so session hygiene
