@@ -174,7 +174,24 @@ HEADLINE = [
     # partition regardless of item cardinality); cells + verdicts graded
     # at sf0.01 as the parity fold inside analytics_user_reach
     "cm_sketch_events",
+    # rank-order char-n-gram language ID (operators/langid.py, r14,
+    # Cavnar & Trenkle 1994): train-split profiles -> broadcast-join
+    # scoring -> hot-safe argmin; the full verdict table is graded at
+    # sf0.01 as the parity fold inside data_contamination_check
+    "langid_rank",
 ]
+
+
+def _q_langid_rank(spark, sf_dir):
+    from recon_spark.operators import langid as LID
+    from recon_spark.sources.tpch import load
+
+    # single-split fixture parquet -> repartition before the gram
+    # explode (registry.docs_aug r12 note)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return LID.langid_verdicts(docs)
 
 
 def _q_cm_sketch_events(spark, sf_dir):
@@ -578,6 +595,7 @@ EXTRA_QUERIES = {
     "pmi_collocations": _q_pmi_collocations,
     "gopher_quality": _q_gopher_quality,
     "cm_sketch_events": _q_cm_sketch_events,
+    "langid_rank": _q_langid_rank,
     "pps_weighted_sample": _q_pps_sample,
     "mg_heavy_hitters": _q_mg_heavy_hitters,
     "profile_lineitem": _q_profile_lineitem,

@@ -1114,6 +1114,92 @@ pmi_parity AS (
 )"""
 
 
+def langid_ctes(k: int | None = None) -> str:
+    """Rank-order langid replay (operators/langid.py, Cavnar & Trenkle
+    1994): the 'train' hash split, '_'-padded char 1..3-gram explosion,
+    both (count DESC, gram ASC) rankings, the out-of-place penalty
+    algebra and the (dist, lang) argmin — all integer, rebuilt from
+    scratch. Factored so the differential fuzz (tests/test_langid.py)
+    runs the identical replay over random corpora."""
+    from ..operators import langid as LID
+
+    k = LID.LANGID_PROFILE_K if k is None else k
+    ns = "[" + ", ".join(
+        str(n) for n in range(1, LID.LANGID_NGRAM_MAX + 1)
+    ) + "]"
+    split_hash = hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")
+    ck_parts = ["CAST(doc_id AS VARCHAR)"] + [
+        f"coalesce(CAST({c} AS VARCHAR), '~')" for c in LID.LANGID_COLUMNS
+    ]
+    ck = " || '|' || ".join(ck_parts)
+    return f"""lid_base AS MATERIALIZED (
+  SELECT doc_id, lang,
+    CASE WHEN {split_hash} < {_SAMP.TRAIN_EDGE} THEN 'train'
+         WHEN {split_hash} < {_SAMP.VAL_EDGE} THEN 'val'
+         ELSE 'test' END AS split,
+    {tokens('text')} AS toks
+  FROM documents
+),
+lid_words AS (
+  SELECT doc_id, lang, split, '_' || unnest(toks) || '_' AS p FROM lid_base
+),
+lid_grams AS MATERIALIZED (
+  SELECT doc_id, lang, split, substr(p, CAST(i AS INT), CAST(n AS INT)) AS g
+  FROM (
+    SELECT *, unnest(range(1, length(p) - n + 2)) AS i
+    FROM lid_words CROSS JOIN (SELECT unnest({ns}) AS n)
+  )
+),
+lid_prof AS MATERIALIZED (
+  SELECT lang, g, pr FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g) AS pr
+    FROM (SELECT lang, g, count(*) AS cnt FROM lid_grams
+          WHERE split = 'train' AND lang IS NOT NULL GROUP BY 1, 2)
+  ) WHERE pr <= {k}
+),
+lid_doc_top AS MATERIALIZED (
+  SELECT doc_id, g, dr FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS dr
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM lid_grams GROUP BY 1, 2)
+  ) WHERE dr <= {k}
+),
+lid_doc_n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_top FROM lid_doc_top GROUP BY 1
+),
+lid_langs AS (SELECT DISTINCT lang FROM lid_prof),
+lid_matched AS (
+  SELECT dt.doc_id, p.lang,
+         CAST(sum(abs(dt.dr - p.pr)) AS BIGINT) AS msum,
+         CAST(count(*) AS BIGINT) AS mcnt
+  FROM lid_doc_top dt JOIN lid_prof p USING (g) GROUP BY 1, 2
+),
+lid_cand AS (
+  SELECT n.doc_id, l.lang,
+         CAST(coalesce(m.msum, 0)
+              + (n.n_top - coalesce(m.mcnt, 0)) * {k} AS BIGINT) AS dist
+  FROM lid_doc_n n CROSS JOIN lid_langs l
+  LEFT JOIN lid_matched m ON m.doc_id = n.doc_id AND m.lang = l.lang
+),
+lid_best AS (
+  SELECT doc_id, lang AS pred_lang, dist AS best_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+    FROM lid_cand
+  ) WHERE rn = 1
+),
+lid_verdicts AS (
+  SELECT b.doc_id, b.lang AS true_lang, b.split, v.pred_lang, v.best_dist,
+         (v.pred_lang = b.lang) AS correct
+  FROM lid_base b LEFT JOIN lid_best v USING (doc_id)
+),
+lid_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lid_rows,
+         CAST(COALESCE(SUM({hash32(ck)}), 0) AS BIGINT) AS lid_ck
+  FROM lid_verdicts
+)"""
+
+
 CONTAMINATION_SQL = f"""WITH labeled AS (
   SELECT doc_id, text,
     CASE WHEN {hash32(f"'{_SAMP.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} < {_SAMP.TRAIN_EDGE} THEN 'train'
@@ -1158,22 +1244,25 @@ nfc_parity AS (
          )}), 0) AS BIGINT) AS nfc_ck
   FROM nfc_verdicts
 ),
-{pmi_ctes()}
+{pmi_ctes()},
+{langid_ctes()}
 SELECT h.id, h.n_shared, h.n_distinct_shared, t.n_shingles,
        CAST(round(CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles * 1000000)
             AS BIGINT) AS overlap_micros,
        (CAST(h.n_distinct_shared AS DOUBLE) / t.n_shingles
         >= CAST({_SAMP.CONTAM_FRAC} AS DOUBLE)) AS contaminated,
-       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck
+       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck,
+       lp.n_lid_rows, lp.lid_ck
 FROM hits h JOIN test_totals t USING (id) CROSS JOIN nfc_parity np
-CROSS JOIN pmi_parity pp
+CROSS JOIN pmi_parity pp CROSS JOIN lid_parity lp
 UNION ALL
 -- sentinel row: the NFC certificate must survive a zero-hit corpus
 -- (ADVICE r12 — an empty hits frame would otherwise vacate the fold)
 SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE,
-       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck
-FROM nfc_parity np CROSS JOIN pmi_parity pp"""
+       np.n_nfc_rows, np.nfc_ck, pp.n_pmi_rows, pp.pmi_ck,
+       lp.n_lid_rows, lp.lid_ck
+FROM nfc_parity np CROSS JOIN pmi_parity pp CROSS JOIN lid_parity lp"""
 
 #: DEDUP_EXACT_SQL is defined below SIMHASH_PAIRS_SQL — since round 8 it
 #: carries the SimHash banded-pair-join parity fold and reuses its CTEs.

@@ -1765,7 +1765,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hand the handles to the registry's release mechanism
     while T._STAGED:
         _stage_persist(T._STAGED.pop())
-    sentinel = parity.crossJoin(pmi).select(
+    # round-14 fold: rank-order char-n-gram language ID
+    # (operators/langid.py, Cavnar & Trenkle 1994 — profiles trained on
+    # the same deterministic hash split this row already replays) rides
+    # as (n_lid_rows, lid_ck): the full verdict table — split, padded
+    # gram explosion, both rankings, out-of-place penalties, (dist,
+    # lang) argmin — recomputed from scratch by llm_sql.langid_ctes.
+    # Fixture labels are uncorrelated with the synthetic text, so the
+    # fold certifies the MECHANICS; discriminative power is
+    # pytest-graded on planted multilingual corpora (test_langid).
+    from .operators import langid as _LID
+
+    lid = F.broadcast(_stage_persist(_LID.langid_parity(docs)))
+    sentinel = parity.crossJoin(pmi).crossJoin(lid).select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),
         F.lit(0).cast("long").alias("n_distinct_shared"),
@@ -1776,11 +1788,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nfc_ck",
         "n_pmi_rows",
         "pmi_ck",
+        "n_lid_rows",
+        "lid_ck",
     )
     return (
         sampling.contamination_check(docs)
         .crossJoin(parity)
         .crossJoin(pmi)
+        .crossJoin(lid)
         .unionByName(sentinel)
     )
 
