@@ -125,15 +125,14 @@ def _ratio_micros(num: Column, den: Column) -> Column:
     )
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document Gopher A1.1 battery: ``doc_id`` + the
-    ``GOPHER_COLUMNS`` substrate (exact BIGINT counters, micros ratios,
-    seven rule verdicts, ``gopher_keep``).
+def with_gopher_battery(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the full battery (``GOPHER_COLUMNS``) to the input frame,
+    keeping every input column — the zero-shuffle form the corpus
+    pipeline filters on inline (no semi-join back). Input columns must
+    not collide with the battery names.
 
     Scale shape: one narrow projection over the scan — the word/line
-    arrays live inside a single ``select`` and never shuffle; the output
-    is one row per document. Compose with ``plans.corpus`` the same way
-    as the C4 line filter (drop where ``NOT gopher_keep``).
+    arrays live inside a single ``select`` and never shuffle.
     """
     s = F.coalesce(_c(text_col).cast("string"), F.lit(""))
     words = F.filter(F.split(s, WS_CLASS), lambda w: w != "")
@@ -164,7 +163,7 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     ).cast("long")
     sub = docs.select(
-        "doc_id",
+        "*",
         F.size(words).cast("long").alias("n_words"),
         F.aggregate(
             F.transform(words, lambda w: F.length(w).cast("long")),
@@ -221,6 +220,17 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for name in rules:
         keep = keep & F.col(name)
     return out.select("*", keep.alias("gopher_keep"))
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher A1.1 battery: ``id_col`` + the
+    ``GOPHER_COLUMNS`` substrate (exact BIGINT counters, micros ratios,
+    seven rule verdicts, ``gopher_keep``) — the graded-table shape.
+    Compose with ``plans.corpus`` via :func:`with_gopher_battery`
+    (``gopher_rules=True``) to drop where ``NOT gopher_keep``."""
+    return with_gopher_battery(docs, text_col).select(id_col, *GOPHER_COLUMNS)
 
 
 def gopher_reject_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -42,6 +42,7 @@ def build_training_corpus(
     c4_lines: bool = False,
     dedup_paras: bool = False,
     unicode_form: str | None = None,
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -97,6 +98,13 @@ def build_training_corpus(
     rules, so documents can be REMOVED here, not just edited) and
     Dolma-style keep-first paragraph dedup. Both are pure column
     algebra: zero shuffle, evaluated inline in the scan stage.
+
+    ``gopher_rules`` (round 14) inserts the full Gopher A1.1
+    document-level battery (operators/gopher.py — the MassiveText rule
+    set, oracle-graded through the data_sample_stratified fold) after
+    the text-editing stages and before the legacy 3-flag quality
+    filter; the keep verdict is appended inline to the scan, so the
+    stage costs zero shuffles.
 
     ``bpe_merges`` (round 12) swaps the packing stage's token budget
     from the whitespace proxy to TRAINED-BPE subword counts
@@ -200,6 +208,21 @@ def build_training_corpus(
             docs, k=boilerplate_spans, id_col=id_col, text_col=text_col
         ).select(
             F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
+        )
+
+    if gopher_rules:
+        # Gopher A1.1 battery (round 14, operators/gopher.py): the
+        # MassiveText document-level rule set as an opt-in filter,
+        # applied AFTER the text-editing stages so the rules judge the
+        # text that will actually train. Pure column algebra appended
+        # inline (with_gopher_battery) — the keep verdict rides the
+        # scan, no semi-join back, no shuffle.
+        from ..operators import gopher as GOP
+
+        docs = (
+            GOP.with_gopher_battery(docs, text_col)
+            .filter(F.col("gopher_keep"))
+            .select(id_col, text_col)
         )
 
     toks = F.col("__toks")

@@ -421,3 +421,27 @@ def test_unicode_twins_through_pipeline(spark):
     # fingerprint (under-deletion: raw is exactly twice the NFC count);
     # with NFC each pair collapses to one survivor
     assert nfc > 0 and raw == 2 * nfc and nfc <= n_pairs
+
+
+def test_gopher_rules_stage(spark):
+    """A bullet-wall document passes the legacy 3-flag filter (plenty of
+    tokens, sane word lengths, low punctuation) but fails Gopher rule 4;
+    gopher_rules=True drops it, the default keeps it, and every other
+    survivor is unaffected."""
+    docs = _docs(spark)
+    bullets = "\n".join(f"- item {i} alpha beta gamma" for i in range(25))
+    docs = docs.unionByName(
+        spark.createDataFrame([(920, bullets)], "doc_id long, text string")
+    )
+    base = {r["doc_id"] for r in corpus.build_training_corpus(docs, budget=64).collect()}
+    gop = {
+        r["doc_id"]
+        for r in corpus.build_training_corpus(
+            docs, budget=64, gopher_rules=True
+        ).collect()
+    }
+    assert 920 in base
+    assert 920 not in gop
+    # the battery also rejects the short synthetic docs (word count < 50
+    # where the legacy filter's floor is 5 tokens) — but never ADDS docs
+    assert gop <= base
