@@ -611,9 +611,68 @@ NEAR_MISS_CTES = near_miss_ctes(plant=True)
 #: prof_ck — operators/profile.py over the documents table) and the
 #: near-miss audit columns (n_nearmiss, nearmiss_ck — plans/quality.
 #: near_miss_audit) ride on every row, the zero-slot fold convention.
+def blocklist_parity_ctes(phrases: tuple[str, ...] | None = None) -> str:
+    """Phrase-blocklist replay (operators/blocklist.py, r14): the same
+    sorted phrase list tokenized by the same rule, occurrence counts as
+    slice-equality over every start position, and the verdict columns
+    incl. the comma-joined sorted hit-term string — all rebuilt from
+    raw text. Factored so the differential fuzz (tests/test_blocklist)
+    runs the identical replay over random corpora."""
+    from ..operators import blocklist as BL
+    from .llm_sql import tokens as _tokens
+
+    plist = BL.phrase_tokens(phrases or BL.DEFAULT_BLOCKLIST)
+    toks = _tokens("coalesce(CAST(text AS VARCHAR), '')")
+
+    def cnt(pt: tuple[str, ...]) -> str:
+        k = len(pt)
+        lit = "[" + ", ".join(f"'{t}'" for t in pt) + "]"
+        return (
+            f"CAST(len(list_filter(range(1, len(toks) - {k} + 2),"
+            f" i -> toks[i:i + {k - 1}] = {lit})) AS BIGINT)"
+        )
+
+    c_cols = ", ".join(
+        f"{cnt(pt)} AS c{i}" for i, (_, pt) in enumerate(plist)
+    )
+    n_hits = " + ".join(f"c{i}" for i in range(len(plist)))
+    n_hit_terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(plist))
+    )
+    terms_list = ", ".join(
+        f"(CASE WHEN c{i} > 0 THEN '{p}' END)" for i, (p, _) in enumerate(plist)
+    )
+    return f"""bl_counts AS (
+  SELECT doc_id, {c_cols}
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+bl_rows AS (
+  SELECT doc_id,
+    CAST({n_hits} AS BIGINT) AS n_hits,
+    CAST({n_hit_terms} AS BIGINT) AS n_hit_terms,
+    (({n_hit_terms}) > 0) AS hit,
+    (CASE WHEN ({n_hit_terms}) > 0 THEN
+       array_to_string(list_filter([{terms_list}], x -> x IS NOT NULL), ',')
+     END) AS hit_terms
+  FROM bl_counts
+),
+bl_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bl_rows,
+         CAST(COALESCE(SUM({_hash32(
+             "CAST(doc_id AS VARCHAR)"
+             " || '|' || CAST(n_hits AS VARCHAR)"
+             " || '|' || CAST(n_hit_terms AS VARCHAR)"
+             " || '|' || CAST(hit AS VARCHAR)"
+             " || '|' || coalesce(hit_terms, '~')"
+         )}), 0) AS BIGINT) AS bl_ck
+  FROM bl_rows
+)"""
+
+
 WARNING_METRICS_SQL = f"""{_CLEAN_PRELUDE},
 {profile_parity_ctes()},
 {NEAR_MISS_CTES},
+{blocklist_parity_ctes()},
 cov AS (
   SELECT CAST(count(*) AS BIGINT) AS n_left,
          CAST(count(rk.hit) AS BIGINT) AS n_matched
@@ -668,8 +727,9 @@ m AS (
   ) cnt USING (digit)
 )
 SELECT source, metric, n, pf.n_prof_rows, pf.prof_ck,
-       nmp.n_nearmiss, nmp.nearmiss_ck
-FROM m CROSS JOIN prof_parity pf CROSS JOIN nm_parity nmp"""
+       nmp.n_nearmiss, nmp.nearmiss_ck, blp.n_bl_rows, blp.bl_ck
+FROM m CROSS JOIN prof_parity pf CROSS JOIN nm_parity nmp
+CROSS JOIN bl_parity blp"""
 
 
 # --- stateful streaming oracles ----------------------------------------------

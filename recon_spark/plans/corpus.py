@@ -43,6 +43,7 @@ def build_training_corpus(
     dedup_paras: bool = False,
     unicode_form: str | None = None,
     gopher_rules: bool = False,
+    blocklist: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -105,6 +106,10 @@ def build_training_corpus(
     the text-editing stages and before the legacy 3-flag quality
     filter; the keep verdict is appended inline to the scan, so the
     stage costs zero shuffles.
+
+    ``blocklist`` (round 14) drops any document containing a listed
+    phrase (operators/blocklist.py — C4's bad-words rule), word-boundary
+    exact over the standard tokenizer; also an inline scan expression.
 
     ``bpe_merges`` (round 12) swaps the packing stage's token budget
     from the whitespace proxy to TRAINED-BPE subword counts
@@ -209,6 +214,15 @@ def build_training_corpus(
         ).select(
             F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
         )
+
+    if blocklist is not None:
+        # Phrase-blocklist content filter (round 14,
+        # operators/blocklist.py — the C4/Dolma bad-words stage): drop
+        # any document containing a listed phrase, word-boundary exact.
+        # Inline boolean expression — rides the scan, zero shuffles.
+        from ..operators import blocklist as BLK
+
+        docs = docs.filter(~BLK.blocklist_hit_expr(blocklist, text_col))
 
     if gopher_rules:
         # Gopher A1.1 battery (round 14, operators/gopher.py): the

@@ -1185,6 +1185,15 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nearmiss"),
         F.coalesce(F.sum(nm_ck), F.lit(0)).cast("long").alias("nearmiss_ck"),
     )
+    # round-14 fold: the phrase-blocklist content filter
+    # (operators/blocklist.py — C4/Dolma bad-words stage; word-boundary
+    # slice-equality matching over the standard tokenizer) rides as
+    # (n_bl_rows, bl_ck): the full per-doc verdict table over documents
+    # with the DEFAULT_BLOCKLIST demo phrases, recomputed from raw text
+    # by plans_sql.blocklist_parity_ctes.
+    from .operators import blocklist as _BL
+
+    bl_parity = _BL.blocklist_parity(_load_table(spark, sf_dir, "documents"))
     return (
         quality.build_warning_metrics(t["relius"], t["matrix"], t["demo"])
         .unionByName(cov_rows)
@@ -1198,6 +1207,7 @@ def q_warning_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(F.broadcast(nm_parity))
+        .crossJoin(F.broadcast(bl_parity))
     )
 
 
