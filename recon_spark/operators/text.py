@@ -866,3 +866,142 @@ def pmi_parity(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pmi_rows"),
         F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("pmi_ck"),
     )
+
+
+# --- token-entropy quality signals -------------------------------------------
+#
+# Shannon entropy of a document's unigram token distribution — the
+# classic gibberish/diversity signal (low entropy = keyboard mash,
+# template spam, single-token floods; entropy near ln(n_types) = evenly
+# mixed vocabulary). Complements the Gopher battery (structural rules)
+# and the repetition battery (n-gram duplication): this one reads the
+# DISTRIBUTION, not the structure.
+#
+# Float discipline (the TF-IDF/BM25 precedent): H is a left fold of
+# (c/n)*ln(c/n) over counts in TERM-ASCENDING order, negated, then
+# micros-rounded; the normalized form divides the raw (unrounded) H by
+# ln(n_types) before its own rounding. The DuckDB oracle replays the
+# identical fold (explicit list_reduce, same order), so both micros
+# land in the graded checksum.
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document ``(id_col, n_tokens, n_types, h_micros,
+    h_norm_micros)`` — the EXPLODED form (primary): one tokenize ->
+    (doc, term) groupBy, then a per-doc sorted fold over the
+    types-bounded count list. Scale shape: the groupBy is
+    map-side-combinable; the collect_list is bounded by the doc's
+    distinct-token count (the repetition_stats_exploded precedent for
+    book-length docs). Empty/null docs anchor with counts 0 and NULL
+    entropies."""
+    tf = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    per = tf.groupBy(id_col).agg(
+        F.sum("tc").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("term", "tc"))).alias("__arr"),
+    )
+    n = F.col("n_tokens")
+    h_raw = -F.aggregate(
+        F.col("__arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["tc"].cast("double") / n) * F.log(x["tc"].cast("double") / n),
+    )
+    scored = per.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        h_raw.alias("__h_raw"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("__h_raw") * 1_000_000.0).cast("long").alias("h_micros"),
+        F.when(
+            F.col("n_types") >= 2,
+            F.round(
+                F.col("__h_raw") / F.log(F.col("n_types").cast("double"))
+                * 1_000_000.0
+            ).cast("long"),
+        ).alias("h_norm_micros"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+            "h_micros",
+            "h_norm_micros",
+        )
+    )
+
+
+def token_entropy_rowlocal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Value-identical row-local twin: counts derived inside the row
+    from the token array (``transform(array_sort(array_distinct))`` +
+    filter-size), zero shuffle — the narrow-scan form for typical web
+    documents. O(n_types * n_tokens) per row, so book-length docs
+    should use the exploded primary (parity asserted in tests)."""
+    toks = tokens(F.coalesce(_c(text_col).cast("string"), F.lit("")))
+    base = docs.select(id_col, toks.alias("__toks"))
+    types = F.array_sort(F.array_distinct(F.col("__toks")))
+    n = F.size(F.col("__toks")).cast("long")
+    counts = F.transform(
+        types,
+        lambda t: F.size(F.filter(F.col("__toks"), lambda x: x == t)).cast(
+            "double"
+        ),
+    )
+    h_raw = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    n_types = F.size(types).cast("long")
+    return base.select(
+        id_col,
+        n.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.when(n > 0, F.round(h_raw * 1_000_000.0).cast("long")).alias(
+            "h_micros"
+        ),
+        F.when(
+            n_types >= 2,
+            F.round(
+                h_raw / F.log(n_types.cast("double")) * 1_000_000.0
+            ).cast("long"),
+        ).alias("h_norm_micros"),
+    )
+
+
+def entropy_parity(docs: DataFrame) -> DataFrame:
+    """1-row checksum frame over the FULL entropy table — ``(n_ent_rows,
+    ent_ck)``; the oracle recomputes counts and the pinned fold from its
+    own tf substrate (llm_sql entropy CTEs on the tfidf row)."""
+    from .dedup import _hash32
+
+    e = token_entropy(docs)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("n_types").cast("string"),
+            F.coalesce(F.col("h_micros"), F.lit(-1)).cast("string"),
+            F.coalesce(F.col("h_norm_micros"), F.lit(-1)).cast("string"),
+        )
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ent_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("ent_ck"),
+    )

@@ -706,12 +706,56 @@ dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
 nn AS (SELECT count(DISTINCT id) AS nd FROM tf)"""
 
 
+#: token-entropy replay (operators/text.token_entropy, r14): counts off
+#: the SAME tf substrate the row already replays; H = the negated
+#: left fold of (c/n)*ln(c/n) in term-ascending order (explicit
+#: list_reduce, the engine-portable float-fold convention), micros
+#: rounded; the normalized form divides the raw H by ln(n_types).
+ENT_CTES = f"""ent_agg AS (
+  SELECT id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         list(CAST(tc AS BIGINT) ORDER BY term) AS cs
+  FROM tf GROUP BY id
+),
+ent_raw AS (
+  SELECT id, n_tokens, n_types,
+    -(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(cs, c -> (CAST(c AS DOUBLE) / n_tokens)
+                               * ln(CAST(c AS DOUBLE) / n_tokens))),
+      (x, y) -> x + y)) AS h_raw
+  FROM ent_agg
+),
+ent_rows AS (
+  SELECT d.doc_id,
+         CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(r.n_types, 0) AS BIGINT) AS n_types,
+         (CASE WHEN r.id IS NOT NULL
+               THEN CAST(round(h_raw * 1000000) AS BIGINT) END) AS h_micros,
+         (CASE WHEN r.n_types >= 2
+               THEN CAST(round(h_raw / ln(CAST(r.n_types AS DOUBLE))
+                               * 1000000) AS BIGINT) END) AS h_norm_micros
+  FROM documents d LEFT JOIN ent_raw r ON r.id = d.doc_id
+),
+ent_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ent_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(doc_id AS VARCHAR)"
+             " || '|' || CAST(n_tokens AS VARCHAR)"
+             " || '|' || CAST(n_types AS VARCHAR)"
+             " || '|' || CAST(coalesce(h_micros, -1) AS VARCHAR)"
+             " || '|' || CAST(coalesce(h_norm_micros, -1) AS VARCHAR)"
+         )}), 0) AS BIGINT) AS ent_ck
+  FROM ent_rows
+)"""
+
+
 TFIDF_SQL = f"""WITH {TF_SUBSTRATE_CTES},
 {REP_CTES},
 {_FERT_CTES},
 {trained_fert_ctes()},
 {bm25_ctes()},
 {KN_CTES},
+{ENT_CTES},
 scored AS (
   SELECT tf.id, tf.term,
     (CAST(tc AS DOUBLE) / n) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0) AS s
@@ -722,7 +766,8 @@ SELECT id AS doc_id, term, CAST(rank AS INT) AS rank,
        rp.n_rep_rows, rp.rep_ck, fp.n_fert_rows, fp.fert_ck,
        tfp.n_tfert_rows, tfp.tfert_ck,
        bmp.n_bm25_rows, bmp.bm25_ck,
-       knp.n_kn_rows, knp.kn_ck
+       knp.n_kn_rows, knp.kn_ck,
+       ep.n_ent_rows, ep.ent_ck
 FROM (
   -- rank on the micros-rounded score (see operators/text.py): raw-double
   -- ln() near-ties could order differently across libm implementations
@@ -732,7 +777,8 @@ FROM (
   FROM scored
 ) CROSS JOIN rep_parity rp CROSS JOIN fert_parity fp
 CROSS JOIN tfert_parity tfp
-CROSS JOIN bm_parity bmp CROSS JOIN kn_parity knp WHERE rank <= 3"""
+CROSS JOIN bm_parity bmp CROSS JOIN kn_parity knp
+CROSS JOIN ent_parity ep WHERE rank <= 3"""
 
 #: corpus mixing table: per (lang, source) doc/token tallies + token
 #: share of corpus — the numbers a data-mixture config is built from.

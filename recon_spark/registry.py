@@ -1934,6 +1934,13 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
     from .operators import lm as _lm
 
     kn_parity = _lm.kn_parity(docs)
+    # round-14 fold: unigram token-entropy quality signal
+    # (operators/text.token_entropy — the gibberish/diversity
+    # distribution read next to Gopher's structural rules). (n_ent_rows,
+    # ent_ck) checksums the full per-doc table incl. both micros; the
+    # oracle recomputes counts and the pinned term-ascending fold off
+    # the same tf substrate it already replays (llm_sql.ENT_CTES).
+    ent_parity = T.entropy_parity(docs)
     # bm25_topk/train_kn_lm + the bottom-k stage persisted frames
     # internally; hand the handles to the registry's release mechanism
     # (the q_data_sample pattern) so session hygiene stays uniform
@@ -1948,6 +1955,7 @@ def tfidf_with_repetition_parity(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tfert_parity))
         .crossJoin(F.broadcast(bm_parity))
         .crossJoin(F.broadcast(kn_parity))
+        .crossJoin(F.broadcast(ent_parity))
     )
 
 
