@@ -144,3 +144,117 @@ def profile_parity(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_prof_rows"),
         F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("prof_ck"),
     )
+
+
+# --- equi-depth histograms ----------------------------------------------------
+#
+# The second half of the ANALYZE surface: per numeric column, k-bucket
+# equi-depth histograms (the selectivity-estimation statistic every
+# cost-based optimizer keeps — DB2/Postgres "histogram bounds",
+# Spark's own ANALYZE ... FOR COLUMNS equiheight histogram). Bucket
+# EDGES are the exact interpolated j/k percentiles computed by the
+# DISTRIBUTED two-phase rank (operators/ranking.exact_group_percentiles
+# — value-identical to quantile_cont, never a per-column sort in one
+# task); bucket MEMBERSHIP is "count of edges strictly below the
+# value", so ties land deterministically and both engines agree
+# bit-for-bit (the edge doubles are identical, so the comparisons are).
+
+#: default bucket count — a power of two so every j/k percentile is an
+#: exact dyadic literal (0.125, 0.25, ...) with no decimal-formatting
+#: drift between the two engines' SQL renderings
+HIST_K = 8
+
+
+def profile_histogram(
+    df: DataFrame, numeric_cols: Sequence[str], k: int = HIST_K
+) -> DataFrame:
+    """Equi-depth histogram per column: ``(col_name, bucket,
+    hi_micros, n)`` — bucket 0..k-1, ``hi_micros`` the micros-rounded
+    upper edge (NULL for the top bucket), ``n`` the exact member count.
+    Only non-empty buckets emit rows (ties can starve a bucket; both
+    engines apply the same rule).
+
+    Scale shape: one melt projection (rows x |cols|), the two-phase
+    percentile rank over the melted frame (no corpus-sized window —
+    the ranking.py machinery), then ONE groupBy(col, bucket) count with
+    the k-1 edge array broadcast. NULL values are excluded (the
+    profiler's count_distinct convention)."""
+    from .ranking import exact_group_percentiles
+
+    cols = list(numeric_cols)
+    ps = [j / k for j in range(1, k)]
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.col_name", "m.value").filter(F.col("value").isNotNull())
+    edges = (
+        exact_group_percentiles(melted, ["col_name"], "value", ps)
+        .groupBy("col_name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "value"))),
+                lambda s: s["value"],
+            ).alias("__es")
+        )
+    )
+    binned = (
+        melted.join(F.broadcast(edges), "col_name")
+        .select(
+            "col_name",
+            F.size(
+                F.filter(F.col("__es"), lambda e: F.col("value") > e)
+            ).alias("bucket"),
+            "__es",
+        )
+        .groupBy("col_name", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("__es").alias("__es"),
+        )
+    )
+    return binned.select(
+        "col_name",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(
+            F.col("bucket") < k - 1,
+            F.round(
+                F.element_at(F.col("__es"), F.col("bucket") + 1) * 1_000_000.0
+            ).cast("long"),
+        ).alias("hi_micros"),
+        "n",
+    )
+
+
+def histogram_parity(
+    df: DataFrame, numeric_cols: Sequence[str], k: int = HIST_K
+) -> DataFrame:
+    """1-row checksum frame over the FULL histogram — ``(n_hist_rows,
+    hist_ck)``; the oracle recomputes edges with quantile_cont (proven
+    bit-identical to the two-phase rank by the analytics_value_
+    percentiles row) and replays membership + counts
+    (plans_sql.histogram_parity_ctes)."""
+    from .dedup import _hash32
+
+    h = profile_histogram(df, numeric_cols, k)
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("col_name"),
+            F.col("bucket").cast("string"),
+            F.coalesce(F.col("hi_micros"), F.lit(-1)).cast("string"),
+            F.col("n").cast("string"),
+        )
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("hist_ck"),
+    )

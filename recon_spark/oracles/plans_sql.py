@@ -393,9 +393,63 @@ cm_parity AS (
 )"""
 
 
+#: histogram fold columns (single-sourced with the registry wiring)
+HIST_COLS = ("o_totalprice", "o_custkey")
+
+
+def histogram_parity_ctes(
+    cols: tuple[str, ...] = HIST_COLS, k: int | None = None
+) -> str:
+    """Equi-depth histogram replay (operators/profile.profile_histogram,
+    r14): edges via quantile_cont at the exact dyadic j/k percentiles
+    (bit-identical to the distributed two-phase rank — certified by the
+    analytics_value_percentiles row), membership = count of edges
+    strictly below the value, counts exact. Factored so the
+    differential fuzz (tests/test_profile.py) replays random frames."""
+    from ..operators import profile as _PR
+
+    k = _PR.HIST_K if k is None else k
+    ps = "[" + ", ".join(repr(j / k) for j in range(1, k)) + "]"
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS value"
+        f" FROM orders WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    return f"""hist_melt AS MATERIALIZED ({melt}),
+hist_edges AS (
+  SELECT col_name, quantile_cont(value, {ps}) AS es
+  FROM hist_melt GROUP BY col_name
+),
+hist_binned AS (
+  SELECT m.col_name,
+         len(list_filter(e.es, x -> m.value > x)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM hist_melt m JOIN hist_edges e USING (col_name)
+  GROUP BY 1, 2
+),
+hist_rows AS (
+  SELECT b.col_name, CAST(b.bucket AS INT) AS bucket,
+         (CASE WHEN b.bucket < {k - 1}
+               THEN CAST(round(e.es[b.bucket + 1] * 1000000) AS BIGINT)
+          END) AS hi_micros,
+         b.n
+  FROM hist_binned b JOIN hist_edges e USING (col_name)
+),
+hist_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hist_rows,
+         CAST(COALESCE(SUM({_hash32(
+             "col_name || '|' || CAST(bucket AS VARCHAR)"
+             " || '|' || CAST(coalesce(hi_micros, -1) AS VARCHAR)"
+             " || '|' || CAST(n AS VARCHAR)"
+         )}), 0) AS BIGINT) AS hist_ck
+  FROM hist_rows
+)"""
+
+
 USER_REACH_SQL = f"""WITH {zorder_parity_ctes()},
 {mgg_parity_ctes()},
 {cm_parity_ctes()},
+{histogram_parity_ctes()},
 ur AS (
   SELECT
     event_type,
@@ -407,9 +461,10 @@ ur AS (
   GROUP BY event_type
 )
 SELECT ur.*, zp.n_zorder_rows, zp.zorder_ck, mp.n_mgg_rows, mp.mgg_ck,
-       cp.n_cm_cells, cp.cm_ck, cp.n_cmq_rows, cp.cmq_ck
+       cp.n_cm_cells, cp.cm_ck, cp.n_cmq_rows, cp.cmq_ck,
+       hp.n_hist_rows, hp.hist_ck
 FROM ur CROSS JOIN z_parity zp CROSS JOIN mgg_parity mp
-CROSS JOIN cm_parity cp"""
+CROSS JOIN cm_parity cp CROSS JOIN hist_parity hp"""
 
 #: stream-stream interval join replay: with availableNow over complete
 #: data, an INNER stream-stream join emits exactly the batch inequality

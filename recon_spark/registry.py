@@ -986,10 +986,24 @@ def q_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm_parity = _SK.cm_parity(ev, "user_id")
     while _SK._STAGED:
         _stage_persist(_SK._STAGED.pop())
+    # round-14 fold #3: the profiler's equi-depth histogram
+    # (operators/profile.profile_histogram — ANALYZE's selectivity
+    # statistic; edges from the distributed two-phase percentile rank,
+    # membership by strict-below edge count). (n_hist_rows, hist_ck)
+    # over orders (plans_sql.HIST_COLS, single-sourced); the oracle
+    # recomputes edges with quantile_cont and replays membership +
+    # counts (plans_sql.histogram_parity_ctes).
+    from .operators import profile as _prof
+    from .operators import ranking as _rank
+
+    hist_parity = _prof.histogram_parity(orders, plans_sql.HIST_COLS)
+    while _rank._STAGED:
+        _stage_persist(_rank._STAGED.pop())
     return (
         out.crossJoin(F.broadcast(z_parity))
         .crossJoin(F.broadcast(hh_parity))
         .crossJoin(F.broadcast(cm_parity))
+        .crossJoin(F.broadcast(hist_parity))
     )
 
 

@@ -73,3 +73,71 @@ def test_profile_duckdb_differential_fuzz(spark):
         ).fetchone()
         con.close()
         assert (got.n_prof_rows, got.prof_ck) == exp, seed
+
+
+# --- equi-depth histogram (r14) ----------------------------------------------
+
+
+def test_histogram_hand_case(spark):
+    """Values 1..8, k=4: edges are quantile_cont at 0.25/0.5/0.75
+    (2.75, 4.5, 6.25), two rows per bucket, top bucket edge NULL."""
+    from recon_spark.operators import profile as P
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    rows = sorted(
+        (r.col_name, r.bucket, r.hi_micros, r.n)
+        for r in P.profile_histogram(df, ["v"], k=4).collect()
+    )
+    assert rows == [
+        ("v", 0, 2_750_000, 2),
+        ("v", 1, 4_500_000, 2),
+        ("v", 2, 6_250_000, 2),
+        ("v", 3, None, 2),
+    ]
+
+
+def test_histogram_tie_flood_and_nulls(spark):
+    """A constant column collapses to one bucket-0 row; NULLs excluded."""
+    from recon_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(7.0,)] * 10 + [(None,)] * 3, "v double"
+    )
+    rows = [
+        (r.bucket, r.hi_micros, r.n)
+        for r in P.profile_histogram(df, ["v"], k=4).collect()
+    ]
+    assert rows == [(0, 7_000_000, 10)]
+
+
+def test_histogram_differential_fuzz(spark):
+    """Random two-column frames through histogram_parity vs the verbatim
+    hist_parity replay (edges, membership, counts, micros)."""
+    import random
+
+    import duckdb
+
+    from recon_spark.operators import profile as P
+    from recon_spark.oracles import plans_sql
+
+    rnd = random.Random(0x415)
+    for trial in range(3):
+        rows = [
+            (
+                rnd.choice([None, rnd.uniform(-50, 50), float(rnd.randrange(5))]),
+                rnd.choice([None, rnd.randrange(1000)]),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            rows, "o_totalprice double, o_custkey long"
+        ).repartition(5)
+        got = P.histogram_parity(df, plans_sql.HIST_COLS).collect()[0]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE orders (o_totalprice DOUBLE, o_custkey BIGINT)")
+        con.executemany("INSERT INTO orders VALUES (?, ?)", rows)
+        want = con.sql(
+            f"WITH {plans_sql.histogram_parity_ctes()} SELECT * FROM hist_parity"
+        ).fetchone()
+        con.close()
+        assert (got.n_hist_rows, got.hist_ck) == want, f"trial {trial}"
