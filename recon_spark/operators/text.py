@@ -984,6 +984,31 @@ def token_entropy_rowlocal(
     )
 
 
+def entropy_norm_micros_from_tokens(toks_col: Column) -> Column:
+    """Normalized-entropy micros as a single Column over an existing
+    token-array column — the inline form the corpus pipeline filters on
+    (zero shuffle; NULL when fewer than 2 types). Same pinned fold as
+    the row-local twin."""
+    types = F.array_sort(F.array_distinct(toks_col))
+    n = F.size(toks_col).cast("long")
+    counts = F.transform(
+        types,
+        lambda t: F.size(F.filter(toks_col, lambda x: x == t)).cast("double"),
+    )
+    h_raw = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    n_types = F.size(types).cast("long")
+    return F.when(
+        n_types >= 2,
+        F.round(h_raw / F.log(n_types.cast("double")) * 1_000_000.0).cast(
+            "long"
+        ),
+    )
+
+
 def entropy_parity(docs: DataFrame) -> DataFrame:
     """1-row checksum frame over the FULL entropy table — ``(n_ent_rows,
     ent_ck)``; the oracle recomputes counts and the pinned fold from its

@@ -44,6 +44,7 @@ def build_training_corpus(
     unicode_form: str | None = None,
     gopher_rules: bool = False,
     blocklist: tuple[str, ...] | None = None,
+    entropy_min_norm: float | None = None,
 ) -> DataFrame:
     """Full corpus-prep pipeline. Returns one row per SURVIVING document:
     ``doc_id, n_tokens, split, bin_id, bin_offset`` (packing within each
@@ -110,6 +111,12 @@ def build_training_corpus(
     ``blocklist`` (round 14) drops any document containing a listed
     phrase (operators/blocklist.py — C4's bad-words rule), word-boundary
     exact over the standard tokenizer; also an inline scan expression.
+
+    ``entropy_min_norm`` (round 14) drops documents whose normalized
+    unigram token entropy falls below the threshold (gibberish/spam
+    floods; operators/text.entropy_norm_micros_from_tokens) — evaluated
+    on the same staged token array as the quality flags, zero extra
+    cost.
 
     ``bpe_merges`` (round 12) swaps the packing stage's token budget
     from the whitespace proxy to TRAINED-BPE subword counts
@@ -250,6 +257,20 @@ def build_training_corpus(
         .filter(F.size(flags) == 0)
         .withColumn("fingerprint", T.fingerprint(text_col))
     )
+    if entropy_min_norm is not None:
+        # normalized token-entropy gibberish cut (round 14,
+        # operators/text.entropy_norm_micros_from_tokens): drop docs
+        # whose unigram distribution is too concentrated (spam floods,
+        # keyboard mash). Rides the SAME staged token array as the
+        # quality flags — zero extra tokenize, zero shuffle; docs with
+        # <2 types (NULL norm) are degenerate by definition and drop.
+        thr = round(entropy_min_norm * 1_000_000)
+        clean = clean.filter(
+            F.coalesce(
+                T.entropy_norm_micros_from_tokens(F.col("__toks")) >= thr,
+                F.lit(False),
+            )
+        )
 
     # survivors feeds the LSH stage, the cluster-drop anti-join, the LM
     # scorer and the packing tail — persist so the staging + dedup

@@ -89,3 +89,50 @@ def test_differential_fuzz_vs_duckdb(spark):
         ).fetchone()
         con.close()
         assert (got.n_ent_rows, got.ent_ck) == want, f"trial {trial}"
+
+
+def test_corpus_entropy_stage(spark):
+    """build_training_corpus(entropy_min_norm=...) drops the low-entropy
+    flood doc the legacy flags keep, and only that."""
+    from recon_spark.plans import corpus
+    from tests.test_corpus import _docs
+
+    docs = _docs(spark)
+    flood = "alpha " * 120 + "beta gamma delta epsilon"
+    docs = docs.unionByName(
+        spark.createDataFrame([(940, flood)], "doc_id long, text string")
+    )
+    base = {r["doc_id"] for r in corpus.build_training_corpus(docs, budget=64).collect()}
+    ent = {
+        r["doc_id"]
+        for r in corpus.build_training_corpus(
+            docs, budget=64, entropy_min_norm=0.5
+        ).collect()
+    }
+    assert 940 in base and 940 not in ent
+    assert ent <= base
+
+
+def test_inline_expr_matches_rowlocal(spark):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import text as T
+    from tests.test_dedup_fuzz import _corpus
+
+    import random
+
+    rnd = random.Random(0xE273)
+    rows = list(_corpus(rnd, 50))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = T.tokens(F.coalesce(F.col("text").cast("string"), F.lit("")))
+    a = {
+        r.doc_id: r.m
+        for r in docs.select(
+            "doc_id", T.entropy_norm_micros_from_tokens(toks).alias("m")
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.h_norm_micros
+        for r in T.token_entropy_rowlocal(docs).collect()
+    }
+    assert a == b
