@@ -171,3 +171,82 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- perceptual-hash dedup ----------------------------------------------------
+#
+# The production image-dedup shape: encode each asset to a small
+# ORDER-BASED binary signature over its feature vector, then group
+# identical signatures (near-identical assets under brightness/scale
+# shifts hash equal — the aHash/pHash family; the pairwise-comparison
+# form is Yagnik et al. 2011's Winner-Take-All rank hash, which depends
+# only on the ORDERING of feature coefficients, not their magnitudes).
+# With the container's deterministic 8-stripe fake encoder the
+# signature is C(8,2) = 28 comparison bits; a real deployment swaps the
+# encoder (decode_* plug points) for an 8x8 DCT and gets the classic
+# 64-bit pHash — the operator shape is unchanged.
+#
+# Scale shape: signature = pure column algebra riding the feature scan;
+# dedup = ONE map-side-combinable min aggregate on the signature key +
+# an equi-join back (the exact_dedup hot-safe convention — a clique of
+# a million identical assets never serializes one task). For
+# RADIUS-based matching compose the signature with the banded Hamming
+# machinery (dedup.simhash_bands / the banded pair join) — priced there.
+
+
+def phash_signature(feat: "Column", dim: int = FEATURE_DIM) -> "Column":
+    """Order-based perceptual signature: bit b(i,j) set when
+    ``feature[i] > feature[j]`` for each ordered pair i < j. Invariant
+    to any monotone per-asset transform of the features (brightness,
+    contrast, gain) — the property that makes it a PERCEPTUAL hash.
+    Engine-exact: float32 comparisons are order-identical to the
+    oracle's double-of-float32 comparisons."""
+    acc = F.lit(0).cast("long")
+    b = 0
+    for i in range(dim):
+        for j in range(i + 1, dim):
+            acc = acc + F.when(
+                F.element_at(feat, i + 1) > F.element_at(feat, j + 1),
+                F.lit(1 << b),
+            ).otherwise(0).cast("long")
+            b += 1
+    return acc
+
+
+def phash_dedup(features: DataFrame, id_col: str = "id") -> DataFrame:
+    """Perceptual dedup over an extracted-features frame: one row per
+    asset — ``(id, ph, keeper_id, is_dup)`` with the smallest id per
+    signature kept (deterministic). Hot-safe min-agg + join; no window,
+    no pair explosion."""
+    sig = features.select(
+        F.col(id_col).alias("id"),
+        phash_signature(F.col("feature")).alias("ph"),
+    )
+    keepers = sig.groupBy("ph").agg(F.min("id").alias("keeper_id"))
+    return sig.join(keepers, "ph").select(
+        "id", "ph", "keeper_id", (F.col("id") != F.col("keeper_id")).alias("is_dup")
+    )
+
+
+def phash_parity(docs: DataFrame) -> DataFrame:
+    """1-row checksum frame over the FULL perceptual-dedup verdict table
+    for the standard attach_binary -> extract_features lineage —
+    ``(n_ph_rows, ph_ck)``; the oracle recomputes stripe features,
+    all 28 comparison bits, keeper assignment and the dup flag from raw
+    text (llm_sql phash CTEs on the frame-sample row)."""
+    from .dedup import _hash32
+
+    v = phash_dedup(extract_features(attach_binary(docs)))
+    ck = _hash32(
+        F.concat_ws(
+            "|",
+            F.col("id").cast("string"),
+            F.col("ph").cast("string"),
+            F.col("keeper_id").cast("string"),
+            F.col("is_dup").cast("string"),
+        )
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ph_rows"),
+        F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias("ph_ck"),
+    )

@@ -1760,6 +1760,40 @@ FROM f"""
 #: stride picks j*(total-1)//2 are pure integer arithmetic on both sides.
 _FB = 64  # multimodal.FRAME_BYTES
 
+#: perceptual-hash replay (operators/multimodal.phash_signature /
+#: phash_dedup, r14): the 28 pairwise-comparison bits over the same
+#: stripe features MULTIMODAL_FEATURES_SQL replays, keeper = min id per
+#: signature, dup flag — all integer/float32-order exact.
+_PHASH_SIG = " + ".join(
+    f"(CASE WHEN {_f32(f'feat[{i + 1}]')} > {_f32(f'feat[{j + 1}]')}"
+    f" THEN {1 << b} ELSE 0 END)"
+    for b, (i, j) in enumerate(
+        (i, j) for i in range(8) for j in range(i + 1, 8)
+    )
+)
+
+_PHASH_CTES = f"""ph_feat AS (
+  SELECT id, list_transform(range(0, 8), i -> {_STRIPE}) AS feat
+  FROM (SELECT doc_id AS id, text, length(text) AS n FROM documents)
+),
+ph_sig AS MATERIALIZED (
+  SELECT id, CAST({_PHASH_SIG} AS BIGINT) AS ph FROM ph_feat
+),
+ph_keep AS (SELECT ph, min(id) AS keeper_id FROM ph_sig GROUP BY ph),
+ph_rows AS (
+  SELECT s.id, s.ph, k.keeper_id, (s.id <> k.keeper_id) AS is_dup
+  FROM ph_sig s JOIN ph_keep k USING (ph)
+),
+ph_parity AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ph_rows,
+         CAST(COALESCE(SUM({hash32(
+             "CAST(id AS VARCHAR) || '|' || CAST(ph AS VARCHAR)"
+             " || '|' || CAST(keeper_id AS VARCHAR)"
+             " || '|' || CAST(is_dup AS VARCHAR)"
+         )}), 0) AS BIGINT) AS ph_ck
+  FROM ph_rows
+)"""
+
 MULTIMODAL_FRAMES_SQL = f"""WITH b AS (
   SELECT doc_id AS id, text, length(text) AS n FROM documents
 ),
@@ -1771,13 +1805,15 @@ picks AS (
     unnest(list_sort(list_distinct([0, (total - 1) // 2, total - 1]))) AS fi,
     text
   FROM fr
-)
+),
+{_PHASH_CTES}
 SELECT id,
   CAST(fi AS INT) AS frame_idx,
   CAST(total AS INT) AS total_frames,
   CAST(length(substr(text, fi * {_FB} + 1, {_FB})) AS BIGINT) AS frame_len,
-  md5(substr(text, fi * {_FB} + 1, {_FB})) AS frame_md5
-FROM picks"""
+  md5(substr(text, fi * {_FB} + 1, {_FB})) AS frame_md5,
+  pp.n_ph_rows, pp.ph_ck
+FROM picks CROSS JOIN ph_parity pp"""
 
 
 #: (the standalone MULTIMODAL_RESIZED_SQL was folded into

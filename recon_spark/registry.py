@@ -2664,16 +2664,25 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (video-ingestion shape): constant fan-out
     mapInPandas stage; graded on frame geometry + content checksum so the
-    sampled bytes themselves are value-checked."""
+    sampled bytes themselves are value-checked.
+
+    Round-14 fold: perceptual-hash dedup
+    (multimodal.phash_signature/phash_dedup — the production image-dedup
+    shape: 28 pairwise-comparison bits over the extracted features,
+    min-id keeper per signature via a hot-safe aggregate). (n_ph_rows,
+    ph_ck) checksums the full verdict table; the oracle recomputes
+    stripe features, every comparison bit, keeper assignment and the
+    dup flag from raw text (llm_sql._PHASH_CTES)."""
     docs = _load_table(spark, sf_dir, "documents")
     frames = multimodal.sample_frames(multimodal.attach_binary(docs))
+    ph = F.broadcast(_stage_persist(multimodal.phash_parity(docs)))
     return frames.select(
         "id",
         "frame_idx",
         "total_frames",
         F.length("frame").cast("long").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
-    )
+    ).crossJoin(ph)
 
 
 @register("analytics_event_funnel", plans_sql.FUNNEL_SQL)

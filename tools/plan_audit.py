@@ -48,6 +48,12 @@ AUDITED = [
     "dedup_exact_documents",
     # bench EXTRA (non-registry): the ExactSubstr operator standalone
     "exact_substr_dedup",
+    # r14: the four-fold user-reach row (z-order + streaming MG + the
+    # Count-Min grid + the equi-depth histogram ride it)
+    "analytics_user_reach",
+    # r14 bench EXTRAs: the Gopher battery and rank-order langid
+    "gopher_quality",
+    "langid_rank",
 ]
 
 #: hand-written 100 TB notes surfaced next to each measured plan
@@ -421,3 +427,32 @@ NOTES["text_tfidf_top_terms"] = NOTES["text_tfidf_top_terms"].rstrip() + (
 
 if __name__ == "__main__":
     main()
+
+NOTES["analytics_user_reach"] = (
+    "One exact distinct aggregate over events plus FOUR broadcast 1-row "
+    "parity folds: the z-order interleave (pure projection over orders), "
+    "the streaming Misra-Gries replay (per-batch <= k-row fragments), "
+    "the Count-Min grid (one explode of depth probe structs -> one "
+    "groupBy onto the FIXED depth*width key space — shuffle bounded by "
+    "construction whatever the item cardinality), and the equi-depth "
+    "histogram (two-phase percentile rank: distribution aggregate + "
+    "bucket-offset cumsum on the bucket frame only, then one "
+    "broadcast-edges groupBy). Nothing corpus-sized crosses a window."
+)
+
+NOTES["gopher_quality"] = (
+    "The whole A1.1 battery is ONE narrow projection riding the scan — "
+    "word/line arrays, occurrence counts and every rule verdict are "
+    "column algebra in a single select; zero exchanges in the per-doc "
+    "plan (asserted in test_gopher). At 100 TB this is a free passenger "
+    "on whatever pass reads the text."
+)
+
+NOTES["langid_rank"] = (
+    "Gram fan-out rides the scan (two explodes + map-side-combinable "
+    "counts). The ONLY windows rank bounded groups: the language "
+    "profile ranks a vocabulary-sized (lang, gram) frame; the doc rank "
+    "partitions by doc_id. Candidate scoring joins the doc-top-K frame "
+    "to a BROADCAST |langs|*K profile; the argmin is a hot-safe "
+    "min(struct) aggregate, not a window over candidates."
+)
