@@ -425,9 +425,6 @@ NOTES["text_tfidf_top_terms"] = NOTES["text_tfidf_top_terms"].rstrip() + (
 )
 
 
-if __name__ == "__main__":
-    main()
-
 NOTES["analytics_user_reach"] = (
     "One exact distinct aggregate over events plus FOUR broadcast 1-row "
     "parity folds: the z-order interleave (pure projection over orders), "
@@ -456,3 +453,7 @@ NOTES["langid_rank"] = (
     "to a BROADCAST |langs|*K profile; the argmin is a hot-safe "
     "min(struct) aggregate, not a window over candidates."
 )
+
+
+if __name__ == "__main__":
+    main()
