@@ -102,7 +102,8 @@ def test_tfidf_repetition_fold_differential_fuzz(spark):
             (r.doc_id, r.term, r.rank, r.tfidf_micros,
              r.n_rep_rows, r.rep_ck, r.n_fert_rows, r.fert_ck,
              r.n_tfert_rows, r.tfert_ck,
-             r.n_bm25_rows, r.bm25_ck, r.n_kn_rows, r.kn_ck)
+             r.n_bm25_rows, r.bm25_ck, r.n_kn_rows, r.kn_ck,
+             r.n_ent_rows, r.ent_ck)
             for r in registry.tfidf_with_repetition_parity(docs).collect()
         )
         registry.release_staged_frames()

@@ -132,9 +132,13 @@ def test_zero_hit_corpus_keeps_nfc_certificate(spark, tmp_path):
     from recon_spark.oracles import llm_sql
 
     # every doc < 5 tokens -> no 5-shingles -> hits is provably empty;
-    # decomposed accents so the NFC pass has real work to certify
-    rows = [(i, f"doc {i} cafe\u0301") for i in range(20)] + [(99, None)]
-    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+    # decomposed accents so the NFC pass has real work to certify.
+    # lang column: the r14 langid fold rides this row (the r13
+    # fertility-fold precedent on the tfidf fuzz frame)
+    rows = [
+        (i, ["en", "de", None][i % 3], f"doc {i} cafe\u0301") for i in range(20)
+    ] + [(99, "en", None)]
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
         tmp_path / "documents.parquet"
     )
     out = registry.QUERIES["data_contamination_check"](spark, str(tmp_path))
