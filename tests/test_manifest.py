@@ -95,14 +95,22 @@ def test_instrumentation_adds_no_jobs(spark):
     # warm both plans once (fixture parquet listing etc.)
     bare().write.format("noop").mode("overwrite").save()
 
-    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    # job ids are globally monotonic, so max-id deltas count launched jobs
+    # even after the status tracker's retained-jobs eviction kicks in (a
+    # long shared session holds only the newest ~1000 ids, so len() deltas
+    # can go negative)
+    def max_job_id() -> int:
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    before = max_job_id()
     bare().write.format("noop").mode("overwrite").save()
-    bare_jobs = len(sc.statusTracker().getJobIdsForGroup(None)) - before
+    bare_jobs = max_job_id() - before
 
     out, m = manifest.instrumented_engine_a(spark, sf_dir)
-    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    before = max_job_id()
     out.write.format("noop").mode("overwrite").save()
-    observed_jobs = len(sc.statusTracker().getJobIdsForGroup(None)) - before
+    observed_jobs = max_job_id() - before
     m.report()
 
     # AQE makes absolute job counts run-dependent; the invariant that

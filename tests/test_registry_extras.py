@@ -81,6 +81,11 @@ def test_long_session_staged_persist_growth_bounded(spark):
 
     jsc = spark.sparkContext._jsc
     spark.catalog.clearCache()
+    # baseline can be non-zero in a long shared session: localCheckpoint
+    # RDDs from earlier tests survive clearCache (they live outside the
+    # SQL cache) until the ContextCleaner GCs them — measure GROWTH over
+    # the baseline, not absolute counts
+    base = jsc.getPersistentRDDs().size()
     persisting = ["text_stats", "dedup_ngram_jaccard", "dedup_exact_documents"]
     high_water = 0
     for _ in range(2):  # two laps = a long session in miniature
@@ -92,11 +97,11 @@ def test_long_session_staged_persist_growth_bounded(spark):
     # Bound = 4 since round 10: dedup_exact's Bloom-gate replay holds
     # its replay corpus + one micro-batch's fps + verdicts persists
     # concurrently mid-drain (all released before the builder returns —
-    # the zero-at-end assertion below is the leak check proper).
-    assert high_water <= 4
+    # the no-growth assertion below is the leak check proper).
+    assert high_water - base <= 4
     # two-tier contract: the ledger releases registry-staged frames;
     # operator-internal persists (dedup.py module docstring) are
     # caller-owned and fall to clearCache, as bench/check_correctness do
     assert registry.release_staged_frames() >= 1
     spark.catalog.clearCache()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= base
