@@ -906,20 +906,26 @@ def main() -> None:
                 from recon_spark.operators import dedup as _DD
                 from recon_spark.operators import dsir as _DS
                 from recon_spark.operators import exactsubstr as _ES
+                from recon_spark.operators import langid as _LI
+                from recon_spark.operators import lm as _LM
                 from recon_spark.operators import ranking as _RK
                 from recon_spark.operators import sketches as _SK
                 from recon_spark.operators import sampling as _SA
                 from recon_spark.operators import text as _TX
+                from recon_spark.plans import corpus as _CP
                 from recon_spark.plans import quality as _QL
                 from recon_spark.streaming import heavy_hitters as _HH
 
                 _ES.release_auto_staged()
                 _DD.release_staged()
                 _DS.release_staged()
+                _LI.release_staged()
+                _LM.release_staged()
                 _RK.release_staged()
                 _SK.release_staged()
                 _TX.release_staged()
                 _SA.release_staged()
+                _CP.release_staged()
                 _QL.release_staged()
                 _HH.release_staged()
         lap_times.append(lt)

@@ -128,7 +128,12 @@ def dsir_log_weights(
     log-ratio under the two Laplace-smoothed hashed-feature models.
     Docs with no features (null/empty text) anchor at log_weight 0.0.
     """
-    raw_feats = dsir_features(raw_docs, n_buckets, id_col, text_col)
+    # raw features feed BOTH the raw model's bucket counts and the
+    # scoring join — persist so the corpus tokenize/explode/groupBy runs
+    # once, not once per consumer (r14; handle in _STAGED, released by
+    # the registry/bench hooks after the consuming action)
+    raw_feats = dsir_features(raw_docs, n_buckets, id_col, text_col).persist()
+    _STAGED.append(raw_feats)
     t_counts = dsir_bucket_counts(
         dsir_features(target_docs, n_buckets, id_col, text_col)
     )

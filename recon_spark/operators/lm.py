@@ -78,13 +78,22 @@ def train_bigram_lm(
 ) -> dict[str, DataFrame]:
     """Count tables for the reference corpus: ``bigrams (w1, w2, c2)``,
     ``unigrams (w1, c1)`` (context counts, BOS included), and ``vocab``
-    (1 row: V = distinct next-tokens + 1 unseen class). Plain frames —
-    persist/write them once per reference corpus and score many."""
+    (1 row: V = distinct next-tokens + 1 unseen class).
+
+    All three derive from ONE bigram-type aggregate (persisted — handle
+    in ``_STAGED``, the :func:`train_kn_lm` lifecycle): ``c1(w1) =
+    Σ_w2 c2`` (every bigram occurrence with context ``w1`` is counted
+    exactly once on either side) and ``V = |{w2}| + 1`` are exact
+    rollups of the count table, so the corpus tokenize/explode/shuffle
+    runs once instead of once per model table per consuming action
+    (three full passes before; the scoring join re-executed each)."""
     bg = _bigrams(ref_docs, id_col, text_col, tokens_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.agg((F.count_distinct("w2") + 1).alias("v"))
-    return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    big = big.persist()
+    _STAGED.append(big)
+    unigrams = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = big.agg((F.count_distinct("w2") + 1).alias("v"))
+    return {"bigrams": big, "unigrams": unigrams, "vocab": vocab}
 
 
 def _scored_join(

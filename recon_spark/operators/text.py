@@ -786,9 +786,16 @@ def pmi_collocations(
     the unigram count table. ZERO windows — nothing ranks, so nothing
     funnels; output ordering is the caller's concern.
     """
-    toks = docs.select(tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") > 0
+    # the token-array pass feeds BOTH count tables below — persist it so
+    # the scan+tokenize runs once, not once per table (r14; the unigram
+    # and bigram explodes still run separately, but off the cached
+    # arrays instead of re-reading and re-splitting the corpus)
+    toks = (
+        docs.select(tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .persist()
     )
+    _STAGED.append(toks)
     # both count tables are vocabulary-bounded and each is read by
     # multiple consumers (totals + the joins back) — persist them so the
     # corpus tokenize/explode lineage runs once per table, not once per

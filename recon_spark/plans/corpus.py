@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 from ..operators import components, dedup, lm, packing, sampling
 from ..operators import text as T
 
+#: persisted text-editing substrate :func:`build_training_corpus` stages
+#: internally (r14, guide §2.4/§5): when Arrow-pass / column-algebra text
+#: edits (NFC, C4 lines, paragraph dedup) are followed by a stage whose
+#: internals consume their input twice (span_dedup / exact_substr join
+#: their fingerprint verdicts back against the same docs), the edited
+#: corpus is persisted once instead of re-running the Python-boundary
+#: map per consumer. Handles here; :func:`release_staged` (or the
+#: caller's ``spark.catalog.clearCache()``) after the consuming action.
+_STAGED: list[DataFrame] = []
+
+
+def release_staged() -> int:
+    """Unpersist every frame :func:`build_training_corpus` staged
+    internally; returns how many. Call after the consuming action."""
+    n = len(_STAGED)
+    while _STAGED:
+        _STAGED.pop().unpersist()
+    return n
+
 
 def build_training_corpus(
     docs: DataFrame,
@@ -196,6 +215,23 @@ def build_training_corpus(
             docs = LN.dedup_paragraphs(
                 docs, id_col=id_col, text_col=text_col
             ).select(id_col, F.col("clean_text").alias(text_col))
+
+    if (unicode_form is not None or c4_lines or dedup_paras) and (
+        exact_substr_tokens is not None or boilerplate_spans is not None
+    ):
+        # r14 (guide §2.4/§5): the span/exactsubstr stages below consume
+        # their input TWICE (window-fingerprint aggregate + the verdict
+        # join back), so without a cache the text-editing lineage above —
+        # including the Arrow-batched NFC map pass, the single most
+        # expensive per-row stage — executes once per consumer (the
+        # benched full build showed 10 MapInPandas nodes / 7 corpus
+        # scans in one plan). Persist the edited corpus once; the
+        # downstream pipeline reads the cache. At cluster scale this is
+        # the store-the-derived-form tradeoff the survivors cache
+        # already makes (disk-backed persist vs re-running a Python
+        # boundary pass per consumer).
+        docs = docs.persist()
+        _STAGED.append(docs)
 
     if exact_substr_tokens is not None:
         # ExactSubstr (round 11, operators/exactsubstr.py): Lee et al.

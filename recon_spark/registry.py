@@ -1371,6 +1371,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.with_split(toked).filter(F.col("split") == "train"),
         tokens_col="__toks",
     )
+    # train_bigram_lm stage-persists its bigram-type aggregate (r14
+    # optimization — one corpus pass instead of three); adopt the handle
+    # into the registry ledger (the q_tfidf pattern) for session hygiene
+    while L._STAGED:
+        _stage_persist(L._STAGED.pop())
     lm_sub = L.score_count_substrate(toked, model, tokens_col="__toks")
     # round-7 fold: the 32-bit SimHash signature (DD.with_simhash, staged
     # token-hash array) — integer-exact md5-derived bit algebra, so the
@@ -1801,6 +1806,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import langid as _LID
 
     lid = F.broadcast(_stage_persist(_LID.langid_parity(docs)))
+    # langid_verdicts stage-persists its single-explode gram-count
+    # substrate plus the twice-consumed profiles/doc_top frames (r14
+    # optimization); adopt the handles into the registry ledger
+    while _LID._STAGED:
+        _stage_persist(_LID._STAGED.pop())
     sentinel = parity.crossJoin(pmi).crossJoin(lid).select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),

@@ -99,6 +99,48 @@ def test_accuracy_rollup(spark):
     assert r.accuracy_micros == 1_000_000
 
 
+def test_fused_verdicts_match_composition(spark):
+    """r14 optimization parity: langid_verdicts' fused single-explode
+    spelling (persisted per-(doc, gram) counts, train-rollup profile)
+    must be row-identical to the spelled-out langid_profiles +
+    langid_classify composition it replaced."""
+    from recon_spark.operators.sampling import with_split
+    from tests.test_dedup_fuzz import _corpus
+
+    rnd = random.Random(0x11D3)
+    rows = []
+    for i, t in _corpus(rnd, 60):
+        rows.append((i, rnd.choice(["en", "es", "zz", None]), t))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).repartition(7)
+    k = 25
+    labeled = with_split(docs)
+    profiles = LID.langid_profiles(
+        labeled.filter(F.col("split") == "train"), k=k
+    )
+    want = {
+        r.doc_id: (r.true_lang, r.split, r.pred_lang, r.best_dist, r.correct)
+        for r in (
+            labeled.select(
+                "doc_id", F.col("lang").alias("true_lang"), "split"
+            )
+            .join(LID.langid_classify(docs, profiles, k=k), "doc_id")
+            .select(
+                "doc_id", "true_lang", "split", "pred_lang", "best_dist",
+                (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        r.doc_id: (r.true_lang, r.split, r.pred_lang, r.best_dist, r.correct)
+        for r in LID.langid_verdicts(docs, k=k).collect()
+    }
+    LID.release_staged()
+    assert got == want
+
+
 def test_differential_fuzz_vs_duckdb(spark):
     """Random ugly corpora with random labels through langid_parity vs
     the verbatim lid_parity replay — small k so the missing-gram
