@@ -242,6 +242,7 @@ def _q_lm_perplexity_filter(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from recon_spark.operators import lm, sampling
+    from recon_spark.operators import text as _text
     from recon_spark.sources.tpch import load
 
     # single-split fixture parquet -> repartition before the per-doc
@@ -249,13 +250,20 @@ def _q_lm_perplexity_filter(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # r14 (guide §2.4): ONE staged tokenize pass feeds both the train
+    # split's bigram counts and the scoring explode (the q_text_stats
+    # tokens_col pattern) — previously train re-scanned and re-tokenized
+    # the 90% train subset on top of the scorer's full pass
+    toked = docs.withColumn("__toks", _text.tokens("text")).persist()
+    lm._STAGED.append(toked)
     model = lm.train_bigram_lm(
-        sampling.with_split(docs).filter(F.col("split") == "train")
+        sampling.with_split(toked).filter(F.col("split") == "train"),
+        tokens_col="__toks",
     )
     # scored feeds the threshold percentile AND the final cut — persist so
     # the explode+join scoring lineage runs once (cache dropped by the
     # bench's per-query clearCache)
-    scored = lm.score_perplexity(docs, model).persist()
+    scored = lm.score_perplexity(toked, model, tokens_col="__toks").persist()
     cut = lm.perplexity_filter_threshold(scored, keep_fraction=0.9)
     return scored.filter(F.col("perplexity") <= cut)
 
@@ -368,9 +376,17 @@ def _q_dsir_select(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tgt = sampling.with_split(docs).filter(F.col("split") == "train")
     k = max(docs.count() // 10, 1)
-    return dsir.dsir_select(docs, tgt, k=k)
+    # r14 (guide §2.4): the target is the 'train' hash split of the SAME
+    # corpus — a pure doc_id predicate — so the predicate form derives
+    # the target model from the persisted raw feature table instead of
+    # re-running the tokenize/explode over the target half (output
+    # value-identical to the subset-frame form; pytest parity in
+    # tests/test_dsir.py)
+    train_pred = (
+        sampling.hash_bucket(F.col("doc_id")) < sampling.TRAIN_EDGE
+    )
+    return dsir.dsir_select(docs, None, k=k, target_pred=train_pred)
 
 
 def _q_ngram_prefix(spark, sf_dir):

@@ -118,16 +118,33 @@ def dsir_bucket_counts(features: DataFrame) -> DataFrame:
 
 def dsir_log_weights(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None,
     n_buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """(doc_id, n_feats, log_weight): per raw document, the importance
     log-ratio under the two Laplace-smoothed hashed-feature models.
     Docs with no features (null/empty text) anchor at log_weight 0.0.
+
+    ``target_pred`` (r14, guide §2.4 — remove a full corpus pass): when
+    the target corpus is an id-selected SUBSET of ``raw_docs`` with
+    identical text (the common "target = my curated split of this same
+    corpus" setup — e.g. ``split == 'train'``, a pure ``doc_id``
+    expression), pass the boolean predicate over ``doc_id`` instead of
+    a ``target_docs`` frame: the target model's bucket counts are then
+    the predicate-filtered rollup of the PERSISTED raw feature table —
+    zero second tokenize/explode/shuffle of the target text. Per-doc
+    feature counts are a pure function of (doc_id, text), so filtering
+    the raw feature rows by the id predicate is value-identical to
+    re-extracting features from the subset frame (pytest parity:
+    tests/test_dsir.py::test_target_pred_matches_subset_frame).
+    Exactly one of ``target_docs`` / ``target_pred`` must be given.
     """
+    if (target_docs is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target_docs / target_pred")
     # raw features feed BOTH the raw model's bucket counts and the
     # scoring join — persist so the corpus tokenize/explode/groupBy runs
     # once, not once per consumer (r14; handle in _STAGED, released by
@@ -135,7 +152,9 @@ def dsir_log_weights(
     raw_feats = dsir_features(raw_docs, n_buckets, id_col, text_col).persist()
     _STAGED.append(raw_feats)
     t_counts = dsir_bucket_counts(
-        dsir_features(target_docs, n_buckets, id_col, text_col)
+        raw_feats.filter(target_pred)
+        if target_pred is not None
+        else dsir_features(target_docs, n_buckets, id_col, text_col)
     )
     r_counts = dsir_bucket_counts(raw_feats)
     t_total = t_counts.agg(F.sum("cnt").alias("__tt"))
@@ -177,7 +196,7 @@ def dsir_log_weights(
 
 def dsir_select(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None,
     k: int,
     n_buckets: int = DSIR_BUCKETS,
     alpha: float = DSIR_ALPHA,
@@ -185,9 +204,13 @@ def dsir_select(
     text_col: str = "text",
     bucket_scale: float = 1024.0,
     id_block: int = 1 << 20,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Deterministic top-k selection by (log_weight desc, doc_id asc):
-    (doc_id, n_feats, log_weight, rank).
+    (doc_id, n_feats, log_weight, rank). ``target_pred`` as in
+    :func:`dsir_log_weights` — when the target is an id-selected subset
+    of ``raw_docs``, the predicate form skips the target corpus's whole
+    tokenize/explode pass by rolling up the persisted raw features.
 
     Distributed two-phase rank (the ranking.py shape), NOT a global
     ``Window.orderBy`` — the weights frame is one row per raw document,
@@ -235,7 +258,8 @@ def dsir_select(
     from pyspark.sql.types import NumericType
 
     w = dsir_log_weights(
-        raw_docs, target_docs, n_buckets, alpha, id_col, text_col
+        raw_docs, target_docs, n_buckets, alpha, id_col, text_col,
+        target_pred=target_pred,
     )
     blk = (
         F.floor(F.col("doc_id") / F.lit(id_block))

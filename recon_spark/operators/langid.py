@@ -48,17 +48,17 @@ from .text import tokens
 LANGID_NGRAM_MAX = 3
 LANGID_PROFILE_K = 200
 
-#: persisted gram-count substrate :func:`langid_verdicts` staged
-#: internally (the dsir/ranking._STAGED cache-lifecycle contract: the
-#: per-(doc, gram) count table feeds the profile training, the doc-side
-#: ranking AND the top-size rollup — without the persist the 3.6x
-#: char-n-gram explode executes once per consumer)
+#: staged-frame ledger (the dsir/ranking._STAGED cache-lifecycle
+#: contract). Currently EMPTY by design: langid's duplicated subtrees
+#: share via ReusedExchange, and the persisted fused spelling measured
+#: slower (see :func:`langid_verdicts`) — the hook stays so the
+#: bench/registry release sites keep one uniform contract.
 _STAGED: list = []
 
 
 def release_staged() -> int:
-    """Unpersist every frame :func:`langid_verdicts` staged internally;
-    returns how many. Call after the consuming action."""
+    """Unpersist every frame this module staged internally; returns how
+    many. Call after the consuming action."""
     n = len(_STAGED)
     while _STAGED:
         _STAGED.pop().unpersist()
@@ -75,11 +75,9 @@ LANGID_COLUMNS: tuple[str, ...] = (
 )
 
 
-def _gram_rows(
-    docs: DataFrame, text_col: str, extra_cols: tuple[str, ...] = ()
-) -> DataFrame:
-    """(doc_id, lang, *extra_cols, g) — one row per char-n-gram
-    occurrence, words padded '_w_', n = 1..LANGID_NGRAM_MAX."""
+def _gram_rows(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, lang, g) — one row per char-n-gram occurrence, words
+    padded '_w_', n = 1..LANGID_NGRAM_MAX."""
     padded = F.concat(F.lit("_"), F.col("__w"), F.lit("_"))
     p = F.col("__p")
 
@@ -95,11 +93,12 @@ def _gram_rows(
     grams = F.flatten(
         F.array(*[_ngrams_of(n) for n in range(1, LANGID_NGRAM_MAX + 1)])
     )
-    keep = ["doc_id", "lang", *extra_cols]
     return (
-        docs.select(*keep, F.explode(tokens(text_col)).alias("__w"))
-        .select(*keep, padded.alias("__p"))
-        .select(*keep, F.explode(grams).alias("g"))
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(text_col)).alias("__w")
+        )
+        .select("doc_id", "lang", padded.alias("__p"))
+        .select("doc_id", "lang", F.explode(grams).alias("g"))
     )
 
 
@@ -208,93 +207,24 @@ def langid_verdicts(
     the label — ``(doc_id, true_lang, split, pred_lang, best_dist,
     correct)``.
 
-    Fused single-explode spelling (r14, guide §2.4/§5): the
-    :func:`langid_profiles` + :func:`langid_classify` composition runs
-    the char-n-gram explode ~3x per action (train docs for the profile
-    — whose lineage executes twice, for the broadcast profile AND the
-    language list — plus all docs for the doc side, whose ``doc_top``
-    is also read twice). Here ONE explode carries (lang, split), is
-    aggregated to the per-(doc, gram) count table and persisted; the
-    profile counts are the exact train-split rollup ``sum(cnt) by
-    (lang, g)`` of that table, and ``profiles``/``doc_top`` are
-    persisted for their two consumers each. Value-identical to the
-    composition (pytest parity + the DuckDB fold replay)."""
+    Spelled as the :func:`langid_profiles` + :func:`langid_classify`
+    composition ON PURPOSE (r14, guide §2.4): the duplicated subtrees
+    (the profile lineage feeds both the broadcast profile and the
+    language list; ``doc_top`` feeds both ``doc_n`` and ``matched``)
+    sit directly above exchange boundaries, so Spark's ReusedExchange
+    dedups them for free. A fused single-explode spelling that
+    persisted one (doc, lang, split, gram) count table was built and
+    MEASURED SLOWER at sf0.1 (3.96s vs 2.74s steady, quiet-window
+    alternating A/B): it widened every shuffled gram row by the
+    lang/split strings and paid cache materialization for sharing the
+    exchange reuse already provided."""
     from .sampling import with_split
 
     labeled = with_split(docs)
-    counts = (
-        _gram_rows(
-            labeled.select(
-                "doc_id",
-                F.col(lang_col).alias("lang"),
-                "split",
-                text_col,
-            ),
-            text_col,
-            extra_cols=("split",),
-        )
-        .groupBy("doc_id", "lang", "split", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist()
+    profiles = langid_profiles(
+        labeled.filter(F.col("split") == "train"), text_col, lang_col, k
     )
-    _STAGED.append(counts)
-    prof_counts = (
-        counts.filter(
-            (F.col("split") == "train") & F.col("lang").isNotNull()
-        )
-        .groupBy("lang", "g")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    profiles = (
-        _top_ranked(prof_counts, "lang", k)
-        .select("lang", "g", "rank")
-        .persist()
-    )
-    _STAGED.append(profiles)
-    doc_top = (
-        _top_ranked(counts.select("doc_id", "g", "cnt"), "doc_id", k)
-        .select("doc_id", "g", F.col("rank").alias("dr"))
-        .persist()
-    )
-    _STAGED.append(doc_top)
-    doc_n = doc_top.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_top")
-    )
-    prof = F.broadcast(profiles.select("lang", "g", F.col("rank").alias("pr")))
-    matched = (
-        doc_top.join(prof, "g")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.abs(F.col("dr") - F.col("pr"))).cast("long").alias("msum"),
-            F.count(F.lit(1)).cast("long").alias("mcnt"),
-        )
-    )
-    langs = F.broadcast(profiles.select("lang").distinct())
-    cand = (
-        doc_n.crossJoin(langs)
-        .join(matched, ["doc_id", "lang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.coalesce(F.col("msum"), F.lit(0))
-                + (F.col("n_top") - F.coalesce(F.col("mcnt"), F.lit(0)))
-                * F.lit(k)
-            )
-            .cast("long")
-            .alias("dist"),
-        )
-    )
-    best = (
-        cand.groupBy("doc_id")
-        .agg(F.min(F.struct("dist", "lang")).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.lang").alias("pred_lang"),
-            F.col("b.dist").alias("best_dist"),
-        )
-    )
-    v = docs.select("doc_id").join(best, "doc_id", "left")
+    v = langid_classify(docs, profiles, text_col, k)
     return (
         labeled.select(
             "doc_id", F.col(lang_col).alias("true_lang"), "split"

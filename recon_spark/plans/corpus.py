@@ -32,6 +32,11 @@ from ..operators import text as T
 #: caller's ``spark.catalog.clearCache()``) after the consuming action.
 _STAGED: list[DataFrame] = []
 
+#: persist the text-edited corpus ahead of the double-consuming
+#: span/exactsubstr stages (A/B toggle so the decision stays measurable;
+#: see OPTIMIZATION_r14.md for the sf0.1 numbers behind the default)
+_STAGE_EDITED_DOCS = True
+
 
 def release_staged() -> int:
     """Unpersist every frame :func:`build_training_corpus` staged
@@ -216,9 +221,9 @@ def build_training_corpus(
                 docs, id_col=id_col, text_col=text_col
             ).select(id_col, F.col("clean_text").alias(text_col))
 
-    if (unicode_form is not None or c4_lines or dedup_paras) and (
-        exact_substr_tokens is not None or boilerplate_spans is not None
-    ):
+    if _STAGE_EDITED_DOCS and (
+        unicode_form is not None or c4_lines or dedup_paras
+    ) and (exact_substr_tokens is not None or boilerplate_spans is not None):
         # r14 (guide §2.4/§5): the span/exactsubstr stages below consume
         # their input TWICE (window-fingerprint aggregate + the verdict
         # join back), so without a cache the text-editing lineage above —

@@ -1806,11 +1806,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import langid as _LID
 
     lid = F.broadcast(_stage_persist(_LID.langid_parity(docs)))
-    # langid_verdicts stage-persists its single-explode gram-count
-    # substrate plus the twice-consumed profiles/doc_top frames (r14
-    # optimization); adopt the handles into the registry ledger
-    while _LID._STAGED:
-        _stage_persist(_LID._STAGED.pop())
     sentinel = parity.crossJoin(pmi).crossJoin(lid).select(
         F.lit(-1).cast("long").alias("id"),
         F.lit(0).cast("long").alias("n_shared"),

@@ -163,6 +163,42 @@ def test_select_string_ids_match_global_window(spark):
     spark.catalog.clearCache()
 
 
+def test_target_pred_matches_subset_frame(spark):
+    """r14 optimization parity: when the target is an id-selected subset
+    of the raw corpus, the target_pred form (target model rolled up from
+    the persisted raw feature table — no second tokenize/explode) must be
+    row-identical to passing the subset as a target_docs frame."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators import sampling
+    from tests.test_dedup_fuzz import _corpus
+
+    rnd = random.Random(0x14D51B)
+    raw = _df(spark, _corpus(rnd, 80)).repartition(5)
+    pred = sampling.hash_bucket(F.col("doc_id")) < sampling.TRAIN_EDGE
+    tgt = sampling.with_split(raw).filter(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    for k in (1, 9, 40):
+        want = sorted(
+            (r.doc_id, r.n_feats, r.log_weight, r.rank)
+            for r in dsir.dsir_select(raw, tgt, k=k).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.n_feats, r.log_weight, r.rank)
+            for r in dsir.dsir_select(
+                raw, None, k=k, target_pred=pred
+            ).collect()
+        )
+        assert got == want
+    with pytest.raises(ValueError):
+        dsir.dsir_log_weights(raw, tgt, target_pred=pred)
+    with pytest.raises(ValueError):
+        dsir.dsir_log_weights(raw, None)
+    spark.catalog.clearCache()
+    dsir.release_staged()
+
+
 def test_null_empty_docs_anchor_at_zero(spark):
     # doc 4 skews the raw model away from the target so doc 3's ratio
     # is strictly positive (raw == target would be exactly 0)

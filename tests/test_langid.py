@@ -99,11 +99,12 @@ def test_accuracy_rollup(spark):
     assert r.accuracy_micros == 1_000_000
 
 
-def test_fused_verdicts_match_composition(spark):
-    """r14 optimization parity: langid_verdicts' fused single-explode
-    spelling (persisted per-(doc, gram) counts, train-rollup profile)
-    must be row-identical to the spelled-out langid_profiles +
-    langid_classify composition it replaced."""
+def test_verdicts_match_composition(spark):
+    """langid_verdicts must stay row-identical to the spelled-out
+    langid_profiles + langid_classify composition (r14: a fused
+    single-explode spelling was built, measured slower than the
+    ReusedExchange-shared composition at sf0.1, and reverted — this
+    parity pin keeps any future respelling honest)."""
     from recon_spark.operators.sampling import with_split
     from tests.test_dedup_fuzz import _corpus
 
