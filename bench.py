@@ -373,10 +373,13 @@ def _q_dsir_select(spark, sf_dir):
     # single-split fixture parquet -> repartition before the feature
     # explode (registry.docs_aug r12 note); target = the 'train' hash
     # split, raw = the full corpus, keep the top 10%
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    k = max(docs.count() // 10, 1)
+    base = load(spark, sf_dir, "documents")
+    docs = base.repartition(spark.sparkContext.defaultParallelism)
+    # r14 (guide §5): k counts the PRE-repartition scan — same value
+    # (round-robin repartition preserves cardinality), but the eager
+    # count no longer shuffles the full text column every lap (the
+    # zero-column parquet count is metadata-cheap)
+    k = max(base.count() // 10, 1)
     # r14 (guide §2.4): the target is the 'train' hash split of the SAME
     # corpus — a pure doc_id predicate — so the predicate form derives
     # the target model from the persisted raw feature table instead of
@@ -528,7 +531,13 @@ def _q_semdedup(spark, sf_dir):
     # stage; the graded fold keeps k=8 only because the sf0.01 gate
     # corpus is small and the oracle replays a fixed literal
     k = max(semdedup.SEMDEDUP_K, aug.count() // 500)
-    return semdedup.semdedup_verdicts(aug, k=k)
+    # r14 (guide §5, the registry's own _stage_persist precedent on the
+    # graded row): the ranked assignment feeds three branches (both
+    # self-join sides + the verdict join); unpersisted, the centroid
+    # derivation and assignment ran once per branch. Blocks are dropped
+    # by the bench's per-query clearCache.
+    ranked = semdedup.assign_with_rank(aug, k=k).persist()
+    return semdedup.semdedup_verdicts(aug, k=k, ranked=ranked)
 
 
 def _q_tokenizer_bpe(spark, sf_dir):
@@ -564,10 +573,11 @@ def _q_pps_sample(spark, sf_dir):
     # pass (registry.docs_aug r12 note); weight = token count, keep a
     # 10% budget — the key is a narrow projection, the top-k the
     # bucket-pruned two-phase rank
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    k = max(docs.count() // 10, 1)
+    base = load(spark, sf_dir, "documents")
+    docs = base.repartition(spark.sparkContext.defaultParallelism)
+    # k from the pre-repartition scan: same value, no full-text shuffle
+    # for the eager count (guide §5; see _q_dsir_select)
+    k = max(base.count() // 10, 1)
     return sampling.pps_sample(
         docs.select("doc_id", text.token_count("text").alias("w")), "w", k
     )
