@@ -134,63 +134,116 @@ def dsir_log_weights(
     identical text (the common "target = my curated split of this same
     corpus" setup — e.g. ``split == 'train'``, a pure ``doc_id``
     expression), pass the boolean predicate over ``doc_id`` instead of
-    a ``target_docs`` frame: the target model's bucket counts are then
-    the predicate-filtered rollup of the PERSISTED raw feature table —
-    zero second tokenize/explode/shuffle of the target text. Per-doc
-    feature counts are a pure function of (doc_id, text), so filtering
-    the raw feature rows by the id predicate is value-identical to
-    re-extracting features from the subset frame (pytest parity:
+    a ``target_docs`` frame: both models' bucket counts then come out
+    of ONE conditional rollup of the raw feature stream — zero second
+    tokenize/explode of the target text. Per-doc feature counts are a
+    pure function of (doc_id, text), so counting the raw feature rows
+    under the id predicate is value-identical to re-extracting features
+    from the subset frame (pytest parity:
     tests/test_dsir.py::test_target_pred_matches_subset_frame).
     Exactly one of ``target_docs`` / ``target_pred`` must be given.
+
+    Plan shape (r14 rewrite, guide §2.3/§2.4 — shuffle metadata, not the
+    corpus): the former spelling grouped the exploded feature stream by
+    ``(doc_id, bucket)`` (a corpus-sized shuffle), persisted that table,
+    shuffled it AGAIN by ``doc_id`` for the scoring rollup, and
+    left-joined the result back to the id spine (a third corpus-sized
+    exchange + sort-merge join). But both models are bounded at
+    ``n_buckets`` rows by construction, and the per-doc score is a pure
+    left fold over the doc's own feature array — so: (1) ONE pass rolls
+    the exploded stream up by ``bucket`` alone (map-side combinable to
+    <= n_buckets rows per task; with ``target_pred`` the target count is
+    a conditional sum in the same aggregate); (2) the <= n_buckets model
+    rows are collected to the driver (the bounded vocab-model collect
+    this codebase already allows — one eager action, same class as the
+    perplexity threshold) and turned into a dense log-ratio ARRAY
+    literal; (3) scoring is a shuffle-free projection of ``raw_docs``:
+    ``log_weight = aggregate(feats, 0.0, acc + ratio[bucket(f)])`` — a
+    left fold in array order, which also PINS the float summation order
+    per document (the sorted-left-fold discipline bm25/temperature
+    already use; the old hash-aggregate sum order was shuffle-arrival).
+    The per-doc feature ARRAYS are persisted once (``_STAGED``) and feed
+    both passes, so the corpus is tokenized once, exchanged never, and
+    joined never (sf0.1 A/B numbers in OPTIMIZATION_r14.md).
     """
     if (target_docs is None) == (target_pred is None):
         raise ValueError("pass exactly one of target_docs / target_pred")
-    # raw features feed BOTH the raw model's bucket counts and the
-    # scoring join — persist so the corpus tokenize/explode/groupBy runs
-    # once, not once per consumer (r14; handle in _STAGED, released by
-    # the registry/bench hooks after the consuming action)
-    raw_feats = dsir_features(raw_docs, n_buckets, id_col, text_col).persist()
-    _STAGED.append(raw_feats)
-    t_counts = dsir_bucket_counts(
-        raw_feats.filter(target_pred)
-        if target_pred is not None
-        else dsir_features(target_docs, n_buckets, id_col, text_col)
+    import math
+
+    toks = T.tokens(text_col)
+    feats = F.concat(toks, _bigrams(toks))
+    # ONE tokenize pass: the per-doc feature ARRAYS are persisted and
+    # feed both the model rollup (explode -> bucket counts) and the
+    # scoring fold — the store-the-derived-form tradeoff the corpus
+    # builder's survivors cache already makes (disk-backed persist vs a
+    # second tokenize of the whole corpus). Handle in _STAGED; released
+    # by the registry/bench hooks after the consuming action.
+    staged = raw_docs.select(
+        F.col(id_col).alias("doc_id"), feats.alias("__f")
+    ).persist()
+    _STAGED.append(staged)
+    exploded = (
+        staged.filter(F.col("__f").isNotNull())
+        .select("doc_id", F.explode("__f").alias("feat"))
     )
-    r_counts = dsir_bucket_counts(raw_feats)
-    t_total = t_counts.agg(F.sum("cnt").alias("__tt"))
-    r_total = r_counts.agg(F.sum("cnt").alias("__rt"))
-    model = (
-        r_counts.withColumnRenamed("cnt", "r_cnt")
-        .join(t_counts.withColumnRenamed("cnt", "t_cnt"), "bucket", "full")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("__tt") + F.lit(alpha * n_buckets))
-                )
-                - F.log(
-                    (F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("__rt") + F.lit(alpha * n_buckets))
-                )
-            ).alias("log_ratio"),
+    bucket = (_hash32(F.col("feat")) % n_buckets).cast("int")
+    if target_pred is not None:
+        rows = (
+            exploded.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("r_cnt"),
+                F.sum(
+                    F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
+                ).cast("long").alias("t_cnt"),
+            )
+            .collect()
         )
-    )
-    scored = (
-        raw_feats.join(F.broadcast(model), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_feats"),
-            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+        r_cnt = {r["bucket"]: r["r_cnt"] for r in rows}
+        t_cnt = {r["bucket"]: r["t_cnt"] for r in rows}
+    else:
+        r_cnt = {
+            r["bucket"]: r["cnt"]
+            for r in exploded.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+        t_feats = F.concat(
+            T.tokens(text_col), _bigrams(T.tokens(text_col))
         )
-    )
-    base = raw_docs.select(F.col(id_col).alias("doc_id"))
-    return base.join(scored, "doc_id", "left").select(
+        t_cnt = {
+            r["bucket"]: r["cnt"]
+            for r in target_docs.select(t_feats.alias("__f"))
+            .filter(F.col("__f").isNotNull())
+            .select(F.explode("__f").alias("feat"))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+    tt = float(sum(t_cnt.values()))
+    rt = float(sum(r_cnt.values()))
+    log_ratio = [
+        math.log((t_cnt.get(b, 0) + alpha) / (tt + alpha * n_buckets))
+        - math.log((r_cnt.get(b, 0) + alpha) / (rt + alpha * n_buckets))
+        for b in range(n_buckets)
+    ]
+    ratio_arr = F.lit(log_ratio)
+    return staged.select(
         "doc_id",
-        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
-        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        F.when(F.col("__f").isNull(), F.lit(0))
+        .otherwise(F.size("__f"))
+        .cast("long")
+        .alias("n_feats"),
+        F.coalesce(
+            F.aggregate(
+                F.col("__f"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.element_at(
+                    ratio_arr, (_hash32(x) % n_buckets).cast("int") + 1
+                ),
+            ),
+            F.lit(0.0),
+        ).alias("log_weight"),
     )
 
 
@@ -205,6 +258,7 @@ def dsir_select(
     bucket_scale: float = 1024.0,
     id_block: int = 1 << 20,
     target_pred: Column | None = None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic top-k selection by (log_weight desc, doc_id asc):
     (doc_id, n_feats, log_weight, rank). ``target_pred`` as in
@@ -257,9 +311,16 @@ def dsir_select(
     """
     from pyspark.sql.types import NumericType
 
-    w = dsir_log_weights(
-        raw_docs, target_docs, n_buckets, alpha, id_col, text_col,
-        target_pred=target_pred,
+    # ``weights``: a pre-built (doc_id, n_feats, log_weight) frame —
+    # skips the scoring pass (A/B harnesses, callers that already
+    # scored); the default builds it via :func:`dsir_log_weights`.
+    w = (
+        weights
+        if weights is not None
+        else dsir_log_weights(
+            raw_docs, target_docs, n_buckets, alpha, id_col, text_col,
+            target_pred=target_pred,
+        )
     )
     blk = (
         F.floor(F.col("doc_id") / F.lit(id_block))

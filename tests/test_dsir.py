@@ -79,6 +79,79 @@ def test_log_weights_match_numpy_recompute(spark):
         assert got[d] == pytest.approx(w, abs=1e-9)
 
 
+def test_log_weights_match_exploded_join_spelling(spark):
+    """r14 rewrite guard: the shuffle-free scoring projection (driver
+    model array + per-doc left fold) must reproduce the former
+    exploded-(doc,bucket)-groupBy + broadcast-model-join + id-spine
+    left-join spelling — same doc set, same n_feats exactly, same
+    log_weight to 1e-9 (the two spellings sum the same float terms in
+    different orders)."""
+    from pyspark.sql import functions as F
+
+    from tests.test_dedup_fuzz import _corpus
+
+    def old_spelling(raw, tgt, n_buckets, alpha, id_col="doc_id"):
+        raw_feats = dsir.dsir_features(raw, n_buckets)
+        t_counts = dsir.dsir_bucket_counts(dsir.dsir_features(tgt, n_buckets))
+        r_counts = dsir.dsir_bucket_counts(raw_feats)
+        t_total = t_counts.agg(F.sum("cnt").alias("__tt"))
+        r_total = r_counts.agg(F.sum("cnt").alias("__rt"))
+        model = (
+            r_counts.withColumnRenamed("cnt", "r_cnt")
+            .join(t_counts.withColumnRenamed("cnt", "t_cnt"), "bucket", "full")
+            .crossJoin(F.broadcast(t_total))
+            .crossJoin(F.broadcast(r_total))
+            .select(
+                "bucket",
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
+                        / (F.col("__tt") + F.lit(alpha * n_buckets))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
+                        / (F.col("__rt") + F.lit(alpha * n_buckets))
+                    )
+                ).alias("log_ratio"),
+            )
+        )
+        scored = (
+            raw_feats.join(F.broadcast(model), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_feats"),
+                F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+            )
+        )
+        base = raw.select(F.col(id_col).alias("doc_id"))
+        return base.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+
+    rnd = random.Random(0x14E1)
+    for _trial in range(2):
+        rows = _corpus(rnd, 60)
+        raw = _df(spark, rows)
+        tgt = _df(spark, _corpus(rnd, 10))
+        got = {
+            r.doc_id: (r.n_feats, r.log_weight)
+            for r in dsir.dsir_log_weights(raw, tgt).collect()
+        }
+        want = {
+            r.doc_id: (r.n_feats, r.log_weight)
+            for r in old_spelling(
+                raw, tgt, dsir.DSIR_BUCKETS, dsir.DSIR_ALPHA
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for d, (nf, lw) in want.items():
+            assert got[d][0] == nf
+            assert got[d][1] == pytest.approx(lw, abs=1e-9)
+    spark.catalog.clearCache()
+
+
 def test_select_prefers_target_like_docs(spark):
     """The operator's reason to exist: raw docs drawn from the target
     distribution outrank off-distribution docs."""
