@@ -162,9 +162,12 @@ def dsir_log_weights(
     left fold in array order, which also PINS the float summation order
     per document (the sorted-left-fold discipline bm25/temperature
     already use; the old hash-aggregate sum order was shuffle-arrival).
-    The per-doc feature ARRAYS are persisted once (``_STAGED``) and feed
-    both passes, so the corpus is tokenized once, exchanged never, and
-    joined never (sf0.1 A/B numbers in OPTIMIZATION_r14.md).
+    The per-doc BUCKET int arrays (features hashed inline; transform()
+    preserves order, so the fold's float sum is bit-identical to folding
+    the strings) are persisted once (``_STAGED``) and feed both passes,
+    so the corpus is tokenized once, md5-hashed once per feature
+    occurrence (not twice), exchanged never, and joined never (sf0.1
+    A/B numbers in OPTIMIZATION_r14.md).
     """
     if (target_docs is None) == (target_pred is None):
         raise ValueError("pass exactly one of target_docs / target_pred")
@@ -172,21 +175,32 @@ def dsir_log_weights(
 
     toks = T.tokens(text_col)
     feats = F.concat(toks, _bigrams(toks))
-    # ONE tokenize pass: the per-doc feature ARRAYS are persisted and
-    # feed both the model rollup (explode -> bucket counts) and the
-    # scoring fold — the store-the-derived-form tradeoff the corpus
-    # builder's survivors cache already makes (disk-backed persist vs a
-    # second tokenize of the whole corpus). Handle in _STAGED; released
-    # by the registry/bench hooks after the consuming action.
+    # ONE tokenize pass: the per-doc feature arrays are hashed to BUCKET
+    # int arrays inline and THOSE are persisted, feeding both the model
+    # rollup (explode -> bucket counts) and the scoring fold — the
+    # store-the-derived-form tradeoff the corpus builder's survivors
+    # cache already makes (disk-backed persist vs a second tokenize of
+    # the whole corpus). Persisting buckets instead of feature STRINGS
+    # (r14, guide §2.3 narrower types / §1.2 per-task work) runs the
+    # md5 bucket hash ONCE per feature occurrence instead of twice
+    # (model explode + scoring fold) and caches a small int array per
+    # doc instead of every unigram+bigram string. transform() preserves
+    # array order, so the scoring fold visits the identical bucket
+    # sequence and the per-doc float sum is bit-identical. Handle in
+    # _STAGED; released by the registry/bench hooks after the consuming
+    # action.
     staged = raw_docs.select(
-        F.col(id_col).alias("doc_id"), feats.alias("__f")
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            feats, lambda x: (_hash32(x) % n_buckets).cast("int")
+        ).alias("__b"),
     ).persist()
     _STAGED.append(staged)
     exploded = (
-        staged.filter(F.col("__f").isNotNull())
-        .select("doc_id", F.explode("__f").alias("feat"))
+        staged.filter(F.col("__b").isNotNull())
+        .select("doc_id", F.explode("__b").alias("bucket"))
     )
-    bucket = (_hash32(F.col("feat")) % n_buckets).cast("int")
+    bucket = F.col("bucket")
     if target_pred is not None:
         rows = (
             exploded.groupBy(bucket.alias("bucket"))
@@ -215,7 +229,9 @@ def dsir_log_weights(
             for r in target_docs.select(t_feats.alias("__f"))
             .filter(F.col("__f").isNotNull())
             .select(F.explode("__f").alias("feat"))
-            .groupBy(bucket.alias("bucket"))
+            .groupBy(
+                (_hash32(F.col("feat")) % n_buckets).cast("int").alias("bucket")
+            )
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .collect()
         }
@@ -229,18 +245,15 @@ def dsir_log_weights(
     ratio_arr = F.lit(log_ratio)
     return staged.select(
         "doc_id",
-        F.when(F.col("__f").isNull(), F.lit(0))
-        .otherwise(F.size("__f"))
+        F.when(F.col("__b").isNull(), F.lit(0))
+        .otherwise(F.size("__b"))
         .cast("long")
         .alias("n_feats"),
         F.coalesce(
             F.aggregate(
-                F.col("__f"),
+                F.col("__b"),
                 F.lit(0.0),
-                lambda acc, x: acc
-                + F.element_at(
-                    ratio_arr, (_hash32(x) % n_buckets).cast("int") + 1
-                ),
+                lambda acc, x: acc + F.element_at(ratio_arr, x + 1),
             ),
             F.lit(0.0),
         ).alias("log_weight"),
