@@ -247,8 +247,14 @@ def _q_lm_perplexity_filter(spark, sf_dir):
 
     # single-split fixture parquet -> repartition before the per-doc
     # tokenize/explode work (registry.docs_aug r12 note)
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # r14 (guide §2.3/§5): project to (doc_id, text) before the persist
+    # — the cache is an optimizer barrier, so the staged frame otherwise
+    # carries lang/source/n_chars no consumer reads (score_perplexity
+    # emits only per-doc LM stats); scan ReadSchema 5 -> 2 columns
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # r14 (guide §2.4): ONE staged tokenize pass feeds both the train
     # split's bigram counts and the scoring explode (the q_text_stats

@@ -1355,8 +1355,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # battery's regex/array work, the LM substrate's per-doc maps) was
     # executing as ONE task (measured: 4.9s exec, every pre-shuffle
     # stage (0+1)/1; 2.2s after). Row-set semantics are unchanged.
-    docs = _load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # r14 (guide §2.3/§5): project to the two consumed columns BEFORE
+    # the repartition + persist — the cache is an optimizer barrier, so
+    # without this the exchange and the staged token frame carried
+    # lang/source/n_chars that nothing downstream reads (n_chars in the
+    # output is RECOMPUTED by with_text_stats; scan ReadSchema was 5
+    # columns, now 2). Output-identical.
+    docs = (
+        _load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # round-8 trim: ONE persisted tokenize pass — (doc_id, text, __toks)
     # — feeds the battery, the LM train split, the LM scoring substrate
