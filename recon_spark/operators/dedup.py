@@ -625,19 +625,29 @@ def ngram_jaccard_pairs_prefix_from_shingles(
     w_doc = Window.partitionBy("id").orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
+    # r14 (guide §2.3 — shuffle fewer bytes): the candidate self-join
+    # keys on xxhash64(shingle) instead of the shingle STRING, so the
+    # join exchange moves an 8-byte long per prefix row instead of a
+    # k-token text. Output-identical BY CONSTRUCTION, not probabilistic:
+    # equal shingles always hash equal, so the candidate set under the
+    # hash key is a SUPERSET of the string-keyed one, and the exact
+    # array_intersect verify below discards any hash-collision extras
+    # (the global prefix ORDER stays on the true (df, shingle) key — a
+    # collision there could break the prefix lemma, a collision in the
+    # join key cannot).
     prefix = (
         index.join(dfreq, "shingle")
         .withColumn("__pos", F.row_number().over(w_doc))
         .filter(F.col("__pos") <= p_len)
-        .select("id", "n", "shingle")
+        .select("id", "n", F.xxhash64("shingle").alias("__h"))
     )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+        prefix.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "__h")
         .join(
             prefix.select(
-                F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle"
+                F.col("id").alias("id_b"), F.col("n").alias("nb"), "__h"
             ),
-            "shingle",
+            "__h",
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
